@@ -1,0 +1,141 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets
+import java.util.zip.Inflater
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal, dependency-free PDF text extraction (SURVEY §7.4 risk item).
+  *
+  * Handles the common case: page content streams stored raw or
+  * FlateDecode-compressed, text shown with `Tj` / `TJ` / `'` operators using
+  * literal `(...)` or hex `<...>` strings, standard encodings. This matches
+  * the fidelity class of the reference's PyPDF2 extraction (`app.py:186-192`)
+  * — best-effort, garbage-in-garbage-out on scanned/CID-font PDFs.
+  *
+  * Page splitting: we approximate "one record per page" by one record per
+  * content stream; for single-stream-per-page PDFs (the norm for simple
+  * generators) this equals the reference's per-page records.
+  */
+object PdfText {
+
+  def extractPages(bytes: Array[Byte]): Seq[String] = {
+    try {
+      val streams = findStreams(bytes)
+      streams.flatMap { s =>
+        val data = if (s.flate) inflate(s.data) else s.data
+        val t = extractTextOps(data)
+        if (t.trim.nonEmpty) Some(t) else None
+      }
+    } catch { case _: Throwable => Seq.empty }
+  }
+
+  private case class Stream(data: Array[Byte], flate: Boolean)
+
+  /** Locate `stream ... endstream` blocks and whether the preceding dict
+    * mentions FlateDecode.
+    */
+  private def findStreams(bytes: Array[Byte]): Seq[Stream] = {
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    val out = ArrayBuffer[Stream]()
+    var idx = s.indexOf("stream")
+    while (idx >= 0) {
+      val dictStart = math.max(0, s.lastIndexOf("<<", idx))
+      val dict = s.substring(dictStart, idx)
+      var dataStart = idx + "stream".length
+      if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+      if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+      val end = s.indexOf("endstream", dataStart)
+      if (end < 0) return out.toSeq
+      val data = bytes.slice(dataStart, end)
+      out += Stream(data, dict.contains("FlateDecode"))
+      idx = s.indexOf("stream", end + 9)
+    }
+    out.toSeq
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n) else if (n == 0 && !inf.finished()) return out.toByteArray
+      }
+      out.toByteArray
+    } catch { case _: Throwable => Array.emptyByteArray }
+    finally inf.end()
+  }
+
+  /** Walk a content stream, collecting shown text from Tj / ' / TJ. */
+  private def extractTextOps(data: Array[Byte]): String = {
+    val s = new String(data, StandardCharsets.ISO_8859_1)
+    val sb = new StringBuilder
+    var i = 0
+    var lastStrings = ArrayBuffer[String]() // strings since last operator
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' =>
+          val (str, next) = readLiteral(s, i)
+          lastStrings += str; i = next
+        case '<' if i + 1 < s.length && s.charAt(i + 1) != '<' =>
+          val (str, next) = readHex(s, i)
+          lastStrings += str; i = next
+        case 'T' if i + 1 < s.length && (s.charAt(i + 1) == 'j' || s.charAt(i + 1) == 'J') =>
+          sb.append(lastStrings.mkString)
+          if (s.charAt(i + 1) == 'J') sb.append(' ') else sb.append(' ')
+          lastStrings.clear(); i += 2
+        case '\'' =>
+          sb.append(lastStrings.mkString).append('\n'); lastStrings.clear(); i += 1
+        case 'B' if s.startsWith("BT", i) => lastStrings.clear(); i += 2
+        case 'E' if s.startsWith("ET", i) => lastStrings.clear(); i += 2
+        case _ => i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def readLiteral(s: String, start: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var i = start + 1
+    var depth = 1
+    while (i < s.length && depth > 0) {
+      s.charAt(i) match {
+        case '\\' if i + 1 < s.length =>
+          s.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
+            case 't' => sb.append('\t'); case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case c @ ('(' | ')' | '\\') => sb.append(c)
+            case d if d.isDigit => // octal, up to 3 digits
+              var j = i + 1; var v = 0; var n = 0
+              while (j < s.length && n < 3 && s.charAt(j).isDigit && s.charAt(j) < '8') {
+                v = v * 8 + (s.charAt(j) - '0'); j += 1; n += 1
+              }
+              sb.append(v.toChar); i = j - 2
+            case other => sb.append(other)
+          }
+          i += 2
+        case '(' => depth += 1; sb.append('('); i += 1
+        case ')' => depth -= 1; if (depth > 0) sb.append(')'); i += 1
+        case c => sb.append(c); i += 1
+      }
+    }
+    (sb.toString, i)
+  }
+
+  private def readHex(s: String, start: Int): (String, Int) = {
+    val end = s.indexOf('>', start)
+    if (end < 0) return ("", s.length)
+    val hex = s.substring(start + 1, end).replaceAll("\\s", "")
+    val sb = new StringBuilder
+    var i = 0
+    while (i + 1 < hex.length) {
+      try sb.append(Integer.parseInt(hex.substring(i, i + 2), 16).toChar)
+      catch { case _: NumberFormatException => }
+      i += 2
+    }
+    (sb.toString, end + 1)
+  }
+}

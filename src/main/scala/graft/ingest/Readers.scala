@@ -1,0 +1,191 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.ZipInputStream
+import javax.xml.parsers.DocumentBuilderFactory
+import scala.collection.mutable.ArrayBuffer
+
+/** S1-S6 — multi-format ingestion (reference `app.py:176-222`, dispatch at
+  * `app.py:296-315`). Every reader returns a DataFrame of records.
+  *
+  * Formats with Spark-native sources (CSV, JSON, TXT) use them directly —
+  * splittable, distributed, predicate/projection-pushdown-capable. Binary
+  * document formats (XML, DOCX, PDF) ride `binaryFile` + a per-file parse UDF
+  * + `explode`: one *file* per task (these formats are not splittable anyway),
+  * so a 100 TB corpus of many documents parallelizes per-file across
+  * executors; parsing never funnels through the driver.
+  *
+  * Zero extra deps by design: DOCX is a zip of XML (JDK `java.util.zip` +
+  * JAXP), XML uses JAXP, PDF gets a best-effort text extractor for
+  * uncompressed/Flate `Tj`/`TJ` operators (the reference's PyPDF2 output on
+  * anything non-trivial is equally best-effort — SURVEY §7.4).
+  */
+object Readers {
+
+  /** S1 — CSV with header + type inference (reference `app.py:178-179`). */
+  def csv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** S2 — JSON array-of-objects (reference `app.py:182-183`). */
+  def json(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+
+  /** S6 — TXT: one record per non-empty line (reference `app.py:213-222`).
+    * UTF-8 fast path via the native text source (splittable).
+    */
+  def txt(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value").as("content"))
+
+  /** S6 with charset fallback — reference `safe_read_text` (`app.py:34-56`)
+    * tries UTF-8 → chardet → ascii-ignore. Without chardet we use UTF-8 →
+    * ISO-8859-1 (which never fails and covers the reference corpus); the
+    * divergence for exotic encodings is documented in SURVEY §7.4.
+    * Per-file decode over binaryFile: non-splittable but parallel per file.
+    */
+  def txtWithCharsetFallback(spark: SparkSession, path: String): DataFrame = {
+    val decode = udf { (bytes: Array[Byte]) =>
+      val text = decodeFallback(bytes)
+      text.split("\n", -1).map(_.stripLineEnd).filter(_.trim.nonEmpty)
+    }
+    spark.read.format("binaryFile").load(path)
+      .select(explode(decode(col("content"))).as("content"))
+  }
+
+  private[ingest] def decodeFallback(bytes: Array[Byte]): String = {
+    val utf8 = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try utf8.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch { case _: java.nio.charset.CharacterCodingException =>
+      new String(bytes, StandardCharsets.ISO_8859_1)
+    }
+  }
+
+  /** S5 — XML: one record per direct child of the root; attributes become
+    * fields, trimmed element text becomes `_text` ("" when none);
+    * grandchildren ignored (reference `app.py:201-210`).
+    * Emitted as a map column (dynamic fields); `promoteMapKeys` pivots to
+    * real columns when the caller wants them.
+    */
+  def xml(spark: SparkSession, path: String): DataFrame = {
+    val parse = udf { (bytes: Array[Byte]) => parseXmlRecords(bytes) }
+    spark.read.format("binaryFile").load(path)
+      .select(explode(parse(col("content"))).as("fields"))
+  }
+
+  private[ingest] def parseXmlRecords(bytes: Array[Byte]): Seq[Map[String, String]] = {
+    val dbf = DocumentBuilderFactory.newInstance()
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true) // no XXE
+    val doc = dbf.newDocumentBuilder().parse(new ByteArrayInputStream(bytes))
+    val root = doc.getDocumentElement
+    val children = root.getChildNodes
+    val out = ArrayBuffer[Map[String, String]]()
+    var i = 0
+    while (i < children.getLength) {
+      children.item(i) match {
+        case el: org.w3c.dom.Element =>
+          val m = scala.collection.mutable.LinkedHashMap[String, String]()
+          val attrs = el.getAttributes
+          var j = 0
+          while (j < attrs.getLength) {
+            val a = attrs.item(j); m(a.getNodeName) = a.getNodeValue; j += 1
+          }
+          // direct text only (reference uses elem.text which is direct text)
+          val txt = {
+            val tc = el.getChildNodes
+            val sb = new StringBuilder
+            var k = 0
+            while (k < tc.getLength) {
+              if (tc.item(k).getNodeType == org.w3c.dom.Node.TEXT_NODE)
+                sb.append(tc.item(k).getNodeValue)
+              k += 1
+            }
+            sb.toString.trim
+          }
+          m("_text") = txt
+          out += m.toMap
+        case _ =>
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** S4 — DOCX: one record per non-blank paragraph (reference
+    * `app.py:195-198`). DOCX = zip, text lives in `word/document.xml` as
+    * `<w:p>` paragraphs of `<w:t>` runs.
+    */
+  def docx(spark: SparkSession, path: String): DataFrame = {
+    val parse = udf { (bytes: Array[Byte]) => parseDocxParagraphs(bytes) }
+    spark.read.format("binaryFile").load(path)
+      .select(explode(parse(col("content"))).as("content"))
+  }
+
+  private[ingest] def parseDocxParagraphs(bytes: Array[Byte]): Seq[String] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    var entry = zin.getNextEntry
+    var docXml: Array[Byte] = null
+    while (entry != null && docXml == null) {
+      if (entry.getName == "word/document.xml") docXml = zin.readAllBytes()
+      else { entry = zin.getNextEntry }
+    }
+    zin.close()
+    if (docXml == null) return Seq.empty
+    val dbf = DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    val doc = dbf.newDocumentBuilder().parse(new ByteArrayInputStream(docXml))
+    val paras = doc.getElementsByTagNameNS("*", "p")
+    val out = ArrayBuffer[String]()
+    var i = 0
+    while (i < paras.getLength) {
+      val p = paras.item(i).asInstanceOf[org.w3c.dom.Element]
+      val ts = p.getElementsByTagNameNS("*", "t")
+      val sb = new StringBuilder
+      var j = 0
+      while (j < ts.getLength) { sb.append(ts.item(j).getTextContent); j += 1 }
+      val text = sb.toString
+      if (text.trim.nonEmpty) out += text
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** S3 — PDF: one record per page (reference `app.py:186-192`). Best-effort
+    * text extraction for uncompressed / Flate-compressed content streams:
+    * finds `Tj`/`TJ`/`'` text-showing operators and decodes literal and hex
+    * strings. Scanned or exotically-encoded PDFs yield garbage in the
+    * reference too (SURVEY §7.4) — flagged best-effort, never failing.
+    */
+  def pdf(spark: SparkSession, path: String): DataFrame = {
+    val parse = udf { (bytes: Array[Byte]) => PdfText.extractPages(bytes) }
+    spark.read.format("binaryFile").load(path)
+      .select(explode(parse(col("content"))).as("content"))
+  }
+
+  /** Suffix dispatch (reference `app.py:296-315`). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".csv")) csv(spark, path)
+    else if (lower.endsWith(".json")) json(spark, path)
+    else if (lower.endsWith(".xml")) xml(spark, path)
+    else if (lower.endsWith(".docx")) docx(spark, path)
+    else if (lower.endsWith(".pdf")) pdf(spark, path)
+    else txt(spark, path)
+  }
+
+  /** Pivot a map<string,string> record column into real columns. Key set is
+    * collected once (driver-side, bounded by distinct field count — the same
+    * control-plane-size state as schema inference).
+    */
+  def promoteMapKeys(df: DataFrame, mapCol: String = "fields"): DataFrame = {
+    val keys = df.select(explode(map_keys(col(mapCol))))
+      .distinct().collect().map(_.getString(0)).sorted
+    df.select(keys.map(k => col(mapCol).getItem(k).as(k)).toSeq: _*)
+  }
+}

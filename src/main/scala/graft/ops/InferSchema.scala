@@ -1,0 +1,113 @@
+package graft.ops
+
+import graft.model.JsonSchema
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A1 — dynamic schema inference over a batch of JSON records (reference
+  * `app.py:250-263`, genson-based).
+  *
+  * Observable semantics (SURVEY §1.3, confirmed against the reference's stored
+  * schemas): `properties` = union of field names across the batch; `required`
+  * = field names present in every record; leaf types all `"string"` in
+  * strict-parity mode (the reference stringifies every value first).
+  *
+  * Spark-first design: this is a single key-presence aggregation —
+  * `explode(json_object_keys(data))` → `groupBy(key).count()` — one shuffle
+  * whose key cardinality is the number of *distinct field names* (tiny), so
+  * the map-side partial aggregation collapses ~all the data before the
+  * shuffle. The collected state is a few KB of (field, count) pairs — the only
+  * legitimately driver-side step, exactly like the reference's single-writer
+  * schema control plane. Scales to 100 TB: the wide fact scan stays
+  * distributed; nothing per-record ever reaches the driver.
+  *
+  * We use `json_object_keys` (not `from_json`) so an absent key and an
+  * explicit JSON null stay distinguishable — genson treats `{"a": null}` as
+  * field `a` present (SURVEY §7.4).
+  */
+object InferSchema {
+
+  /** Per-field presence counts as a DataFrame — the distributed core of
+    * inference; also exposed directly as an oracle-checked query.
+    * Output: (field: string, n_present: long).
+    */
+  def fieldPresence(records: DataFrame, jsonCol: String): DataFrame =
+    records
+      .select(explode(json_object_keys(col(jsonCol))).as("field"))
+      .groupBy("field").agg(count(lit(1)).as("n_present"))
+
+  /** Typed variant: also votes a JSON type per field in structured mode.
+    * Type of a field = the single observed JSON type, else "string" on
+    * conflict (mirrors genson's anyOf-collapse conservatively).
+    */
+  private def jsonTypeOf(jsonCol: Column, field: Column): Column = {
+    val raw = get_json_object(jsonCol, concat(lit("$['"), field, lit("']")))
+    // get_json_object strips quotes from strings; recover the JSON type from
+    // the raw slice shape instead: objects/arrays keep brackets, numbers and
+    // booleans keep their literal form when we re-extract with json_tuple
+    // semantics. We classify on the raw extracted text.
+    when(raw.isNull, lit("null"))
+      .when(raw.rlike("^-?\\d+$"), lit("integer"))
+      .when(raw.rlike("^-?\\d+\\.\\d+([eE][+-]?\\d+)?$"), lit("number"))
+      .when(raw.isin("true", "false"), lit("boolean"))
+      .when(raw.startsWith("{"), lit("object"))
+      .when(raw.startsWith("["), lit("array"))
+      .otherwise(lit("string"))
+  }
+
+  /** Full inference: one distributed aggregation, then a tiny driver-side
+    * collect of (field, presence, type-votes).
+    *
+    * @param parityStringify strict-parity mode: every leaf type is "string"
+    *        (reference `app.py:253-261`); structured mode keeps real types
+    *        (the reference's own older v1 artifact behavior, SURVEY §1.2).
+    */
+  def infer(records: DataFrame, jsonCol: String = "data",
+            parityStringify: Boolean = true): Option[JsonSchema] = {
+    val total = records.count()
+    if (total == 0) return None
+
+    val presence =
+      if (parityStringify) {
+        fieldPresence(records, jsonCol)
+          .withColumn("types", array(lit("string")))
+      } else {
+        records
+          .select(col(jsonCol).as("j"), explode(json_object_keys(col(jsonCol))).as("field"))
+          .select(col("field"), jsonTypeOf(col("j"), col("field")).as("t"))
+          .groupBy("field")
+          .agg(count(lit(1)).as("n_present"), collect_set(col("t")).as("types"))
+      }
+
+    val rows = presence.collect() // tiny: one row per distinct field name
+    val props = rows.map { r =>
+      val types = r.getAs[Seq[String]]("types").filterNot(_ == "null")
+      val t = types match {
+        case Seq(single) => single
+        case ts if ts.toSet == Set("integer", "number") => "number"
+        case Seq() => "null"
+        case _ => "string"
+      }
+      r.getAs[String]("field") -> t
+    }.toMap
+    val required = rows.filter(_.getAs[Long]("n_present") == total)
+      .map(_.getAs[String]("field")).toSeq.sorted
+    Some(JsonSchema(props, required))
+  }
+
+  /** Inference over an already-structured DataFrame (e.g. a fresh CSV read):
+    * field presence = non-null count per column in parity with the reference,
+    * where a parsed record simply lacks absent keys. Columns are the union by
+    * construction; required = columns with zero nulls.
+    */
+  def inferStructured(df: DataFrame): Option[JsonSchema] = {
+    val total = df.count()
+    if (total == 0) return None
+    val nonNullCounts = df.select(df.columns.map(c => count(col(c)).as(c)).toSeq: _*).collect()(0)
+    val props = df.schema.fields.map { f => f.name -> "string" }.toMap
+    val required = df.columns.zipWithIndex
+      .filter { case (_, i) => nonNullCounts.getLong(i) == total }
+      .map(_._1).toSeq.sorted
+    Some(JsonSchema(props, required))
+  }
+}

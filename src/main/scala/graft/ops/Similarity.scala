@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (extension mandate, SURVEY §2.3).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query set
+  * against the (huge) corpus, so the corpus is scanned once, map-only, and
+  * per-query top-k is a TakeOrdered-style window, never a full sort of the
+  * corpus. Scale path: deterministic random-hyperplane LSH bucketing — the
+  * corpus is bucketed once (map-only), queries probe only their own bucket
+  * (equi-join on bucket key), trading recall for a ~2^planes fan-in cut.
+  *
+  * All vector math is `zip_with` + `aggregate` over array<float> cast to
+  * double — codegen'd built-ins, no UDFs in the hot path.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val denom = norm(a) * norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(d / denom)
+  }
+
+  /** Brute-force cosine top-k: every query row against every corpus row.
+    *
+    * @param queries small DataFrame (qid, qvec) — broadcast;
+    * @param corpus  large DataFrame (id, vec);
+    * @param k       neighbors per query (self-matches excluded by id).
+    *
+    * Plan: BroadcastNestedLoopJoin (corpus scanned once, queries replicated),
+    * then per-query top-k via row_number window partitioned by query id —
+    * with few queries the window shuffle carries only (qid, id, sim) triples.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("qid"), col("qvec").cast("array<double>").as("qvec")))
+    val c = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val scored = c.crossJoin(q)
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        cosine(col("qvec"), col("vec")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weights: plane p, dimension d →
+    * a value in [-1, 1), derived from md5 so buckets are reproducible across
+    * runs and engines. Driver-side: planes are tiny (planes × dim doubles)
+    * and become literal arrays broadcast with the plan.
+    */
+  private[ops] def planeWeights(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val mdf = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes, dim) { (p, d) =>
+      val h = mdf.digest(s"$p:$d".getBytes("UTF-8"))
+      val v = java.nio.ByteBuffer.wrap(h).getLong // first 8 bytes
+      (v.toDouble / Long.MaxValue.toDouble)
+    }
+  }
+
+  /** Sign-bit LSH bucket key of a vector column under `numPlanes` fixed
+    * hyperplanes — a bit string, one char per plane.
+    */
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int): Column = {
+    val planes = planeWeights(numPlanes, dim)
+    concat((0 until numPlanes).map { p =>
+      val plane = array(planes(p).map(w => lit(w)).toSeq: _*)
+      when(dot(vec.cast("array<double>"), plane) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+  }
+
+  /** LSH-bucketed approximate top-k: corpus bucketed map-only; each query
+    * probes only its bucket (equi-join on the bucket key), then exact cosine
+    * + per-query top-k within the candidates. Recall is tunable by
+    * `numPlanes` (fewer planes → bigger buckets → higher recall, more work).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              numPlanes: Int, dim: Int): DataFrame = {
+    val c = corpus.select(col("id"), col("vec"),
+      lshBucket(col("vec"), numPlanes, dim).as("bucket"))
+    val q = broadcast(queries.select(col("qid"), col("qvec"),
+      lshBucket(col("qvec"), numPlanes, dim).as("bucket")))
+    val scored = c.join(q, "bucket")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        cosine(col("qvec").cast("array<double>"), col("vec").cast("array<double>")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold. Exact variant is
+    * the LSH self-join (both sides bucketed — an equi-join, not a cross
+    * join); within-bucket pairs get exact cosine.
+    */
+  def embeddingNearDuplicates(corpus: DataFrame, threshold: Double,
+                              numPlanes: Int, dim: Int): DataFrame = {
+    val c = corpus.select(col("id"), col("vec"),
+      lshBucket(col("vec"), numPlanes, dim).as("bucket"))
+    val a = c.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = c.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a").cast("array<double>"), col("vec_b").cast("array<double>")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Exact (brute-force) near-duplicate pairs — the oracle-checkable variant;
+    * O(n²), for validation scale only.
+    */
+  def bruteForceNearDuplicates(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("id").as("id_a"), col("vec").cast("array<double>").as("vec_a"))
+    val b = corpus.select(col("id").as("id_b"), col("vec").cast("array<double>").as("vec_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+}

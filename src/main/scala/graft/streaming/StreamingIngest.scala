@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.Pipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming extension of the ingest pipeline (SURVEY §7.5).
+  *
+  * The reference's only continuity story is "data persists in SQLite across
+  * app restarts" (`app.py:293`) — a rerun-per-upload batch app. Here the same
+  * extract → infer → evolve → validate → store chain runs continuously over a
+  * landing directory: `readStream` file source → `foreachBatch` running the
+  * batch pipeline (the schema-version state machine is inherently
+  * single-writer, so per-micro-batch driver execution is the *correct* place
+  * for it), parquet-append sink with checkpointing = exactly-once per batch.
+  *
+  * Event-time analytics over the corpus (watermark + tumbling window) ship as
+  * `windowedCounts` — the streaming-native aggregation the reference lacks.
+  */
+object StreamingIngest {
+
+  /** Continuous ingest of text files landing in `landingDir`. */
+  def start(spark: SparkSession, landingDir: String, corpusDir: String,
+            checkpointDir: String): StreamingQuery = {
+    val lines = spark.readStream
+      .format("text")
+      .load(landingDir)
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value").as("content"))
+    lines.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("2 seconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { Pipeline.ingest(spark, batch, corpusDir); () }
+      }
+      .start()
+  }
+
+  /** Watermarked tumbling-window counts over an event stream — the
+    * streaming-native aggregation pattern (watermark bounds state; late rows
+    * beyond it are dropped, so state size is O(windows in flight), not O(n)).
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, window: String,
+                     watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+}
