@@ -29,7 +29,7 @@ object Dedup {
     when(size(toks) <= k, array(array_join(toks, " ")))
       .otherwise(transform(
         sequence(lit(1), size(toks) - lit(k - 1)),
-        i => array_join(slice(toks, i, k), " ")))
+        i => array_join(slice(toks, i, lit(k)), " ")))
   }
 
   /** MinHash signature: H independent permutations simulated by salted md5;

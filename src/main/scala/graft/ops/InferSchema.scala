@@ -36,23 +36,33 @@ object InferSchema {
       .select(explode(json_object_keys(col(jsonCol))).as("field"))
       .groupBy("field").agg(count(lit(1)).as("n_present"))
 
-  /** Typed variant: also votes a JSON type per field in structured mode.
-    * Type of a field = the single observed JSON type, else "string" on
-    * conflict (mirrors genson's anyOf-collapse conservatively).
+  /** Typed variant for structured mode: per record, field -> JSON type name.
+    * Jackson (already on Spark's classpath) parses each record once; the UDF
+    * output explodes into (field, type) rows feeding the same presence
+    * aggregation. Only the non-parity structured mode pays the UDF cost.
     */
-  private def jsonTypeOf(jsonCol: Column, field: Column): Column = {
-    val raw = get_json_object(jsonCol, concat(lit("$['"), field, lit("']")))
-    // get_json_object strips quotes from strings; recover the JSON type from
-    // the raw slice shape instead: objects/arrays keep brackets, numbers and
-    // booleans keep their literal form when we re-extract with json_tuple
-    // semantics. We classify on the raw extracted text.
-    when(raw.isNull, lit("null"))
-      .when(raw.rlike("^-?\\d+$"), lit("integer"))
-      .when(raw.rlike("^-?\\d+\\.\\d+([eE][+-]?\\d+)?$"), lit("number"))
-      .when(raw.isin("true", "false"), lit("boolean"))
-      .when(raw.startsWith("{"), lit("object"))
-      .when(raw.startsWith("["), lit("array"))
-      .otherwise(lit("string"))
+  private val fieldJsonTypes = udf { (json: String) =>
+    if (json == null) Map.empty[String, String]
+    else {
+      import com.fasterxml.jackson.databind.ObjectMapper
+      import scala.jdk.CollectionConverters._
+      try {
+        val node = new ObjectMapper().readTree(json)
+        if (node == null || !node.isObject) Map.empty[String, String]
+        else node.fields().asScala.map { e =>
+          val v = e.getValue
+          val t =
+            if (v.isNull) "null"
+            else if (v.isIntegralNumber) "integer"
+            else if (v.isNumber) "number"
+            else if (v.isBoolean) "boolean"
+            else if (v.isObject) "object"
+            else if (v.isArray) "array"
+            else "string"
+          e.getKey -> t
+        }.toMap
+      } catch { case _: Exception => Map.empty[String, String] }
+    }
   }
 
   /** Full inference: one distributed aggregation, then a tiny driver-side
@@ -73,8 +83,7 @@ object InferSchema {
           .withColumn("types", array(lit("string")))
       } else {
         records
-          .select(col(jsonCol).as("j"), explode(json_object_keys(col(jsonCol))).as("field"))
-          .select(col("field"), jsonTypeOf(col("j"), col("field")).as("t"))
+          .select(explode(fieldJsonTypes(col(jsonCol))).as(Seq("field", "t")))
           .groupBy("field")
           .agg(count(lit(1)).as("n_present"), collect_set(col("t")).as("types"))
       }
