@@ -30,17 +30,24 @@ object Pipeline {
     * @param batch records as a DataFrame (any reader output); a `content`
     *              column, if present, feeds pattern extraction like the
     *              reference's `content` field.
+    * @param idCol natural unique key to use as the record id (deterministic,
+    *              oracle-checkable); default = corpus-seeded ascending ids
+    *              (AUTOINCREMENT parity, `app.py:169-173`).
     */
-  def ingest(spark: SparkSession, batch: DataFrame, corpusDir: String): IngestResult = {
+  def ingest(spark: SparkSession, batch: DataFrame, corpusDir: String,
+             idCol: Option[String] = None): IngestResult = {
     // F2 — extract patterns from content (empty struct when none)
     val withPatterns = Extract.withExtractedPatterns(batch)
 
     // Render each record as canonical JSON once; everything downstream
     // (inference, validation, storage) is schema-on-read over this blob,
-    // exactly like the reference's dict -> json.dumps record model.
+    // exactly like the reference's dict -> json.dumps record model. Null
+    // fields stay present (the reference's dicts always carry the key; its
+    // stringification maps None -> "" only inside inference, app.py:253-261).
     val payloadCols = withPatterns.columns
     val asJson = withPatterns
-      .withColumn("data", to_json(struct(payloadCols.map(col).toSeq: _*)))
+      .withColumn("data", to_json(struct(payloadCols.map(col).toSeq: _*),
+        Map("ignoreNullFields" -> "false")))
 
     // A1 — whole-batch schema inference (strict-parity string mode)
     val schema = InferSchema.infer(asJson, "data")
@@ -53,15 +60,21 @@ object Pipeline {
     // V1 — per-record quality issues against the (just-stored) schema
     val validated = Validate.withQualityIssues(asJson, schema, "data")
 
-    // M1 + W1 — stamp metadata, serialize, append (single vectorized write)
-    val stamped = Corpus.stampAndSerialize(validated.drop("data"), version)
+    // M1 + W1 — stamp metadata, serialize, append (single vectorized write).
+    // idBase seeds above the corpus max so ids stay unique and ascending
+    // across batches (the reference's AUTOINCREMENT contract that Q4's
+    // "latest N by id desc" depends on).
+    val idBase = if (idCol.isDefined) 0L else Corpus.maxId(spark, corpusDir) + 1L
+    val stamped = Corpus.stampAndSerialize(validated.drop("data"), version,
+      idBase = idBase, idCol = idCol)
     Corpus.append(stamped, corpusDir)
 
-    val stored = Corpus.records(spark, corpusDir)
-      .filter(col("schema_version") === version)
-    val (clean, flagged) = Validate.qualityCounts(
-      stored.withColumn("_quality_issues",
-        coalesce(col("quality_issues"), array().cast("array<string>"))))
-    IngestResult(version, schema, stored.count(), clean, flagged)
+    // V2 — per-batch counters from the in-flight batch (one partial-aggregated
+    // pass, reference app.py:352-366); never re-scan the growing corpus.
+    val r = validated.agg(
+      count(lit(1)).as("n"),
+      count(when(size(col("_quality_issues")) === 0, 1)).as("clean"),
+      count(when(size(col("_quality_issues")) > 0, 1)).as("flagged")).collect()(0)
+    IngestResult(version, schema, r.getLong(0), r.getLong(1), r.getLong(2))
   }
 }

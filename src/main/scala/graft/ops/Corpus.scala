@@ -22,21 +22,41 @@ import org.apache.spark.sql.functions._
 object Corpus {
 
   /** M1 + W1 prep — stamp system metadata and render the canonical JSON blob.
-    * `dataCols` are the record's payload columns (everything that belongs in
-    * the `data` blob, including `_extracted_patterns` and `_quality_issues`
-    * to match the reference, which json.dumps the whole dict `app.py:364`).
+    *
+    * Blob parity (reference `app.py:355-364`): the reference mutates the
+    * record dict in place — payload keys first (including
+    * `_extracted_patterns`), then `_schema_version`, `_ingested_at`,
+    * `_quality_issues` — and `json.dumps` the whole thing, null fields
+    * included. We render the same key order and keep nulls
+    * (`ignoreNullFields=false`).
+    *
+    * Id assignment: `idCol` (a natural key the caller trusts to be unique,
+    * e.g. a source primary key) wins when given — deterministic and
+    * oracle-checkable. Otherwise `idBase + monotonically_increasing_id()`:
+    * callers MUST pass an `idBase` above every previously issued id (Pipeline
+    * derives it from the corpus max — `app.py:169-173` AUTOINCREMENT
+    * semantics) so Q4's "latest N by id desc" orders batches correctly.
     */
   def stampAndSerialize(records: DataFrame, schemaVersion: Int,
-                        idBase: Long = 0L): DataFrame = {
-    val payloadCols = records.columns.filterNot(Set("_schema_version", "_ingested_at"))
-    val data = to_json(struct(payloadCols.map(col).toSeq: _*))
+                        idBase: Long = 0L, idCol: Option[String] = None): DataFrame = {
+    val payloadCols = records.columns
+      .filterNot(Set("_schema_version", "_ingested_at", "_quality_issues"))
+    val blobCols =
+      payloadCols.map(col) ++ Seq(
+        col("_schema_version"), col("_ingested_at_iso").as("_ingested_at"),
+        col("_quality_issues"))
+    val id = idCol.map(c => col(c).cast("long"))
+      .getOrElse(lit(idBase) + monotonically_increasing_id())
     records
-      .withColumn("id", lit(idBase) + monotonically_increasing_id())
-      .withColumn("schema_version", lit(schemaVersion))
+      .withColumn("_schema_version", lit(schemaVersion))
       .withColumn("ingested_at", current_timestamp())
-      .withColumn("ingested_at_iso",
+      .withColumn("_ingested_at_iso",
         date_format(col("ingested_at"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
-      .withColumn("data", data)
+      .withColumn("id", id)
+      .withColumn("schema_version", lit(schemaVersion))
+      .withColumn("data",
+        to_json(struct(blobCols: _*), Map("ignoreNullFields" -> "false")))
+      .withColumn("ingested_at_iso", col("_ingested_at_iso"))
       .withColumn("quality_issues",
         when(size(coalesce(col("_quality_issues"), array())) === 0, lit(null))
           .otherwise(col("_quality_issues")).cast("array<string>"))
@@ -51,6 +71,17 @@ object Corpus {
 
   def records(spark: SparkSession, corpusDir: String): DataFrame =
     spark.read.parquet(s"$corpusDir/records")
+
+  /** Highest issued id, or -1 for a missing/empty corpus. One tiny max-agg
+    * over the pruned `id` column — the driver-side seed for the next batch's
+    * `idBase` (AUTOINCREMENT parity without serializing the write path).
+    */
+  def maxId(spark: SparkSession, corpusDir: String): Long =
+    try records(spark, corpusDir).agg(max(col("id"))).collect()(0) match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+    catch { case _: Throwable => -1L }
 
   /** Q4 — latest-N records (reference `app.py:169-173`). Catalyst plans this
     * as TakeOrderedAndProject: per-partition top-K + driver merge, no full

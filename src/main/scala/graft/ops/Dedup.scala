@@ -57,11 +57,12 @@ object Dedup {
   }
 
   /** Candidate near-duplicate pairs via MinHash LSH.
-    * Plan shape: map (signature) → explode bands → hash-aggregate per
-    * (band, key) collecting doc ids → in-bucket pair expansion → distinct.
-    * The shuffle is on band keys (uniform md5 space — no skew); bucket sizes
-    * are the LSH-tuned collision sets, so pair expansion never blows up the
-    * way a cross join would.
+    * Plan shape: map (signature) → explode bands → *self equi-join* on the
+    * (band, bucket-key) pair with `id_a < id_b` → distinct. The shuffle key is
+    * the md5 band key (uniform space — no planned skew), and a degenerate
+    * bucket (e.g. millions of empty/boilerplate docs sharing a signature)
+    * stays a join-skew problem AQE splits across tasks — never an unbounded
+    * `collect_set` array on one executor.
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             numHashes: Int = 16, bands: Int = 4,
@@ -70,19 +71,13 @@ object Dedup {
     val banded = df
       .select(col(idCol).as("id"), lshBands(sig, numHashes, bands).as("bands"))
       .select(col("id"), posexplode(col("bands")).as(Seq("band", "bkey")))
-    banded
-      .groupBy("band", "bkey").agg(sort_array(collect_set(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(pairsOf(col("ids"))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    banded.select(col("band"), col("bkey"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bkey"), col("id").as("id_b")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .distinct()
   }
-
-  /** All ordered pairs (a<b) from a sorted id array. */
-  private def pairsOf(ids: Column): Column =
-    flatten(transform(ids, (a, i) =>
-      transform(slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))),
-        b => struct(a.as("a"), b.as("b")))))
 
   /** Candidate pairs + exact shingle-set Jaccard, filtered at `threshold`.
     * The verify join re-reads only candidate ids — two hash joins against the
@@ -131,21 +126,33 @@ object Dedup {
     size(filter(sequence(lit(1), length(a)),
       i => a.substr(i, lit(1)) =!= b.substr(i, lit(1))))
 
-  /** SimHash near-dup pairs. Scale path: block on a bit-prefix so the join is
-    * an equi-join per block (docs differing in <= maxDistance bits share a
-    * prefix block with high probability when prefix <= bits - maxDistance;
-    * for exactness across blocks use multiple rotated blockings — we block on
-    * prefix and note the recall bound).
+  /** SimHash near-dup pairs — EXACT under pigeonhole multi-blocking: the
+    * fingerprint is cut into `maxDistance + 1` segments; two fingerprints
+    * within Hamming distance `maxDistance` must agree on at least one whole
+    * segment, so the union of per-segment equi-joins has perfect recall (no
+    * prefix-only recall gap, and no O(n²/2^prefix) disguised cross join).
+    * Plan: explode segments (maxDistance+1 rows/doc) → self equi-join on
+    * (segment-index, segment-value) → distinct pairs → exact Hamming filter.
+    * Segment values carry ~bits/(d+1) bits of entropy each, so bucket sizes
+    * stay ~n/2^(bits/(d+1)); residual hot buckets are AQE skew-join work,
+    * never a single-task array.
     */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-                            bits: Int = 16, maxDistance: Int = 3,
-                            prefixBits: Int = 4): DataFrame = {
+                            bits: Int = 16, maxDistance: Int = 3): DataFrame = {
+    val nSeg = maxDistance + 1
+    val segLen = math.ceil(bits.toDouble / nSeg).toInt
     val withSig = df.select(col(idCol).as("id"), simhash(col(textCol), bits).as("sig"))
-    val blocked = withSig.withColumn("block", substring(col("sig"), 1, prefixBits))
-    val a = blocked.select(col("id").as("id_a"), col("sig").as("sig_a"), col("block"))
-    val b = blocked.select(col("id").as("id_b"), col("sig").as("sig_b"), col("block"))
-    a.join(b, "block")
+    val segmented = withSig.select(col("id"), col("sig"),
+      posexplode(array((0 until nSeg).map(s =>
+        substring(col("sig"), s * segLen + 1, segLen)): _*)).as(Seq("seg", "segval")))
+    val candidates = segmented
+      .select(col("seg"), col("segval"), col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(segmented.select(col("seg"), col("segval"),
+        col("id").as("id_b"), col("sig").as("sig_b")), Seq("seg", "segval"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .distinct()
+    candidates
       .withColumn("distance", hammingDistance(col("sig_a"), col("sig_b")))
       .filter(col("distance") <= maxDistance)
       .select("id_a", "id_b", "distance")

@@ -36,8 +36,12 @@ object Similarity {
     * @param k       neighbors per query (self-matches excluded by id).
     *
     * Plan: BroadcastNestedLoopJoin (corpus scanned once, queries replicated),
-    * then per-query top-k via row_number window partitioned by query id —
-    * with few queries the window shuffle carries only (qid, id, sim) triples.
+    * then EXACT two-stage top-k: a local top-k per (qid, input partition) —
+    * each reducer holds at most corpus/P rows of one query — followed by the
+    * global top-k over the surviving k·P rows per query. A single global
+    * window would funnel every query's full corpus-sized score list through
+    * one task; the two-stage plan's second window input is k·P rows, constant
+    * in corpus size.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("qid"), col("qvec").cast("array<double>").as("qvec")))
@@ -45,9 +49,13 @@ object Similarity {
     val scored = c.crossJoin(q)
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
-        cosine(col("qvec"), col("vec")).as("sim"))
+        cosine(col("qvec"), col("vec")).as("sim"),
+        spark_partition_id().as("part"))
+    val wLocal = Window.partitionBy(col("qid"), col("part")).orderBy(desc("sim"), asc("id"))
+    val local = scored.withColumn("lrank", row_number().over(wLocal))
+      .filter(col("lrank") <= k)
     val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("id"))
-    scored.withColumn("rank", row_number().over(w))
+    local.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), round(col("sim"), 6).as("sim"))
   }

@@ -13,7 +13,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * landing directory: `readStream` file source → `foreachBatch` running the
   * batch pipeline (the schema-version state machine is inherently
   * single-writer, so per-micro-batch driver execution is the *correct* place
-  * for it), parquet-append sink with checkpointing = exactly-once per batch.
+  * for it), parquet-append sink with checkpointing. Delivery is
+  * at-least-once: a micro-batch that fails after the append and is retried
+  * re-appends its records (a blind parquet append is not idempotent). An
+  * exactly-once upgrade would key each batch's output files by `batchId` and
+  * skip already-committed ids — left out to match the reference's own
+  * semantics (re-uploading a file re-ingests it, `app.py:296-315`).
   *
   * Event-time analytics over the corpus (watermark + tumbling window) ship as
   * `windowedCounts` — the streaming-native aggregation the reference lacks.
