@@ -1,0 +1,795 @@
+package graft
+
+import graft.ingest.Readers
+import graft.ops.{Corpus, Dedup, InferSchema, Multimodal, Nums, Similarity, TextAnalysis, Validate}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+/** The oracle battery: every SURVEY §2 operator (and §2.3 extension) as a
+  * named query over the driver testdata, paired — wherever ANSI-SQL
+  * expressible — with DuckDB SQL computing the identical result
+  * (`SparkEntry.queries` / `oracleSql`, hash-compared by the driver at
+  * sf0.01).
+  *
+  * Design rules (SURVEY §5.2/§7.4): deterministic total ORDER BY both sides;
+  * identical column names and explicit types (Spark `size()` is int32, DuckDB
+  * `len()` is int64 — always cast); arrays emitted as '|'-joined strings to
+  * sidestep nested-type hashing; floats rounded after identical
+  * fold ordering; regexes restricted to the Java∩RE2 portable subset;
+  * timestamps surfaced as epoch integers or ISO strings, never raw
+  * timestamp columns (testdata mixes ns/ms units).
+  *
+  * Non-SQL-expressible operators (approx sketches, the float-accumulating
+  * multimodal decode stub, streaming) register queries without oracle entries
+  * → the driver's weaker rows-only check; their semantics are covered by
+  * ScalaTest instead.
+  */
+object Queries {
+
+  private def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  // ---------------------------------------------------------------- fixtures
+
+  /** Per-sf fixture scratch dir (rendered from testdata, deterministic). */
+  private def fixtureDir(sfDir: String): Path = {
+    val base = Paths.get(sys.props("java.io.tmpdir"),
+      "graft_fixtures_" + Paths.get(sfDir).getFileName.toString)
+    Files.createDirectories(base)
+    base
+  }
+
+  private def writeBytes(p: Path, bytes: Array[Byte]): String = {
+    Files.write(p, bytes); p.toString
+  }
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  /** First 100 documents as (doc_id, lang, text), driver-side (fixture
+    * rendering is control plane; 100 rows).
+    */
+  private def docRows(spark: SparkSession, sfDir: String, n: Int): Seq[(Long, String, String)] =
+    tbl(spark, sfDir, "documents").filter(col("doc_id") < n)
+      .select("doc_id", "lang", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  private def csvFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = fixtureDir(sfDir).resolve("customer_csv")
+    tbl(spark, sfDir, "customer").orderBy("c_custkey").coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(dir.toString)
+    dir.toString
+  }
+
+  private def jsonFixture(spark: SparkSession, sfDir: String): String = {
+    val rows = tbl(spark, sfDir, "documents").filter(col("doc_id") < 100)
+      .orderBy("doc_id").toJSON.collect()
+    writeBytes(fixtureDir(sfDir).resolve("docs.json"),
+      rows.mkString("[\n", ",\n", "\n]").getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def xmlFixture(spark: SparkSession, sfDir: String): String = {
+    val sb = new StringBuilder("<docs>\n")
+    docRows(spark, sfDir, 100).foreach { case (id, lang, text) =>
+      sb.append(s"""  <doc id="$id" lang="${xmlEscape(lang)}">${xmlEscape(text)}</doc>\n""")
+    }
+    sb.append("</docs>\n")
+    writeBytes(fixtureDir(sfDir).resolve("docs.xml"),
+      sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def docxFixture(spark: SparkSession, sfDir: String): String = {
+    val paras = docRows(spark, sfDir, 50).map(_._3)
+    val body = paras.map(t => s"<w:p><w:r><w:t>${xmlEscape(t)}</w:t></w:r></w:p>").mkString
+    val docXml =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>$body</w:body></w:document>""".stripMargin
+    val bout = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bout)
+    zip.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    zip.write(docXml.getBytes(StandardCharsets.UTF_8))
+    zip.closeEntry(); zip.close()
+    writeBytes(fixtureDir(sfDir).resolve("docs.docx"), bout.toByteArray)
+  }
+
+  /** Minimal 3-page PDF: one uncompressed content stream per page, text via
+    * literal-string Tj. `PdfText` emits one record per stream, appending a
+    * space after each Tj — the oracle constants below carry that space.
+    */
+  private[graft] val pdfPageTexts = Seq("Alpha page one", "Beta page two", "Gamma page three")
+
+  private def pdfFixture(sfDir: String): String = {
+    val streams = pdfPageTexts.map { t =>
+      val content = s"BT /F1 12 Tf 72 720 Td ($t) Tj ET"
+      s"<< /Length ${content.length} >>\nstream\n$content\nendstream"
+    }
+    val pdf = new StringBuilder("%PDF-1.4\n")
+    streams.zipWithIndex.foreach { case (s, i) =>
+      pdf.append(s"${i + 4} 0 obj\n$s\nendobj\n")
+    }
+    pdf.append("%%EOF\n")
+    writeBytes(fixtureDir(sfDir).resolve("docs.pdf"),
+      pdf.toString.getBytes(StandardCharsets.ISO_8859_1))
+  }
+
+  private def txtFixture(spark: SparkSession, sfDir: String): String = {
+    val lines = docRows(spark, sfDir, 100).map(_._3)
+    // blank + whitespace-only lines interleaved: the reader must drop them
+    val content = lines.mkString("", "\n\n   \n", "\n")
+    writeBytes(fixtureDir(sfDir).resolve("docs.txt"),
+      content.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def encodedTxtFixture(sfDir: String): String = {
+    val dir = fixtureDir(sfDir).resolve("enc_txt")
+    Files.createDirectories(dir)
+    writeBytes(dir.resolve("latin1.txt"),
+      "caf\u00e9 r\u00e9sum\u00e9 na\u00efve".getBytes(StandardCharsets.ISO_8859_1))
+    writeBytes(dir.resolve("utf8.txt"),
+      "h\u00e9llo \u00fctf8".getBytes(StandardCharsets.UTF_8))
+    dir.toString
+  }
+
+  // ------------------------------------------------------- shared SQL pieces
+
+  /** DuckDB: whitespace tokens of lower(trim(text)) — mirrors
+    * `TextAnalysis.tokens`.
+    */
+  private val dTokens = "string_split_regex(trim(lower(text)), '\\s+')"
+  /** DuckDB: tokens without lowercasing — mirrors `Dedup.tokens`. */
+  private val dTokensCase = "string_split_regex(trim(text), '\\s+')"
+
+  /** DuckDB: k-shingle list of `toks` (clamped like `Dedup.shingles`). */
+  private def dShingles(toks: String, k: Int): String =
+    s"""CASE WHEN len($toks) <= $k THEN [array_to_string($toks, ' ')]
+       | ELSE list_transform(generate_series(1, len($toks) - ${k - 1}),
+       |   i -> array_to_string(($toks)[i:i+${k - 1}], ' ')) END""".stripMargin
+
+  /** DuckDB: 16-bit simhash of `text` as a '0'/'1' string — mirrors
+    * `Dedup.simhash(col, 16)`: bit j votes on the high bit of the j-th hex
+    * digit of md5(token).
+    */
+  private def dSimhash(bits: Int): String = {
+    val bitExprs = (1 to bits).map { j =>
+      s"""CASE WHEN list_sum(list_transform($dTokensCase,
+         | t -> CASE WHEN substr(md5(t), $j, 1) IN ('8','9','a','b','c','d','e','f')
+         |   THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END""".stripMargin
+    }
+    bitExprs.mkString("concat(", ", ", ")")
+  }
+
+  /** DuckDB: cosine between two DOUBLE[] expressions with the same sequential
+    * fold as `Similarity.cosine` (zero-denominator -> 0).
+    */
+  private def dCosine(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x))) = 0
+       | THEN 0.0
+       | ELSE list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2])) /
+       |   (sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x)))) END""".stripMargin
+
+  /** DuckDB literal for the deterministic LSH hyperplanes — the same doubles
+    * `Similarity.planeWeights` computes (shortest-round-trip rendering parses
+    * back to the identical double).
+    */
+  private def dPlaneLiteral(numPlanes: Int, dim: Int): Seq[String] =
+    Similarity.planeWeights(numPlanes, dim).toSeq.map(p =>
+      p.mkString("[", ",", "]::DOUBLE[]"))
+
+  /** DuckDB: sign-bit LSH bucket string of expression `e` (DOUBLE[]). */
+  private def dLshBucket(e: String, numPlanes: Int, dim: Int): String =
+    dPlaneLiteral(numPlanes, dim).map(pl =>
+      s"CASE WHEN list_sum(list_transform(list_zip($e, $pl), p -> p[1]*p[2])) >= 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")")
+
+  /** Synthetic pattern-bearing content over documents — identical expression
+    * both engines (word-soup text alone contains no extractable patterns).
+    */
+  private def contentExpr = concat(col("text"),
+    lit(" contact u"), col("doc_id"), lit("@example.com or (555) 123-4567 on "),
+    (col("doc_id") % 12 + 1).cast("string"), lit("/"),
+    (col("doc_id") % 28 + 1).cast("string"), lit("/20"),
+    lpad((col("doc_id") % 100).cast("string"), 2, "0"))
+
+  private val dContentExpr =
+    """text || ' contact u' || doc_id || '@example.com or (555) 123-4567 on ' ||
+      | (doc_id % 12 + 1) || '/' || (doc_id % 28 + 1) || '/20' ||
+      | lpad((doc_id % 100)::VARCHAR, 2, '0')""".stripMargin
+
+  /** The validation fixture: a 3-way ragged record stream derived from
+    * events (same CASE both engines).
+    */
+  private def validateJson = when(col("event_id") % 3 === 0, lit("""{"k": 1, "z": 2}"""))
+    .when(col("event_id") % 3 === 1, lit("""{"q": 3}"""))
+    .otherwise(col("props"))
+
+  private val dValidateJson =
+    """CASE WHEN event_id % 3 = 0 THEN '{"k": 1, "z": 2}'
+      | WHEN event_id % 3 = 1 THEN '{"q": 3}' ELSE props END""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** name -> (spark query, optional DuckDB oracle). */
+  val battery: Seq[(String, Q, Option[String])] = Seq(
+
+    // ---------------- relational substrate (scan/filter/agg/join/topk/window)
+
+    ("q_scan_filter",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "lineitem").filter(col("l_quantity") > 45)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem WHERE l_quantity > 45
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    ("q1_agg",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
+          .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base"),
+            round(avg("l_discount"), 6).as("avg_disc"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             | round(sum(l_quantity), 2) AS sum_qty,
+             | round(sum(l_extendedprice), 2) AS sum_base,
+             | round(avg(l_discount), 6) AS avg_disc,
+             | count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    ("q_join_agg",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "orders")
+          .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(tbl(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+          .orderBy("n_name"),
+      Some("""SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    ("q_join_anti",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "customer")
+          .join(tbl(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    ("q_topk_orders",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "orders").filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(100),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_orderstatus = 'O'
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    ("q_window_rank",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        tbl(s, d, "orders").withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+             | SELECT o_custkey, o_orderkey, o_totalprice,
+             |  row_number() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             | FROM orders) WHERE rn <= 3
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
+    ("q_distinct_exact",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "lineitem").agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_orderkey")).as("n_orders")),
+      Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
+             | count(DISTINCT l_suppkey) AS n_supps,
+             | count(DISTINCT l_orderkey) AS n_orders
+             |FROM lineitem""".stripMargin)),
+
+    // HLL sketch differs across engines by construction -> rows-only check;
+    // q_distinct_exact above is the oracle-anchored variant.
+    ("q_approx_distinct",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "lineitem").agg(
+          approx_count_distinct(col("l_partkey")).as("n_parts_approx"),
+          approx_count_distinct(col("l_orderkey")).as("n_orders_approx")),
+      None),
+
+    ("q_events_agg",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "events").groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(avg("value"), 6).as("avg_value"),
+            // ts is raw nanos (nanosAsLong); DuckDB timestamps are µs
+            // precision, so both sides emit epoch-µs.
+            expr("min(ts) div 1000").as("min_ts_us"),
+            expr("max(ts) div 1000").as("max_ts_us"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value,
+             | min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------ S1-S6 ingest readers
+
+    ("q_ingest_csv",
+      (s: SparkSession, d: String) => {
+        val path = csvFixture(s, d)
+        Readers.csv(s, path)
+          .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+            col("c_nationkey").cast("int").as("c_nationkey"),
+            col("c_acctbal").cast("double").as("c_acctbal"), col("c_mktsegment"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    ("q_ingest_json",
+      (s: SparkSession, d: String) => {
+        val path = jsonFixture(s, d)
+        Readers.json(s, path)
+          .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+            col("n_chars").cast("long").as("n_chars"), col("source"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars, source, text FROM documents
+             |WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
+    ("q_ingest_xml",
+      (s: SparkSession, d: String) => {
+        val path = xmlFixture(s, d)
+        Readers.promoteMapKeys(Readers.xml(s, path)).orderBy("id")
+      },
+      Some("""SELECT trim(text) AS _text, doc_id::VARCHAR AS id, lang
+             |FROM documents WHERE doc_id < 100 ORDER BY id""".stripMargin)),
+
+    ("q_ingest_docx",
+      (s: SparkSession, d: String) => {
+        val path = docxFixture(s, d)
+        Readers.docx(s, path).orderBy("content")
+      },
+      Some("""SELECT text AS content FROM documents WHERE doc_id < 50
+             |ORDER BY content""".stripMargin)),
+
+    ("q_ingest_pdf",
+      (s: SparkSession, d: String) => {
+        val path = pdfFixture(d)
+        Readers.pdf(s, path).orderBy("content")
+      },
+      Some(pdfPageTexts.map(t => s"SELECT '$t ' AS content")
+        .mkString("", " UNION ALL ", " ORDER BY content"))),
+
+    ("q_ingest_txt",
+      (s: SparkSession, d: String) => {
+        val path = txtFixture(s, d)
+        Readers.txt(s, path).orderBy("content")
+      },
+      Some("""SELECT text AS content FROM documents WHERE doc_id < 100
+             |ORDER BY content""".stripMargin)),
+
+    ("q_ingest_txt_encodings",
+      (s: SparkSession, d: String) => {
+        val path = encodedTxtFixture(d)
+        Readers.txtWithCharsetFallback(s, path).orderBy("content")
+      },
+      Some("""SELECT content FROM (
+             | SELECT 'caf\u00e9 r\u00e9sum\u00e9 na\u00efve' AS content
+             | UNION ALL SELECT 'h\u00e9llo \u00fctf8') ORDER BY content"""
+        .stripMargin
+        .replace("\\u00e9", "\u00e9").replace("\\u00ef", "\u00ef")
+        .replace("\\u00fc", "\u00fc"))),
+
+    // ------------------------------------------------ F1/F2 extraction
+
+    ("q_extract_patterns",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "documents").filter(col("doc_id") < 200)
+          .withColumn("content", contentExpr)
+          .select(col("doc_id"),
+            array_join(graft.ops.Extract.emails(col("content")), "|").as("emails"),
+            array_join(graft.ops.Extract.phones(col("content")), "|").as("phones"),
+            array_join(graft.ops.Extract.dates(col("content")), "|").as("dates"),
+            array_join(graft.ops.Extract.numbers(col("content")), "|").as("numbers"))
+          .orderBy("doc_id"),
+      Some(s"""WITH c AS (SELECT doc_id, $dContentExpr AS content
+              | FROM documents WHERE doc_id < 200)
+              |SELECT doc_id,
+              | array_to_string(regexp_extract_all(content,
+              |   '\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}\\b'), '|') AS emails,
+              | array_to_string(list_transform(list_zip(
+              |   regexp_extract_all(content, '(\\+?\\d{1,3}[-.\\s]?)?(\\(?\\d{3}\\)?[-.\\s]?)\\d{3}[-.\\s]?\\d{4}', 1),
+              |   regexp_extract_all(content, '(\\+?\\d{1,3}[-.\\s]?)?(\\(?\\d{3}\\)?[-.\\s]?)\\d{3}[-.\\s]?\\d{4}', 2)),
+              |   p -> coalesce(p[1], '') || coalesce(p[2], '')), '|') AS phones,
+              | array_to_string(regexp_extract_all(content, '\\d{1,2}[-/]\\d{1,2}[-/]\\d{2,4}'), '|') AS dates,
+              | array_to_string(regexp_extract_all(content, '-?\\d+\\.?\\d*'), '|') AS numbers
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------ A1 inference / V1 validation
+
+    ("q_field_presence",
+      (s: SparkSession, d: String) =>
+        InferSchema.fieldPresence(tbl(s, d, "events"), "props").orderBy("field"),
+      Some("""SELECT field, count(*)::BIGINT AS n_present FROM (
+             | SELECT unnest(json_keys(props)) AS field FROM events)
+             |GROUP BY field ORDER BY field""".stripMargin)),
+
+    ("q_validate",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "events")
+          .withColumn("j", validateJson)
+          .select(col("event_id"),
+            array_join(Validate.qualityIssues(col("j"), Seq("k")), "|").as("issues"),
+            size(Validate.qualityIssues(col("j"), Seq("k"))).as("n_issues"))
+          .orderBy("event_id"),
+      Some(s"""WITH r AS (SELECT event_id, $dValidateJson AS j FROM events),
+              |k AS (SELECT event_id, json_keys(j) AS record_keys FROM r)
+              |SELECT event_id,
+              | coalesce(array_to_string(list_concat(
+              |   list_transform(list_filter(record_keys, x -> NOT list_contains(['k'], x)),
+              |     x -> 'Field ''' || x || ''' not in schema'),
+              |   list_transform(list_filter(['k'], x -> NOT list_contains(record_keys, x)),
+              |     x -> 'Missing field: ''' || x || '''')), '|'), '') AS issues,
+              | (len(list_filter(record_keys, x -> NOT list_contains(['k'], x))) +
+              |  len(list_filter(['k'], x -> NOT list_contains(record_keys, x))))::INT AS n_issues
+              |FROM k ORDER BY event_id""".stripMargin)),
+
+    // ---------------------------------- pipeline round-trip: M1/W1/W2/Q1-Q4
+
+    ("q_corpus_roundtrip",
+      (s: SparkSession, d: String) => {
+        val corpusDir = Files.createTempDirectory("graft_corpus_").toString
+        Pipeline.ingest(s, tbl(s, d, "documents"), corpusDir, idCol = Some("doc_id"))
+        Corpus.latestRecords(s, corpusDir, 50)
+          .select(col("id"),
+            col("schema_version"),
+            get_json_object(col("data"), "$.text").as("text"),
+            get_json_object(col("data"), "$.lang").as("lang"),
+            get_json_object(col("data"), "$.doc_id").cast("long").as("doc_id"),
+            get_json_object(col("data"), "$._schema_version").cast("int").as("blob_version"),
+            col("quality_issues").isNotNull.as("has_issues"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id, 1 AS schema_version, text, lang, doc_id,
+             | 1 AS blob_version, false AS has_issues
+             |FROM (SELECT * FROM documents ORDER BY doc_id DESC LIMIT 50)
+             |ORDER BY id""".stripMargin)),
+
+    ("q_schema_evolution",
+      (s: SparkSession, d: String) => {
+        val corpusDir = Files.createTempDirectory("graft_corpus_").toString
+        Pipeline.ingest(s, tbl(s, d, "documents"), corpusDir, idCol = Some("doc_id"))
+        Pipeline.ingest(s, tbl(s, d, "events"), corpusDir, idCol = Some("event_id"))
+        Corpus.schemaChanges(s, corpusDir)
+          .select(col("old_version"), col("new_version"),
+            array_join(col("added_fields"), "|").as("added"),
+            array_join(col("removed_fields"), "|").as("removed"))
+          .orderBy("new_version")
+      },
+      Some("""SELECT 1 AS old_version, 2 AS new_version,
+             | 'event_id|event_type|props|ts|user_id|value' AS added,
+             | 'doc_id|lang|n_chars|source|text' AS removed""".stripMargin)),
+
+    ("q_schema_history",
+      (s: SparkSession, d: String) => {
+        val corpusDir = Files.createTempDirectory("graft_corpus_").toString
+        Pipeline.ingest(s, tbl(s, d, "documents"), corpusDir, idCol = Some("doc_id"))
+        Pipeline.ingest(s, tbl(s, d, "events"), corpusDir, idCol = Some("event_id"))
+        Corpus.schemaHistory(s, corpusDir)
+          .select(col("version"),
+            size(json_object_keys(get_json_object(col("schema"), "$.properties")))
+              .as("n_props"))
+          .orderBy("version")
+      },
+      Some("""SELECT 1 AS version, 6 AS n_props
+             |UNION ALL SELECT 2, 7 ORDER BY version""".stripMargin)),
+
+    // ------------------------------------------------ P1/P2 preview
+
+    ("q_preview",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "documents").orderBy("doc_id").limit(10),
+      Some("""SELECT doc_id, text, lang, source, n_chars FROM documents
+             |ORDER BY doc_id LIMIT 10""".stripMargin)),
+
+    ("q_raw_sample",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "documents").orderBy("doc_id").limit(5)
+          .select(col("doc_id"),
+            to_json(struct(col("doc_id"), col("lang"), col("n_chars"),
+              col("source"), col("text"))).as("record_json")),
+      Some("""SELECT doc_id, to_json(struct_pack(doc_id := doc_id, lang := lang,
+             |  n_chars := n_chars, source := source, text := text))::VARCHAR AS record_json
+             |FROM documents ORDER BY doc_id LIMIT 5""".stripMargin)),
+
+    // ------------------------------------------------ dedup family
+
+    ("q_dedup_exact",
+      (s: SparkSession, d: String) => {
+        val docs = tbl(s, d, "documents").select(col("doc_id").as("id"), col("text"))
+        val doubled = docs.unionAll(
+          docs.select((col("id") + 100000).as("id"), col("text")))
+        Dedup.exactDuplicateGroups(
+          doubled.withColumn("fp", TextAnalysis.fingerprintMd5(col("text"))),
+          "id", Seq("fp"))
+          .select(col("keep_id"), col("n_dups").cast("long").as("n_dups"))
+          .orderBy("keep_id")
+      },
+      Some(s"""WITH doubled AS (
+              |  SELECT doc_id AS id, text FROM documents
+              |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+              |SELECT min(id) AS keep_id, count(*) AS n_dups FROM doubled
+              |GROUP BY md5(array_to_string($dTokens, ' '))
+              |ORDER BY keep_id""".stripMargin)),
+
+    ("q_dedup_keepfirst",
+      (s: SparkSession, d: String) => {
+        val docs = tbl(s, d, "documents").select(col("doc_id").as("id"), col("text"))
+        val doubled = docs.unionAll(
+          docs.select((col("id") + 100000).as("id"), col("text")))
+        Dedup.dedupKeepFirst(
+          doubled.withColumn("fp", TextAnalysis.fingerprintMd5(col("text"))),
+          "id", Seq("fp"))
+          .select("id").orderBy("id")
+      },
+      Some(s"""WITH doubled AS (
+              |  SELECT doc_id AS id, text FROM documents
+              |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+              |SELECT min(id) AS id FROM doubled
+              |GROUP BY md5(array_to_string($dTokens, ' '))
+              |ORDER BY id""".stripMargin)),
+
+    ("q_dedup_minhash",
+      (s: SparkSession, d: String) =>
+        Dedup.minhashNearDuplicates(tbl(s, d, "documents"), "doc_id", "text",
+          threshold = 0.9).orderBy("id_a", "id_b"),
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, list_distinct(${dShingles(dTokensCase, 5)}) AS s
+              |  FROM documents)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              | ${Nums.dRound6("""len(list_intersect(a.s, b.s))::DOUBLE /
+              |   len(list_distinct(list_concat(a.s, b.s)))""")} AS jaccard
+              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+              |   len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    ("q_dedup_simhash",
+      (s: SparkSession, d: String) =>
+        Dedup.simhashNearDuplicates(tbl(s, d, "documents"), "doc_id", "text",
+          bits = 16, maxDistance = 3)
+          .select(col("id_a"), col("id_b"), col("distance").cast("int").as("distance"))
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH sig AS (SELECT doc_id, ${dSimhash(16)} AS sg FROM documents)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              | (SELECT count(*) FROM generate_series(1, 16) g(i)
+              |   WHERE substr(a.sg, i, 1) <> substr(b.sg, i, 1))::INT AS distance
+              |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              |WHERE (SELECT count(*) FROM generate_series(1, 16) g(i)
+              |   WHERE substr(a.sg, i, 1) <> substr(b.sg, i, 1)) <= 3
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    ("q_ngram_jaccard",
+      (s: SparkSession, d: String) => {
+        val docs = tbl(s, d, "documents")
+        val pairs = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        Dedup.ngramJaccard(docs, "doc_id", "text", pairs, n = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, list_distinct(${dShingles(dTokensCase, 3)}) AS s
+              |  FROM documents),
+              |pairs AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+              |  WHERE doc_id % 2 = 0 AND doc_id < 100)
+              |SELECT id_a, id_b,
+              | ${Nums.dRound6("""len(list_intersect(a.s, b.s))::DOUBLE /
+              |   len(list_distinct(list_concat(a.s, b.s)))""")} AS jaccard
+              |FROM pairs JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ------------------------------------------------ similarity search
+
+    ("q_ann_topk",
+      (s: SparkSession, d: String) => {
+        val emb = tbl(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.bruteForceTopK(queries, corpus, k = 5).orderBy("qid", "rank")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+              |scored AS (
+              |  SELECT q.vec_id AS qid, c.vec_id AS id,
+              |    ${dCosine("q.e", "c.e")} AS sim
+              |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+              |ranked AS (
+              |  SELECT qid, id, sim, row_number() OVER (
+              |    PARTITION BY qid ORDER BY sim DESC, id) AS rank
+              |  FROM scored)
+              |SELECT qid, rank::INT AS rank, id, round(sim, 6) AS sim
+              |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    ("q_ann_lsh",
+      (s: SparkSession, d: String) => {
+        val emb = tbl(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.lshTopK(queries, corpus, k = 5, numPlanes = 4, dim = 64)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+              |  ${dLshBucket("embedding::DOUBLE[]", 4, 64)} AS bucket FROM embeddings),
+              |scored AS (
+              |  SELECT q.vec_id AS qid, c.vec_id AS id, ${dCosine("q.e", "c.e")} AS sim
+              |  FROM v q JOIN v c ON q.bucket = c.bucket
+              |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+              |ranked AS (
+              |  SELECT qid, id, sim, row_number() OVER (
+              |    PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM scored)
+              |SELECT qid, rank::INT AS rank, id, round(sim, 6) AS sim
+              |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    ("q_embed_neardup",
+      (s: SparkSession, d: String) =>
+        Similarity.bruteForceNearDuplicates(
+          tbl(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
+          threshold = 0.45)
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              | round(${dCosine("a.e", "b.e")}, 6) AS sim
+              |FROM v a JOIN v b ON a.vec_id < b.vec_id
+              |WHERE ${dCosine("a.e", "b.e")} >= 0.45
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ------------------------------------------------ text analysis
+
+    ("q_term_freq",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.termFrequencies(tbl(s, d, "documents"), "text")
+          .orderBy("token"),
+      Some(s"""SELECT token, count(*) AS freq FROM (
+              | SELECT unnest($dTokens) AS token FROM documents)
+              |GROUP BY token ORDER BY token""".stripMargin)),
+
+    ("q_text_quality",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.withQualityFeatures(
+          tbl(s, d, "documents").filter(col("doc_id") < 200), "text")
+          .select(col("doc_id"), col("q_n_tokens"),
+            Nums.round6(col("q_mean_token_len")).as("mean_token_len"),
+            Nums.round6(col("q_punct_ratio")).as("punct_ratio"),
+            Nums.round6(col("q_digit_ratio")).as("digit_ratio"),
+            Nums.round6(col("q_stopword_ratio")).as("stopword_ratio"),
+            col("quality_score"))
+          .orderBy("doc_id"),
+      Some(s"""WITH f AS (
+              | SELECT doc_id, $dTokens AS toks, length(text) AS nc, text
+              | FROM documents WHERE doc_id < 200),
+              |g AS (
+              | SELECT doc_id, len(toks)::INT AS q_n_tokens,
+              |  CASE WHEN len(toks) = 0 THEN 0.0
+              |   ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) END AS mtl,
+              |  CASE WHEN nc = 0 THEN 0.0
+              |   ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / nc END AS pr,
+              |  CASE WHEN nc = 0 THEN 0.0
+              |   ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / nc END AS dr,
+              |  CASE WHEN len(toks) = 0 THEN 0.0
+              |   ELSE len(list_filter(toks, t -> list_contains(
+              |     ['the','a','of','and','to','in','is','it','that','for'], t)))::DOUBLE / len(toks) END AS sr
+              | FROM f)
+              |SELECT doc_id, q_n_tokens, ${Nums.dRound6("mtl")} AS mean_token_len,
+              | ${Nums.dRound6("pr")} AS punct_ratio, ${Nums.dRound6("dr")} AS digit_ratio,
+              | ${Nums.dRound6("sr")} AS stopword_ratio,
+              | ${Nums.dRound6("""greatest(0.0, least(1.0,
+              |   0.30 * least(q_n_tokens / 64.0, 1.0)
+              |   + 0.25 * least(mtl / 6.0, 1.0)
+              |   + 0.25 * (1.0 - least(pr * 4.0, 1.0))
+              |   + 0.20 * least(sr * 3.0, 1.0)))""")} AS quality_score
+              |FROM g ORDER BY doc_id""".stripMargin)),
+
+    ("q_lang_id",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_detected"))
+          .orderBy("doc_id"),
+      Some(s"""WITH f AS (SELECT doc_id, text, $dTokens AS toks FROM documents),
+              |r AS (SELECT doc_id, text,
+              | len(list_filter(toks, t -> list_contains(['der','die','und','in','den','von','zu','das','mit','sich'], t)))::DOUBLE / len(toks) AS s_de,
+              | len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t)))::DOUBLE / len(toks) AS s_en,
+              | len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','un','es','se','no'], t)))::DOUBLE / len(toks) AS s_es,
+              | len(list_filter(toks, t -> list_contains(['le','la','de','et','les','des','en','un','du','que'], t)))::DOUBLE / len(toks) AS s_fr
+              | FROM f)
+              |SELECT doc_id,
+              | CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+              |  WHEN greatest(s_de, s_en, s_es, s_fr) = 0.0 THEN 'und'
+              |  WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+              |  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+              |  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+              |  ELSE 'de' END AS lang_detected
+              |FROM r ORDER BY doc_id""".stripMargin)),
+
+    ("q_fingerprint",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
+            TextAnalysis.fingerprintRolling(col("text")).as("fp_rolling"))
+          .orderBy("doc_id"),
+      Some(s"""WITH f AS (SELECT doc_id, $dTokens AS toks FROM documents)
+              |SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp_md5,
+              | list_reduce(list_prepend(7::BIGINT, list_transform(toks,
+              |   t -> list_reduce(list_prepend(7::BIGINT,
+              |     list_transform(string_split(t, ''), ch -> ascii(ch)::BIGINT)),
+              |     (a, c) -> (a * 31 + c) % 1000000007))),
+              |   (acc, th) -> (acc * 131 + th) % 1000000007) AS fp_rolling
+              |FROM f ORDER BY doc_id""".stripMargin)),
+
+    ("q_token_stats",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+            TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, len($dTokens)::INT AS n_tokens,
+              | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::INT AS n_subwords
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------ multimodal plumbing
+
+    ("q_multimodal_frames",
+      (s: SparkSession, d: String) =>
+        Multimodal.sampleFrames(
+          Multimodal.demoMediaTable(
+            tbl(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text"),
+          stride = 2)
+          .orderBy("media_id", "frame_no"),
+      Some("""WITH m AS (
+             | SELECT doc_id AS media_id, text,
+             |  (length(text) % 64 + 1) AS n_frames,
+             |  greatest(ceil(length(text) / (length(text) % 64 + 1))::INT, 1) AS flen
+             | FROM documents WHERE doc_id < 100),
+             |fr AS (
+             | SELECT media_id, unnest(list_filter(generate_series(0, n_frames - 1),
+             |   f -> f % 2 = 0)) AS f, flen, text
+             | FROM m)
+             |SELECT media_id, (row_number() OVER (PARTITION BY media_id ORDER BY f) - 1)::INT AS frame_no,
+             | md5(substr(text, f * flen + 1, flen)) AS frame_md5
+             |FROM fr ORDER BY media_id, frame_no""".stripMargin)),
+
+    // float32 accumulation in the decode stub is not replicable in DuckDB's
+    // double-only list math -> rows-only; covered by MultimodalSpec.
+    ("q_multimodal_features",
+      (s: SparkSession, d: String) =>
+        Multimodal.withFeatures(s,
+          Multimodal.demoMediaTable(
+            tbl(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text"))
+          .select(col("media_id"), col("meta.width").as("width"),
+            col("meta.height").as("height"), col("meta.n_frames").as("n_frames"),
+            round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+          .orderBy("media_id"),
+      None)
+  )
+
+  val queries: Map[String, Q] = battery.map(b => (b._1, b._2)).toMap
+  val oracles: Map[String, String] = battery.collect { case (n, _, Some(sql)) => (n, sql) }.toMap
+}

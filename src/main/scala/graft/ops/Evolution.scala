@@ -26,9 +26,12 @@ class Evolution(spark: SparkSession, corpusDir: String) {
   private val historyPath = s"$corpusDir/schema_history"
   private val changesPath = s"$corpusDir/schema_changes"
 
-  private def readOrEmpty(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
-    try spark.read.schema(schema).parquet(path)
-    catch { case _: Throwable => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema) }
+  private def readOrEmpty(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
 
   def schemaHistory: DataFrame = readOrEmpty(historyPath, CorpusModel.schemaHistorySchema)
   def schemaChanges: DataFrame = readOrEmpty(changesPath, CorpusModel.schemaChangesSchema)

@@ -90,7 +90,10 @@ object InferSchema {
 
     val rows = presence.collect() // tiny: one row per distinct field name
     val props = rows.map { r =>
-      val types = r.getAs[Seq[String]]("types").filterNot(_ == "null")
+      // Spark returns array columns as mutable.ArraySeq on Scala 2.13 —
+      // request the cross-package supertype, then normalize.
+      val types = r.getAs[scala.collection.Seq[String]]("types")
+        .toSeq.filterNot(_ == "null")
       val t = types match {
         case Seq(single) => single
         case ts if ts.toSet == Set("integer", "number") => "number"

@@ -65,7 +65,7 @@ object Similarity {
     * runs and engines. Driver-side: planes are tiny (planes × dim doubles)
     * and become literal arrays broadcast with the plan.
     */
-  private[ops] def planeWeights(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+  private[graft] def planeWeights(numPlanes: Int, dim: Int): Array[Array[Double]] = {
     val mdf = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(numPlanes, dim) { (p, d) =>
       val h = mdf.digest(s"$p:$d".getBytes("UTF-8"))

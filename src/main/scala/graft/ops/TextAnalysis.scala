@@ -77,11 +77,11 @@ object TextAnalysis {
           .otherwise(length(regexp_replace(t, "[^0-9]", "")).cast("double") / nChars))
       .withColumn("q_stopword_ratio", en)
       .withColumn("quality_score",
-        round(greatest(lit(0.0), least(lit(1.0),
+        Nums.round6(greatest(lit(0.0), least(lit(1.0),
           lit(0.30) * least(col("q_n_tokens").cast("double") / 64.0, lit(1.0))
             + lit(0.25) * least(col("q_mean_token_len") / 6.0, lit(1.0))
             + lit(0.25) * (lit(1.0) - least(col("q_punct_ratio") * 4.0, lit(1.0)))
-            + lit(0.20) * least(col("q_stopword_ratio") * 3.0, lit(1.0)))), 6))
+            + lit(0.20) * least(col("q_stopword_ratio") * 3.0, lit(1.0))))))
   }
 
   /** Corpus term frequencies: explode + hash aggregate (map-side combine
