@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions.{DotProduct, MinHashSignature, SimHash}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Session extensions registering graft's native Catalyst expressions.
+  *
+  * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * (comma-append if other extensions are configured). Registered functions
+  * are then available from SQL and from `functions.call_function`:
+  *
+  *   - `graft_dot(a, b)` — codegen'd dot product over array<double>.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        def intArg(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash: $name must be an integer literal, got $other")
+        }
+        MinHashSignature(children.head,
+          intArg(children(1), "shingleSize"), intArg(children(2), "numHashes"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        val bits = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_simhash: bits must be an integer literal, got $other")
+        }
+        SimHash(children.head, bits)
+      }))
+  }
+}

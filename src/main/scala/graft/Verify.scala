@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // testdata events.ts is timestamp[ns] — Spark 4 parquet rejects NANOS
       // unless read as long (nanos since epoch); queries convert explicitly.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

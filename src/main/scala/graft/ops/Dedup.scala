@@ -32,17 +32,15 @@ object Dedup {
         i => array_join(slice(toks, i, lit(k)), " ")))
   }
 
-  /** MinHash signature: H independent permutations simulated by salted md5;
-    * h_j = min over shingles of md5(j || ':' || shingle). String-min over hex
-    * md5 is deterministic, uniform enough for LSH, and identical in DuckDB.
-    * Map-only: no shuffle, fuses into the scan.
+  /** MinHash signature as array<long> via the fused native kernel
+    * [[graft.functions.MinHashSignature]] (`graft_minhash`): tokens →
+    * k-shingle hashes → H permutation minima in one codegen'd loop per row —
+    * no intermediate shingle strings, no per-shingle crypto hash. Map-only,
+    * no shuffle, fuses into the scan. Requires [[graft.GraftExtensions]] on
+    * the session.
     */
-  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column = {
-    val sh = shingles(text, shingleSize)
-    array((0 until numHashes).map { j =>
-      array_min(transform(sh, s => md5(concat(lit(s"$j:"), s))))
-    }: _*)
-  }
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =
+    call_function("graft_minhash", tokens(text), lit(shingleSize), lit(numHashes))
 
   /** LSH band keys: split the signature into `bands` bands of H/bands rows;
     * band key = md5 of the concatenated band slice. Two docs collide on a
@@ -56,6 +54,17 @@ object Dedup {
     }: _*)
   }
 
+  /** The (id, band, bkey) LSH bucket table for a corpus — the shared prefix
+    * of every LSH consumer. Computed in one pass (signature fold → band keys
+    * → posexplode).
+    */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
+    val sig = minhashSignature(col(textCol), numHashes, shingleSize)
+    df.select(col(idCol).as("id"), lshBands(sig, numHashes, bands).as("bands"))
+      .select(col("id"), posexplode(col("bands")).as(Seq("band", "bkey")))
+  }
+
   /** Candidate near-duplicate pairs via MinHash LSH.
     * Plan shape: map (signature) → explode bands → *self equi-join* on the
     * (band, bucket-key) pair with `id_a < id_b` → distinct. The shuffle key is
@@ -67,10 +76,13 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             numHashes: Int = 16, bands: Int = 4,
                             shingleSize: Int = 5): DataFrame = {
-    val sig = minhashSignature(col(textCol), numHashes, shingleSize)
-    val banded = df
-      .select(col(idCol).as("id"), lshBands(sig, numHashes, bands).as("bands"))
-      .select(col("id"), posexplode(col("bands")).as(Seq("band", "bkey")))
+    // The bucket table feeds BOTH sides of the self-join; without an explicit
+    // materialization Spark recomputes the whole signature scan twice (alias
+    // differences below the exchange defeat ReuseExchange). It is the small
+    // derived table of the pipeline — bands rows of (long, int, 32-char key)
+    // per doc, orders of magnitude under the corpus — so persist it.
+    val banded = lshBuckets(df, idCol, textCol, numHashes, bands, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.select(col("band"), col("bkey"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bkey"), col("id").as("id_b")),
         Seq("band", "bkey"))
@@ -99,32 +111,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"), Nums.round6(col("jaccard")).as("jaccard"))
   }
 
-  /** SimHash fingerprint as a `bits`-char '0'/'1' string. Per token, bit j
-    * votes +1 if the (j+1)-th hex digit of md5(token) has its high bit set
-    * (8-f), else -1; fingerprint bit = majority sign. A pure array fold —
-    * map-only, no shuffle — and md5-portable to the DuckDB oracle.
-    * `bits` <= 32 (md5 has 32 hex digits).
+  /** SimHash fingerprint as a long (native `graft_simhash` kernel — requires
+    * [[graft.GraftExtensions]]). Per token, bit j votes +1 if the (j+1)-th
+    * hex digit of md5(token) has its high bit set (8-f), else -1;
+    * fingerprint bit = majority sign — the exact definition the DuckDB
+    * oracle replays over the same md5. `bits` <= 32 (md5 has 32 hex digits).
     */
-  def simhash(text: Column, bits: Int = 16): Column = {
-    require(bits <= 32)
-    val toks = tokens(text)
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0), bits),
-      (acc, t) => {
-        val h = md5(t)
-        zip_with(acc, transform(sequence(lit(1), lit(bits)), j =>
-          when(substring(h, 1, 32).substr(j, lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-            .otherwise(-1)),
-          (a, b) => a + b)
-      })
-    array_join(transform(votes, v => when(v > 0, "1").otherwise("0")), "")
-  }
+  def simhashLong(text: Column, bits: Int = 16): Column =
+    call_function("graft_simhash", tokens(text), lit(bits))
 
-  /** Hamming distance between two equal-length bit strings. */
+  /** SimHash as the oracle's `bits`-char '0'/'1' string (bit j of the string
+    * = md5 hex digit j's vote — same rendering `lpad(bin(long))` gives).
+    */
+  def simhash(text: Column, bits: Int = 16): Column =
+    lpad(bin(simhashLong(text, bits)), bits, "0")
+
+  /** Hamming distance between two simhash longs: popcount of the xor. */
   def hammingDistance(a: Column, b: Column): Column =
-    size(filter(sequence(lit(1), length(a)),
-      i => a.substr(i, lit(1)) =!= b.substr(i, lit(1))))
+    bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs — EXACT under pigeonhole multi-blocking: the
     * fingerprint is cut into `maxDistance + 1` segments; two fingerprints
@@ -141,10 +145,18 @@ object Dedup {
                             bits: Int = 16, maxDistance: Int = 3): DataFrame = {
     val nSeg = maxDistance + 1
     val segLen = math.ceil(bits.toDouble / nSeg).toInt
-    val withSig = df.select(col(idCol).as("id"), simhash(col(textCol), bits).as("sig"))
+    val withSig = df.select(col(idCol).as("id"), simhashLong(col(textCol), bits).as("sig"))
+    // Segment s covers string positions [s*segLen, ...) = long bits from the
+    // top; extract by shift+mask so the join key is a small int, and persist:
+    // the segment table feeds both sides of the self-join (see
+    // minhashCandidatePairs for why ReuseExchange doesn't apply).
     val segmented = withSig.select(col("id"), col("sig"),
-      posexplode(array((0 until nSeg).map(s =>
-        substring(col("sig"), s * segLen + 1, segLen)): _*)).as(Seq("seg", "segval")))
+      posexplode(array((0 until nSeg).map { s =>
+        val width = math.min(segLen, bits - s * segLen)
+        shiftrightunsigned(col("sig"), bits - s * segLen - width)
+          .bitwiseAND(lit((1L << width) - 1L))
+      }: _*)).as(Seq("seg", "segval")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = segmented
       .select(col("seg"), col("segval"), col("id").as("id_a"), col("sig").as("sig_a"))
       .join(segmented.select(col("seg"), col("segval"),

@@ -13,21 +13,30 @@ import org.apache.spark.sql.expressions.Window
   * corpus is bucketed once (map-only), queries probe only their own bucket
   * (equi-join on bucket key), trading recall for a ~2^planes fan-in cut.
   *
-  * All vector math is `zip_with` + `aggregate` over array<float> cast to
-  * double — codegen'd built-ins, no UDFs in the hot path.
+  * Vector math is the native codegen'd `graft_dot` expression
+  * ([[graft.functions.DotProduct]] — sessions must load
+  * [[graft.GraftExtensions]]); every pairwise stage precomputes per-side
+  * norms map-only first, so each candidate pair costs exactly one array
+  * loop, inside WholeStageCodegen.
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Codegen'd dot product (requires GraftExtensions on the session). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val denom = norm(a) * norm(b)
     when(denom === 0.0, lit(0.0)).otherwise(d / denom)
   }
+
+  /** cosine from a precomputed dot and per-side norms (zero-denominator → 0,
+    * matching the sequential-fold oracle).
+    */
+  private def cosineFromNorms(d: Column, na: Column, nb: Column): Column =
+    when(na * nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
 
   /** Brute-force cosine top-k: every query row against every corpus row.
     *
@@ -44,12 +53,16 @@ object Similarity {
     * in corpus size.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("qid"), col("qvec").cast("array<double>").as("qvec")))
-    val c = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val q = broadcast(queries
+      .select(col("qid"), col("qvec").cast("array<double>").as("qvec"))
+      .withColumn("qnorm", norm(col("qvec"))))
+    val c = corpus
+      .select(col("id"), col("vec").cast("array<double>").as("vec"))
+      .withColumn("cnorm", norm(col("vec")))
     val scored = c.crossJoin(q)
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
-        cosine(col("qvec"), col("vec")).as("sim"),
+        cosineFromNorms(dot(col("qvec"), col("vec")), col("qnorm"), col("cnorm")).as("sim"),
         spark_partition_id().as("part"))
     val wLocal = Window.partitionBy(col("qid"), col("part")).orderBy(desc("sim"), asc("id"))
     val local = scored.withColumn("lrank", row_number().over(wLocal))
@@ -92,47 +105,57 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               numPlanes: Int, dim: Int): DataFrame = {
-    val c = corpus.select(col("id"), col("vec"),
-      lshBucket(col("vec"), numPlanes, dim).as("bucket"))
-    val q = broadcast(queries.select(col("qid"), col("qvec"),
-      lshBucket(col("qvec"), numPlanes, dim).as("bucket")))
+    val c = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
+      .withColumn("bucket", lshBucket(col("vec"), numPlanes, dim))
+      .withColumn("cnorm", norm(col("vec")))
+    val q = broadcast(queries
+      .select(col("qid"), col("qvec").cast("array<double>").as("qvec"))
+      .withColumn("bucket", lshBucket(col("qvec"), numPlanes, dim))
+      .withColumn("qnorm", norm(col("qvec"))))
     val scored = c.join(q, "bucket")
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
-        cosine(col("qvec").cast("array<double>"), col("vec").cast("array<double>")).as("sim"))
+        cosineFromNorms(dot(col("qvec"), col("vec")), col("qnorm"), col("cnorm")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), round(col("sim"), 6).as("sim"))
   }
 
-  /** Embedding near-duplicate pairs: cosine >= threshold. Exact variant is
+  /** Embedding near-duplicate pairs: cosine >= threshold. Scale variant is
     * the LSH self-join (both sides bucketed — an equi-join, not a cross
     * join); within-bucket pairs get exact cosine.
     */
   def embeddingNearDuplicates(corpus: DataFrame, threshold: Double,
                               numPlanes: Int, dim: Int): DataFrame = {
-    val c = corpus.select(col("id"), col("vec"),
-      lshBucket(col("vec"), numPlanes, dim).as("bucket"))
-    val a = c.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = c.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val c = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
+      .withColumn("bucket", lshBucket(col("vec"), numPlanes, dim))
+      .withColumn("nrm", norm(col("vec")))
+    val a = c.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = c.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("vec_a").cast("array<double>"), col("vec_b").cast("array<double>")).as("sim"))
+        cosineFromNorms(dot(col("vec_a"), col("vec_b")), col("nrm_a"), col("nrm_b")).as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
   /** Exact (brute-force) near-duplicate pairs — the oracle-checkable variant;
-    * O(n²), for validation scale only.
+    * O(n²) pairs but each pair is a single codegen'd loop, and the left side
+    * is repartitioned so the quadratic work spreads across the cluster
+    * instead of the input file count.
     */
   def bruteForceNearDuplicates(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("id").as("id_a"), col("vec").cast("array<double>").as("vec_a"))
-    val b = corpus.select(col("id").as("id_b"), col("vec").cast("array<double>").as("vec_b"))
-    a.crossJoin(b)
+    val base = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
+      .withColumn("nrm", norm(col("vec")))
+    val a = base.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+      .repartition(col("id_a"))
+    val b = base.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("sim"))
+      .select(col("id_a"), col("id_b"),
+        cosineFromNorms(dot(col("vec_a"), col("vec_b")), col("nrm_a"), col("nrm_b")).as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }

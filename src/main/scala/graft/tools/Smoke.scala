@@ -14,6 +14,7 @@ object Smoke {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // testdata events.ts is timestamp[ns], which Spark 4 parquet rejects
       // unless read as long nanos:
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
