@@ -384,6 +384,14 @@ object Queries {
       Some("""SELECT text AS content FROM documents WHERE doc_id < 100
              |ORDER BY content""".stripMargin)),
 
+    ("q_ingest_txt_safe",
+      (s: SparkSession, d: String) => {
+        val path = txtFixture(s, d)
+        Readers.txtSafe(s, path).orderBy("content")
+      },
+      Some("""SELECT text AS content, CAST(NULL AS VARCHAR) AS _ingest_error
+             |FROM documents WHERE doc_id < 100 ORDER BY content""".stripMargin)),
+
     ("q_ingest_txt_encodings",
       (s: SparkSession, d: String) => {
         val path = encodedTxtFixture(d)

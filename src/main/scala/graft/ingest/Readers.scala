@@ -57,6 +57,23 @@ object Readers {
       .select(explode(decode(col("content"))).as("content"))
   }
 
+  /** S6 with the reference's error-record contract (`app.py:213-222`): a
+    * file whose ingest fails yields ONE record `{content: "", _ingest_error:
+    * msg}` instead of failing the batch. Successful files carry a null
+    * `_ingest_error`. Per-file decode (binaryFile), parallel per file.
+    */
+  def txtSafe(spark: SparkSession, path: String): DataFrame = {
+    val decode = udf { (bytes: Array[Byte]) =>
+      try {
+        decodeFallback(bytes).split("\n", -1).map(_.stripLineEnd)
+          .filter(_.trim.nonEmpty).map(l => (l, null: String)).toSeq
+      } catch { case e: Exception => Seq(("", e.toString)) }
+    }
+    spark.read.format("binaryFile").load(path)
+      .select(explode(decode(col("content"))).as("rec"))
+      .select(col("rec._1").as("content"), col("rec._2").as("_ingest_error"))
+  }
+
   private[ingest] def decodeFallback(bytes: Array[Byte]): String = {
     val utf8 = StandardCharsets.UTF_8.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)

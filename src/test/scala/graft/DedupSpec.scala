@@ -1,0 +1,81 @@
+package graft
+
+import graft.ops.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near dup
+    (4L, "completely different words in this one nothing shared at all here"),
+    (5L, "short doc")
+  ).toDF("id", "text")
+
+  test("exactDuplicateGroups keeps min id and counts members") {
+    val g = Dedup.exactDuplicateGroups(
+      docs.withColumn("fp", TextAnalysis.fingerprintMd5(col("text"))), "id", Seq("fp"))
+    val rows = g.select("keep_id", "n_dups").orderBy("keep_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L, 5L))
+    assert(rows(0).getLong(1) == 2) // ids 1+2 collapse
+  }
+
+  test("dedupKeepFirst keeps exactly the min-id row per key") {
+    val d = Dedup.dedupKeepFirst(
+      docs.withColumn("fp", TextAnalysis.fingerprintMd5(col("text"))), "id", Seq("fp"))
+    assert(d.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash finds the exact duplicate pair, jaccard 1.0") {
+    val pairs = Dedup.minhashNearDuplicates(docs, "id", "text", threshold = 0.99)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs(0).getDouble(2) == 1.0)
+  }
+
+  test("minhash signature: identical text → identical signature; length H") {
+    val sigs = docs.filter(col("id") <= 2)
+      .select(Dedup.minhashSignature(col("text"), 16, 5).as("sig"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0).length == 16)
+  }
+
+  test("simhash: string form is bin(long) and dup pair is at distance 0") {
+    val r = docs.filter(col("id") <= 2)
+      .select(Dedup.simhash(col("text"), 16).as("s"),
+        Dedup.simhashLong(col("text"), 16).as("l"))
+      .collect()
+    assert(r(0).getString(0) == r(1).getString(0))
+    assert(r(0).getString(0).length == 16)
+    assert(r(0).getString(0).forall(c => c == '0' || c == '1'))
+    assert(java.lang.Long.parseLong(r(0).getString(0), 2) == r(0).getLong(1))
+  }
+
+  test("simhashNearDuplicates finds the exact-dup pair at distance 0 with pigeonhole recall") {
+    val pairs = Dedup.simhashNearDuplicates(docs, "id", "text", bits = 16, maxDistance = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("hammingDistance is popcount of xor") {
+    val d = spark.range(1).select(
+      Dedup.hammingDistance(lit(0xb101L), lit(0xb010L)).as("d")).collect()(0).getInt(0)
+    assert(d == java.lang.Long.bitCount(0xb101L ^ 0xb010L))
+  }
+
+  test("ngramJaccard: identical docs 1.0, disjoint docs 0.0") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(docs, "id", "text", pairs, n = 3)
+      .orderBy("id_b").collect().map(_.getDouble(2)).toSeq
+    assert(j == Seq(1.0, 0.0))
+  }
+
+  test("shingles: shorter-than-k doc yields its single whole shingle") {
+    val sh = docs.filter(col("id") === 5)
+      .select(Dedup.shingles(col("text"), 5).as("sh")).collect()(0).getSeq[String](0)
+    assert(sh.toSeq == Seq("short doc"))
+  }
+}

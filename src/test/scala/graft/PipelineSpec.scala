@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.Corpus
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline semantics (reference `app.py:296-366`): cross-batch id
+  * monotonicity (AUTOINCREMENT contract), Q4 latest-N ordering, blob key
+  * parity, schema evolution across batches, per-batch counters.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two-batch ingest: ids unique, Q4 returns the second batch first") {
+    val dir = tmpDir("corpus_")
+    val batch1 = Seq(("first-a", 1), ("first-b", 2)).toDF("content", "n")
+    val batch2 = Seq(("second-a", 3), ("second-b", 4)).toDF("content", "n")
+    val r1 = Pipeline.ingest(spark, batch1, dir)
+    val r2 = Pipeline.ingest(spark, batch2, dir)
+    assert(r1.recordCount == 2 && r2.recordCount == 2)
+
+    val all = Corpus.records(spark, dir).select("id").collect().map(_.getLong(0))
+    assert(all.distinct.length == 4, "ids must be unique across batches")
+
+    val latest2 = Corpus.latestRecords(spark, dir, 2)
+      .select(get_json_object(col("data"), "$.content").as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(latest2 == Set("second-a", "second-b"),
+      "latest-N must be the most recent batch (reference AUTOINCREMENT ordering)")
+  }
+
+  test("stored blob carries _schema_version, _ingested_at, _quality_issues inside data") {
+    val dir = tmpDir("corpus_")
+    Pipeline.ingest(spark, Seq(("x", 1)).toDF("content", "n"), dir)
+    val data = Corpus.records(spark, dir).select("data").collect()(0).getString(0)
+    assert(get(data, "_schema_version").nonEmpty, s"blob missing _schema_version: $data")
+    assert(get(data, "_ingested_at").nonEmpty, s"blob missing _ingested_at: $data")
+    assert(data.contains("_quality_issues"), s"blob missing _quality_issues: $data")
+    assert(data.contains("_extracted_patterns"), s"blob missing _extracted_patterns: $data")
+  }
+
+  private def get(json: String, key: String): Option[String] = {
+    val df = Seq(json).toDF("j")
+    Option(df.select(get_json_object(col("j"), s"$$.$key")).collect()(0).getString(0))
+  }
+
+  test("null payload fields stay present in the blob (ignoreNullFields=false)") {
+    val dir = tmpDir("corpus_")
+    Pipeline.ingest(spark, Seq((Some("x"), None: Option[String])).toDF("a", "b"), dir)
+    val data = Corpus.records(spark, dir).select("data").collect()(0).getString(0)
+    assert(data.contains("\"b\":null"), s"null field b dropped from blob: $data")
+  }
+
+  test("schema change across batches bumps version and logs the diff") {
+    val dir = tmpDir("corpus_")
+    val r1 = Pipeline.ingest(spark, Seq(("a-only", 1)).toDF("a", "n"), dir)
+    val r2 = Pipeline.ingest(spark, Seq(("b-only", 2)).toDF("b", "n"), dir)
+    assert(r1.version == 1 && r2.version == 2)
+    val change = Corpus.schemaChanges(spark, dir).collect()(0)
+    assert(change.getAs[scala.collection.Seq[String]]("added_fields").toSeq.contains("b"))
+    assert(change.getAs[scala.collection.Seq[String]]("removed_fields").toSeq.contains("a"))
+    val history = Corpus.schemaHistory(spark, dir).select("version")
+      .collect().map(_.getInt(0)).toSeq
+    assert(history == Seq(1, 2))
+  }
+
+  test("counters are per-batch, not cumulative") {
+    val dir = tmpDir("corpus_")
+    Pipeline.ingest(spark, Seq(("x", 1), ("y", 2)).toDF("content", "n"), dir)
+    val r2 = Pipeline.ingest(spark, Seq(("z", 3)).toDF("content", "n"), dir)
+    assert(r2.recordCount == 1, s"expected per-batch count 1, got ${r2.recordCount}")
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.ingest.Readers
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+class ReadersSpec extends SparkSpec {
+
+  private def write(dir: String, name: String, bytes: Array[Byte]): String = {
+    val p = Paths.get(dir, name); Files.write(p, bytes); p.toString
+  }
+
+  test("txt drops blank and whitespace-only lines") {
+    val dir = tmpDir("txt_")
+    write(dir, "a.txt", "one\n\n   \ntwo\n".getBytes(StandardCharsets.UTF_8))
+    val rows = Readers.txt(spark, dir).collect().map(_.getString(0)).sorted
+    assert(rows.toSeq == Seq("one", "two"))
+  }
+
+  test("charset fallback: latin-1 bytes decode via ISO-8859-1") {
+    val dir = tmpDir("txt_")
+    write(dir, "l1.txt", "café".getBytes(StandardCharsets.ISO_8859_1))
+    val rows = Readers.txtWithCharsetFallback(spark, dir).collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("café"))
+  }
+
+  test("txtSafe: good file has null _ingest_error; rows survive") {
+    val dir = tmpDir("txt_")
+    write(dir, "ok.txt", "hello\nworld\n".getBytes(StandardCharsets.UTF_8))
+    val rows = Readers.txtSafe(spark, dir).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.isNullAt(1)))
+  }
+
+  test("xml: attributes + _text per direct child; grandchildren ignored") {
+    val dir = tmpDir("xml_")
+    val xml = """<root><item id="1" k="v">hello <b>bold</b></item><item id="2"/></root>"""
+    write(dir, "d.xml", xml.getBytes(StandardCharsets.UTF_8))
+    val rows = Readers.promoteMapKeys(Readers.xml(spark, dir))
+      .orderBy("id").collect()
+    assert(rows.length == 2)
+    val r0 = rows(0)
+    assert(r0.getAs[String]("id") == "1")
+    assert(r0.getAs[String]("k") == "v")
+    assert(r0.getAs[String]("_text") == "hello") // direct text only, trimmed
+    assert(rows(1).getAs[String]("_text") == "")
+  }
+
+  test("docx: one record per non-blank paragraph") {
+    val dir = tmpDir("docx_")
+    val docXml =
+      """<?xml version="1.0"?><w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+        |<w:body><w:p><w:r><w:t>para one</w:t></w:r></w:p>
+        |<w:p></w:p>
+        |<w:p><w:r><w:t>para </w:t></w:r><w:r><w:t>two</w:t></w:r></w:p></w:body></w:document>""".stripMargin
+    val bout = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bout)
+    zip.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    zip.write(docXml.getBytes(StandardCharsets.UTF_8))
+    zip.closeEntry(); zip.close()
+    write(dir, "d.docx", bout.toByteArray)
+    val rows = Readers.docx(spark, dir).collect().map(_.getString(0)).sorted
+    assert(rows.toSeq == Seq("para one", "para two"))
+  }
+
+  test("pdf: literal-string Tj text per stream") {
+    val dir = tmpDir("pdf_")
+    val content = "BT /F1 12 Tf 72 720 Td (Hi there) Tj ET"
+    val pdf = s"%PDF-1.4\n4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n%%EOF\n"
+    write(dir, "d.pdf", pdf.getBytes(StandardCharsets.ISO_8859_1))
+    val rows = Readers.pdf(spark, dir).collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("Hi there "))
+  }
+
+  test("suffix dispatch routes csv") {
+    val dir = tmpDir("csv_")
+    write(dir, "d.csv", "a,b\n1,x\n2,y\n".getBytes(StandardCharsets.UTF_8))
+    val df = Readers.read(spark, dir + "/d.csv")
+    assert(df.columns.toSeq == Seq("a", "b"))
+    assert(df.count() == 2)
+  }
+}

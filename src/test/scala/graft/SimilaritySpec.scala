@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0, 0.0, 0.0)),
+    (1L, Array(1.0, 0.0, 0.0)),   // identical to 0
+    (2L, Array(0.0, 1.0, 0.0)),   // orthogonal
+    (3L, Array(0.7071067811865476, 0.7071067811865475, 0.0)), // 45°
+    (4L, Array(0.0, 0.0, 0.0))    // zero vector
+  ).toDF("id", "vec")
+
+  test("graft_dot matches a manual dot product") {
+    val d = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(d == 32.0)
+  }
+
+  test("cosine: identical=1, orthogonal=0, zero-vector=0 (not NaN)") {
+    val pairs = Seq((0L, 1L, 1.0), (0L, 2L, 0.0), (0L, 4L, 0.0))
+    val a = vecs.select(col("id").as("ia"), col("vec").as("va"))
+    val b = vecs.select(col("id").as("ib"), col("vec").as("vb"))
+    val sims = a.crossJoin(b)
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(4))).toMap
+    pairs.foreach { case (x, y, expect) =>
+      assert(math.abs(sims((x, y)) - expect) < 1e-12, s"cosine($x,$y)")
+    }
+  }
+
+  test("bruteForceTopK ranks by similarity desc, excludes self, respects k") {
+    val q = vecs.filter(col("id") === 0).select(col("id").as("qid"), col("vec").as("qvec"))
+    val c = vecs.select(col("id"), col("vec"))
+    val top = Similarity.bruteForceTopK(q, c, k = 2).orderBy("rank").collect()
+    assert(top.length == 2)
+    assert(top(0).getLong(2) == 1L) // identical vector first
+    assert(top(1).getLong(2) == 3L) // then the 45° one
+    assert(!top.map(_.getLong(2)).contains(0L))
+  }
+
+  test("lshBucket is deterministic and equal for identical vectors") {
+    val b = vecs.filter(col("id") <= 1)
+      .select(Similarity.lshBucket(col("vec"), 4, 3).as("b"))
+      .collect().map(_.getString(0))
+    assert(b(0) == b(1))
+    assert(b(0).length == 4 && b(0).forall(c => c == '0' || c == '1'))
+  }
+
+  test("bruteForceNearDuplicates finds only the identical pair at high threshold") {
+    val c = vecs.select(col("id"), col("vec"))
+    val pairs = Similarity.bruteForceNearDuplicates(c, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((0L, 1L)))
+  }
+}

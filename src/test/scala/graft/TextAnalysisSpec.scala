@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount and subwordCount") {
+    val r = Seq("Hello world, it's 2024!").toDF("t")
+      .select(TextAnalysis.tokenCount(col("t")).as("n"),
+        TextAnalysis.subwordCount(col("t")).as("s"))
+      .collect()(0)
+    assert(r.getInt(0) == 4)
+    // Hello | world | , | it | ' | s | 2024 | !
+    assert(r.getInt(1) == 8)
+  }
+
+  test("langId votes by stopword ratio; Han short-circuits to zh; no signal → und") {
+    val r = Seq(
+      "the cat sat on the mat and it was good for a while",
+      "el perro y la casa de un señor que no es grande",
+      "xyzzy plugh qwerty",
+      "你好世界"
+    ).toDF("t").select(TextAnalysis.langId(col("t"))).collect().map(_.getString(0))
+    assert(r.toSeq == Seq("en", "es", "und", "zh"))
+  }
+
+  test("quality features: empty text scores zeros, richer text scores higher") {
+    val r = TextAnalysis.withQualityFeatures(
+      Seq("", "the sensible document of reasonable length and it is that for good").toDF("t"), "t")
+      .select("q_n_tokens", "quality_score").orderBy("q_n_tokens").collect()
+    // "" tokenizes to [""], one zero-length token
+    assert(r(0).getDouble(1) < r(1).getDouble(1))
+  }
+
+  test("fingerprints: whitespace/case-normalized md5; rolling is order-sensitive") {
+    val fp = Seq("Hello  World", "hello world", "world hello").toDF("t")
+      .select(TextAnalysis.fingerprintMd5(col("t")).as("m"),
+        TextAnalysis.fingerprintRolling(col("t")).as("r"))
+      .collect()
+    assert(fp(0).getString(0) == fp(1).getString(0)) // case+ws insensitive
+    assert(fp(1).getString(0) != fp(2).getString(0)) // different tokens
+    assert(fp(1).getLong(1) != fp(2).getLong(1))     // order-sensitive
+  }
+
+  test("termFrequencies counts duplicated tokens") {
+    val tf = TextAnalysis.termFrequencies(Seq("a b a", "b a").toDF("t"), "t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tf == Map("a" -> 3L, "b" -> 2L))
+  }
+}
