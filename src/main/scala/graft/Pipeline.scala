@@ -45,10 +45,21 @@ object Pipeline {
     // fields stay present (the reference's dicts always carry the key; its
     // stringification maps None -> "" only inside inference, app.py:253-261).
     val payloadCols = withPatterns.columns
+    // The batch feeds four separate jobs (inference count + presence agg,
+    // the store write, the counter agg) — persist it across them instead of
+    // re-running the source read + extraction chain per job. A batch is
+    // bounded (it is one upload / micro-batch, never the corpus), so
+    // MEMORY_AND_DISK is safe at scale; released before returning.
     val asJson = withPatterns
       .withColumn("data", to_json(struct(payloadCols.map(col).toSeq: _*),
         Map("ignoreNullFields" -> "false")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try ingestPersisted(spark, asJson, corpusDir, idCol)
+    finally asJson.unpersist(blocking = false)
+  }
 
+  private def ingestPersisted(spark: SparkSession, asJson: DataFrame,
+                              corpusDir: String, idCol: Option[String]): IngestResult = {
     // A1 — whole-batch schema inference (strict-parity string mode)
     val schema = InferSchema.infer(asJson, "data")
       .getOrElse(return IngestResult(new Evolution(spark, corpusDir).latestVersion, JsonSchema(Map.empty, Nil), 0, 0, 0))

@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops.Corpus
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions — the properties that keep queries scalable are
+  * checked, not assumed: filter/projection pushdown into the parquet scan,
+  * broadcast for small dimensions, top-K without a full sort.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter and projection reach the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45"),
+      s"filter not pushed down:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"projection not pruned:\n$plan")
+  }
+
+  test("small dimension join broadcasts (no shuffle of the fact side)") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    val j = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+    val plan = planOf(j)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("latest-N is TakeOrderedAndProject, not a global sort") {
+    val dir = tmpDir("corpus_")
+    import spark.implicits._
+    Pipeline.ingest(spark, Seq(("x", 1), ("y", 2)).toDF("content", "n"), dir)
+    val plan = planOf(Corpus.latestRecords(spark, dir, 5))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-K plan:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"), s"unexpected global sort:\n$plan")
+  }
+
+  test("graft_dot scoring stays inside whole-stage codegen") {
+    val v = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val df = v.select(graft.ops.Similarity.dot(col("vec"), col("vec")).as("d"))
+    val plan = planOf(df)
+    // '*(n)' prefixes mark operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [graft_dot"), s"expected codegen'd projection:\n$plan")
+    assert(df.count() > 0) // and it must actually execute compiled
+  }
+}
