@@ -479,6 +479,20 @@ object Queries {
              |FROM (SELECT * FROM documents ORDER BY doc_id DESC LIMIT 50)
              |ORDER BY id""".stripMargin)),
 
+    // The throughput headline vs BASELINE.md's ~1,000 rec/s: the full ingest
+    // pipeline over the biggest table (lineitem — 600k rows at sf0.1),
+    // returning the batch counters the reference reports per upload.
+    ("q_ingest_pipeline_bulk",
+      (s: SparkSession, d: String) => {
+        val corpusDir = Files.createTempDirectory("graft_corpus_").toString
+        val r = Pipeline.ingest(s, tbl(s, d, "lineitem"), corpusDir)
+        import s.implicits._
+        Seq((r.recordCount, r.cleanCount, r.flaggedCount, r.version))
+          .toDF("n_records", "n_clean", "n_flagged", "version")
+      },
+      Some("""SELECT count(*) AS n_records, count(*) AS n_clean,
+             | 0::BIGINT AS n_flagged, 1 AS version FROM lineitem""".stripMargin)),
+
     ("q_schema_evolution",
       (s: SparkSession, d: String) => {
         val corpusDir = Files.createTempDirectory("graft_corpus_").toString

@@ -47,6 +47,11 @@ object Corpus {
         col("_quality_issues"))
     val id = idCol.map(c => col(c).cast("long"))
       .getOrElse(lit(idBase) + monotonically_increasing_id())
+    // F3 blob parity: re-render the canonical JSON exactly as CPython
+    // json.dumps does (", "/": " separators, ensure_ascii, Python float
+    // repr) so stored blobs replay byte-identically against the reference's
+    // etl_data.db format. One extra map-only string pass at store time.
+    val pyDumps = udf(graft.functions.PyJson.dumps _)
     records
       .withColumn("_schema_version", lit(schemaVersion))
       .withColumn("ingested_at", current_timestamp())
@@ -55,7 +60,7 @@ object Corpus {
       .withColumn("id", id)
       .withColumn("schema_version", lit(schemaVersion))
       .withColumn("data",
-        to_json(struct(blobCols: _*), Map("ignoreNullFields" -> "false")))
+        pyDumps(to_json(struct(blobCols: _*), Map("ignoreNullFields" -> "false"))))
       .withColumn("ingested_at_iso", col("_ingested_at_iso"))
       .withColumn("quality_issues",
         when(size(coalesce(col("_quality_issues"), array())) === 0, lit(null))
@@ -76,12 +81,15 @@ object Corpus {
     * over the pruned `id` column — the driver-side seed for the next batch's
     * `idBase` (AUTOINCREMENT parity without serializing the write path).
     */
-  def maxId(spark: SparkSession, corpusDir: String): Long =
-    try records(spark, corpusDir).agg(max(col("id"))).collect()(0) match {
+  def maxId(spark: SparkSession, corpusDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$corpusDir/records")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return -1L
+    records(spark, corpusDir).agg(max(col("id"))).collect()(0) match {
       case r if r.isNullAt(0) => -1L
       case r => r.getLong(0)
     }
-    catch { case _: Throwable => -1L }
+  }
 
   /** Q4 — latest-N records (reference `app.py:169-173`). Catalyst plans this
     * as TakeOrderedAndProject: per-partition top-K + driver merge, no full

@@ -47,7 +47,15 @@ class PipelineSpec extends SparkSpec {
     val dir = tmpDir("corpus_")
     Pipeline.ingest(spark, Seq((Some("x"), None: Option[String])).toDF("a", "b"), dir)
     val data = Corpus.records(spark, dir).select("data").collect()(0).getString(0)
-    assert(data.contains("\"b\":null"), s"null field b dropped from blob: $data")
+    assert(data.contains("\"b\": null"), s"null field b dropped from blob: $data")
+  }
+
+  test("blob renders in CPython json.dumps format (separators, ascii escapes)") {
+    val dir = tmpDir("corpus_")
+    Pipeline.ingest(spark, Seq(("café", 1.5)).toDF("content", "v"), dir)
+    val data = Corpus.records(spark, dir).select("data").collect()(0).getString(0)
+    assert(data.contains("\"content\": \"caf\\u00e9\""), s"expected json.dumps string form: $data")
+    assert(data.contains("\"v\": 1.5"), s"expected json.dumps number form: $data")
   }
 
   test("schema change across batches bumps version and logs the diff") {
