@@ -75,17 +75,22 @@ object Pipeline {
     // idBase seeds above the corpus max so ids stay unique and ascending
     // across batches (the reference's AUTOINCREMENT contract that Q4's
     // "latest N by id desc" depends on).
+    // V2 counters ride the SAME job via observe() — no second pass over the
+    // batch re-evaluating the validation expressions (reference
+    // app.py:352-366 counts in its ingest loop for the same reason).
     val idBase = if (idCol.isDefined) 0L else Corpus.maxId(spark, corpusDir) + 1L
-    val stamped = Corpus.stampAndSerialize(validated.drop("data"), version,
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = validated.observe(obs,
+      count(lit(1)).as("n"),
+      count(when(size(col("_quality_issues")) === 0, 1)).as("clean"),
+      count(when(size(col("_quality_issues")) > 0, 1)).as("flagged"))
+    val stamped = Corpus.stampAndSerialize(observed.drop("data"), version,
       idBase = idBase, idCol = idCol)
     Corpus.append(stamped, corpusDir)
 
-    // V2 — per-batch counters from the in-flight batch (one partial-aggregated
-    // pass, reference app.py:352-366); never re-scan the growing corpus.
-    val r = validated.agg(
-      count(lit(1)).as("n"),
-      count(when(size(col("_quality_issues")) === 0, 1)).as("clean"),
-      count(when(size(col("_quality_issues")) > 0, 1)).as("flagged")).collect()(0)
-    IngestResult(version, schema, r.getLong(0), r.getLong(1), r.getLong(2))
+    val m = obs.get // collected during the write job
+    IngestResult(version, schema,
+      m("n").asInstanceOf[Long], m("clean").asInstanceOf[Long],
+      m("flagged").asInstanceOf[Long])
   }
 }

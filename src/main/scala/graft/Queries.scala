@@ -47,6 +47,13 @@ object Queries {
     Files.write(p, bytes); p.toString
   }
 
+  /** Fixture files are deterministic per (sf, name): render once, reuse on
+    * later queries in the same process run (bench/verify call several
+    * fixture-backed readers back to back).
+    */
+  private def cached(p: Path)(render: => String): String =
+    if (Files.exists(p)) p.toString else render
+
   private def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
@@ -61,19 +68,23 @@ object Queries {
 
   private def csvFixture(spark: SparkSession, sfDir: String): String = {
     val dir = fixtureDir(sfDir).resolve("customer_csv")
-    tbl(spark, sfDir, "customer").orderBy("c_custkey").coalesce(1)
-      .write.mode("overwrite").option("header", "true").csv(dir.toString)
+    if (!Files.exists(dir.resolve("_SUCCESS"))) {
+      tbl(spark, sfDir, "customer").orderBy("c_custkey").coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(dir.toString)
+    }
     dir.toString
   }
 
-  private def jsonFixture(spark: SparkSession, sfDir: String): String = {
-    val rows = tbl(spark, sfDir, "documents").filter(col("doc_id") < 100)
-      .orderBy("doc_id").toJSON.collect()
-    writeBytes(fixtureDir(sfDir).resolve("docs.json"),
-      rows.mkString("[\n", ",\n", "\n]").getBytes(StandardCharsets.UTF_8))
-  }
+  private def jsonFixture(spark: SparkSession, sfDir: String): String =
+    cached(fixtureDir(sfDir).resolve("docs.json")) {
+      val rows = tbl(spark, sfDir, "documents").filter(col("doc_id") < 100)
+        .orderBy("doc_id").toJSON.collect()
+      writeBytes(fixtureDir(sfDir).resolve("docs.json"),
+        rows.mkString("[\n", ",\n", "\n]").getBytes(StandardCharsets.UTF_8))
+    }
 
-  private def xmlFixture(spark: SparkSession, sfDir: String): String = {
+  private def xmlFixture(spark: SparkSession, sfDir: String): String =
+   cached(fixtureDir(sfDir).resolve("docs.xml")) {
     val sb = new StringBuilder("<docs>\n")
     docRows(spark, sfDir, 100).foreach { case (id, lang, text) =>
       sb.append(s"""  <doc id="$id" lang="${xmlEscape(lang)}">${xmlEscape(text)}</doc>\n""")
@@ -81,9 +92,10 @@ object Queries {
     sb.append("</docs>\n")
     writeBytes(fixtureDir(sfDir).resolve("docs.xml"),
       sb.toString.getBytes(StandardCharsets.UTF_8))
-  }
+   }
 
-  private def docxFixture(spark: SparkSession, sfDir: String): String = {
+  private def docxFixture(spark: SparkSession, sfDir: String): String =
+   cached(fixtureDir(sfDir).resolve("docs.docx")) {
     val paras = docRows(spark, sfDir, 50).map(_._3)
     val body = paras.map(t => s"<w:p><w:r><w:t>${xmlEscape(t)}</w:t></w:r></w:p>").mkString
     val docXml =
@@ -95,7 +107,7 @@ object Queries {
     zip.write(docXml.getBytes(StandardCharsets.UTF_8))
     zip.closeEntry(); zip.close()
     writeBytes(fixtureDir(sfDir).resolve("docs.docx"), bout.toByteArray)
-  }
+   }
 
   /** Minimal 3-page PDF: one uncompressed content stream per page, text via
     * literal-string Tj. `PdfText` emits one record per stream, appending a
@@ -103,7 +115,8 @@ object Queries {
     */
   private[graft] val pdfPageTexts = Seq("Alpha page one", "Beta page two", "Gamma page three")
 
-  private def pdfFixture(sfDir: String): String = {
+  private def pdfFixture(sfDir: String): String =
+   cached(fixtureDir(sfDir).resolve("docs.pdf")) {
     val streams = pdfPageTexts.map { t =>
       val content = s"BT /F1 12 Tf 72 720 Td ($t) Tj ET"
       s"<< /Length ${content.length} >>\nstream\n$content\nendstream"
@@ -115,15 +128,16 @@ object Queries {
     pdf.append("%%EOF\n")
     writeBytes(fixtureDir(sfDir).resolve("docs.pdf"),
       pdf.toString.getBytes(StandardCharsets.ISO_8859_1))
-  }
+   }
 
-  private def txtFixture(spark: SparkSession, sfDir: String): String = {
+  private def txtFixture(spark: SparkSession, sfDir: String): String =
+   cached(fixtureDir(sfDir).resolve("docs.txt")) {
     val lines = docRows(spark, sfDir, 100).map(_._3)
     // blank + whitespace-only lines interleaved: the reader must drop them
     val content = lines.mkString("", "\n\n   \n", "\n")
     writeBytes(fixtureDir(sfDir).resolve("docs.txt"),
       content.getBytes(StandardCharsets.UTF_8))
-  }
+   }
 
   private def encodedTxtFixture(sfDir: String): String = {
     val dir = fixtureDir(sfDir).resolve("enc_txt")

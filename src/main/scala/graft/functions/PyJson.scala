@@ -39,11 +39,29 @@ object PyJson extends Serializable {
     } catch { case _: Exception => json }
   }
 
+  /** Per-thread double→repr cache: real corpora repeat values heavily
+    * (quantities, rates, flags) and the shortest-digit search costs a few µs;
+    * a small direct-mapped cache makes the common case a lookup. Keyed by
+    * raw bits so -0.0/0.0 stay distinct.
+    */
+  private val floatCache = new ThreadLocal[java.util.HashMap[Long, String]] {
+    override def initialValue() = new java.util.HashMap[Long, String](1 << 12)
+  }
+
+  private def pyFloatCached(v: Double): String = {
+    val cache = floatCache.get()
+    if (cache.size > (1 << 16)) cache.clear()
+    val bits = java.lang.Double.doubleToRawLongBits(v)
+    var s = cache.get(bits)
+    if (s == null) { s = pyFloatRepr(v); cache.put(bits, s) }
+    s
+  }
+
   private def render(n: JsonNode, sb: StringBuilder): Unit = {
     if (n == null || n.isNull) { sb.append("null"); return }
     if (n.isBoolean) { sb.append(if (n.asBoolean()) "true" else "false"); return }
     if (n.isIntegralNumber) { sb.append(n.asText()); return }
-    if (n.isNumber) { sb.append(pyFloatRepr(n.doubleValue())); return }
+    if (n.isNumber) { sb.append(pyFloatCached(n.doubleValue())); return }
     if (n.isTextual) { renderString(n.textValue(), sb); return }
     if (n.isArray) {
       sb.append('[')

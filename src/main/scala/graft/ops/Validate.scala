@@ -37,14 +37,37 @@ object Validate {
       .otherwise(concat(extra, missing))
   }
 
-  /** Adds `_quality_issues` to every record (reference `app.py:352-364`). */
+  /** `qualityIssues` over an already-extracted key array (no JSON parse). */
+  def qualityIssuesFromKeys(recordKeys: Column, schemaFields: Seq[String]): Column = {
+    val schemaArr = array(schemaFields.map(lit): _*).cast("array<string>")
+    val extra = transform(
+      array_except(recordKeys, schemaArr),
+      k => concat(lit("Field '"), k, lit("' not in schema")))
+    val missing = transform(
+      array_except(schemaArr, recordKeys),
+      k => concat(lit("Missing field: '"), k, lit("'")))
+    when(recordKeys.isNull, array(lit("Invalid record: not a JSON object")))
+      .otherwise(concat(extra, missing))
+  }
+
+  /** Adds `_quality_issues` to every record (reference `app.py:352-364`).
+    *
+    * The key array is projected in its own step so the JSON document is
+    * parsed ONCE per record — inlining `json_object_keys` into the issue
+    * expression evaluates it three times (extra keys, missing keys, null
+    * guard); CollapseProject keeps a multiply-referenced non-cheap
+    * projection separate.
+    */
   def withQualityIssues(records: DataFrame, schema: JsonSchema,
                         jsonCol: String = "data"): DataFrame = {
     // Reference iterates schema properties in dict insertion order; our AST
     // stores a Map, so we canonicalize to sorted order (documented divergence:
     // identical issue *set*, deterministic order).
     val fields = schema.properties.keys.toSeq.sorted
-    records.withColumn("_quality_issues", qualityIssues(col(jsonCol), fields))
+    records
+      .withColumn("__record_keys", json_object_keys(col(jsonCol)))
+      .withColumn("_quality_issues", qualityIssuesFromKeys(col("__record_keys"), fields))
+      .drop("__record_keys")
   }
 
   /** V2 — batch counters: (clean, flagged) record counts (reference

@@ -45,6 +45,39 @@ object Perf {
     time("simhash neardup")(
       Dedup.simhashNearDuplicates(docs, "doc_id", "text", 16, 3).count())
 
+    if (args.length > 1 && args(1) == "pipeline") {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val withPat = graft.ops.Extract.withExtractedPatterns(li)
+      val asJson = withPat.withColumn("data",
+        to_json(struct(withPat.columns.map(col).toSeq: _*), Map("ignoreNullFields" -> "false")))
+      time("to_json scan")(asJson.agg(sum(length(col("data")))).collect())
+      time("persist materialize") {
+        asJson.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        asJson.count()
+      }
+      time("infer (count+presence)")(graft.ops.InferSchema.infer(asJson, "data"))
+      val schema = graft.ops.InferSchema.infer(asJson, "data").get
+      time("json_object_keys only")(
+        asJson.agg(sum(size(json_object_keys(col("data"))))).collect())
+      val fields = schema.properties.keys.toSeq.sorted
+      time("array_except extra only")(
+        asJson.agg(sum(size(org.apache.spark.sql.functions.array_except(
+          json_object_keys(col("data")),
+          array(fields.map(lit): _*).cast("array<string>"))))).collect())
+      val validated = graft.ops.Validate.withQualityIssues(asJson, schema, "data")
+      time("validate agg")(validated.agg(count(when(size(col("_quality_issues")) === 0, 1)))
+        .collect())
+      val stamped = graft.ops.Corpus.stampAndSerialize(validated.drop("data"), 1)
+      time("stamp+pydumps+write") {
+        stamped.write.mode("overwrite").parquet("/tmp/perf_corpus/records")
+      }
+      time("full Pipeline.ingest") {
+        graft.Pipeline.ingest(spark, li, java.nio.file.Files.createTempDirectory("perfc_").toString)
+      }
+      spark.stop(); return
+    }
+
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     time("embed neardup (brute)")(
