@@ -9,12 +9,20 @@ import org.apache.spark.sql.functions._
   * §3.1): ingest → extract patterns → infer schema → evolve version →
   * validate → stamp metadata → append to corpus.
   *
-  * Spark shape: one map-only codegen'd chain over the batch plus exactly one
-  * tiny aggregation (schema inference, whose shuffle key cardinality is the
-  * number of distinct field names) and one driver-side control-plane step
-  * (the version state machine — same single-writer semantics as the
-  * reference). Nothing per-record ever reaches the driver; the chain scales
-  * linearly with executors.
+  * Spark shape: ONE distributed job per batch. Extraction, serialization,
+  * validation, stamping, and the parity blob render fuse into the store
+  * write's map-only chain; the V2 counters ride the same job via
+  * `Dataset.observe`. Everything else is O(1) driver-side control plane
+  * (empty-batch probe, id seed, the version state machine).
+  *
+  * Schema inference on this path is CONSTANT, not a scan: a DataFrame batch
+  * has a fixed column set and the blob is rendered with
+  * `ignoreNullFields=false`, so every record carries exactly the payload
+  * columns — properties = columns, required = all of them, types "string"
+  * (strict parity: the reference stringifies before genson, app.py:253-261,
+  * and its dict records always carry every key). The distributed
+  * key-presence aggregation ([[graft.ops.InferSchema]]) remains the
+  * schema-on-read API for genuinely ragged JSON input.
   */
 object Pipeline {
 
@@ -36,36 +44,28 @@ object Pipeline {
     */
   def ingest(spark: SparkSession, batch: DataFrame, corpusDir: String,
              idCol: Option[String] = None): IngestResult = {
+    val evo = new Evolution(spark, corpusDir)
+    if (batch.isEmpty)
+      return IngestResult(evo.latestVersion, JsonSchema(Map.empty, Nil), 0, 0, 0)
+
     // F2 — extract patterns from content (empty struct when none)
     val withPatterns = Extract.withExtractedPatterns(batch)
 
-    // Render each record as canonical JSON once; everything downstream
-    // (inference, validation, storage) is schema-on-read over this blob,
-    // exactly like the reference's dict -> json.dumps record model. Null
-    // fields stay present (the reference's dicts always carry the key; its
+    // Render each record as canonical JSON; everything downstream
+    // (validation, storage) is schema-on-read over this blob, exactly like
+    // the reference's dict -> json.dumps record model. Null fields stay
+    // present (the reference's dicts always carry the key; its
     // stringification maps None -> "" only inside inference, app.py:253-261).
     val payloadCols = withPatterns.columns
-    // The batch feeds four separate jobs (inference count + presence agg,
-    // the store write, the counter agg) — persist it across them instead of
-    // re-running the source read + extraction chain per job. A batch is
-    // bounded (it is one upload / micro-batch, never the corpus), so
-    // MEMORY_AND_DISK is safe at scale; released before returning.
     val asJson = withPatterns
       .withColumn("data", to_json(struct(payloadCols.map(col).toSeq: _*),
         Map("ignoreNullFields" -> "false")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try ingestPersisted(spark, asJson, corpusDir, idCol)
-    finally asJson.unpersist(blocking = false)
-  }
 
-  private def ingestPersisted(spark: SparkSession, asJson: DataFrame,
-                              corpusDir: String, idCol: Option[String]): IngestResult = {
-    // A1 — whole-batch schema inference (strict-parity string mode)
-    val schema = InferSchema.infer(asJson, "data")
-      .getOrElse(return IngestResult(new Evolution(spark, corpusDir).latestVersion, JsonSchema(Map.empty, Nil), 0, 0, 0))
+    // A1 — constant for a structured batch (see class doc)
+    val schema = JsonSchema(
+      payloadCols.map(_ -> "string").toMap, payloadCols.sorted.toSeq)
 
     // A2/W2 — version state machine (driver-side control plane)
-    val evo = new Evolution(spark, corpusDir)
     val version = evo.evolve(schema, schema.fieldNames)
 
     // V1 — per-record quality issues against the (just-stored) schema
@@ -74,10 +74,8 @@ object Pipeline {
     // M1 + W1 — stamp metadata, serialize, append (single vectorized write).
     // idBase seeds above the corpus max so ids stay unique and ascending
     // across batches (the reference's AUTOINCREMENT contract that Q4's
-    // "latest N by id desc" depends on).
-    // V2 counters ride the SAME job via observe() — no second pass over the
-    // batch re-evaluating the validation expressions (reference
-    // app.py:352-366 counts in its ingest loop for the same reason).
+    // "latest N by id desc" depends on). V2 counters ride the SAME job via
+    // observe() — no second pass over the batch.
     val idBase = if (idCol.isDefined) 0L else Corpus.maxId(spark, corpusDir) + 1L
     val obs = new org.apache.spark.sql.Observation()
     val observed = validated.observe(obs,
@@ -92,5 +90,36 @@ object Pipeline {
     IngestResult(version, schema,
       m("n").asInstanceOf[Long], m("clean").asInstanceOf[Long],
       m("flagged").asInstanceOf[Long])
+  }
+
+  /** Schema-on-read ingest for genuinely ragged JSON records (one string
+    * column of JSON objects): distributed key-presence inference, then the
+    * same validate/stamp/store chain. This is the path where records may
+    * disagree on their key sets, so quality issues can be non-empty.
+    */
+  def ingestJson(spark: SparkSession, records: DataFrame, jsonCol: String,
+                 corpusDir: String, idCol: Option[String] = None): IngestResult = {
+    val evo = new Evolution(spark, corpusDir)
+    val asJson = records.withColumnRenamed(jsonCol, "data")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val schema = InferSchema.infer(asJson, "data")
+        .getOrElse(return IngestResult(evo.latestVersion, JsonSchema(Map.empty, Nil), 0, 0, 0))
+      val version = evo.evolve(schema, schema.fieldNames)
+      val validated = Validate.withQualityIssues(asJson, schema, "data")
+      val idBase = if (idCol.isDefined) 0L else Corpus.maxId(spark, corpusDir) + 1L
+      val obs = new org.apache.spark.sql.Observation()
+      val observed = validated.observe(obs,
+        count(lit(1)).as("n"),
+        count(when(size(col("_quality_issues")) === 0, 1)).as("clean"),
+        count(when(size(col("_quality_issues")) > 0, 1)).as("flagged"))
+      val stamped = Corpus.stampAndSerializeJson(observed, version,
+        idBase = idBase, idCol = idCol)
+      Corpus.append(stamped, corpusDir)
+      val m = obs.get
+      IngestResult(version, schema,
+        m("n").asInstanceOf[Long], m("clean").asInstanceOf[Long],
+        m("flagged").asInstanceOf[Long])
+    } finally asJson.unpersist(blocking = false)
   }
 }

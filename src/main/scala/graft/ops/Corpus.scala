@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** F3 blob parity: re-render the canonical JSON exactly as CPython
+    * json.dumps does (", "/": " separators, ensure_ascii, Python float repr)
+    * so stored blobs replay byte-identically against the reference's
+    * etl_data.db format. One map-only string pass at store time.
+    */
+  private val pyDumps = udf(graft.functions.PyJson.dumps _)
+
   /** M1 + W1 prep — stamp system metadata and render the canonical JSON blob.
     *
     * Blob parity (reference `app.py:355-364`): the reference mutates the
@@ -47,11 +54,6 @@ object Corpus {
         col("_quality_issues"))
     val id = idCol.map(c => col(c).cast("long"))
       .getOrElse(lit(idBase) + monotonically_increasing_id())
-    // F3 blob parity: re-render the canonical JSON exactly as CPython
-    // json.dumps does (", "/": " separators, ensure_ascii, Python float
-    // repr) so stored blobs replay byte-identically against the reference's
-    // etl_data.db format. One extra map-only string pass at store time.
-    val pyDumps = udf(graft.functions.PyJson.dumps _)
     records
       .withColumn("_schema_version", lit(schemaVersion))
       .withColumn("ingested_at", current_timestamp())
@@ -61,6 +63,42 @@ object Corpus {
       .withColumn("schema_version", lit(schemaVersion))
       .withColumn("data",
         pyDumps(to_json(struct(blobCols: _*), Map("ignoreNullFields" -> "false"))))
+      .withColumn("ingested_at_iso", col("_ingested_at_iso"))
+      .withColumn("quality_issues",
+        when(size(coalesce(col("_quality_issues"), array())) === 0, lit(null))
+          .otherwise(col("_quality_issues")).cast("array<string>"))
+      .select("id", "data", "schema_version", "ingested_at", "ingested_at_iso", "quality_issues")
+  }
+
+  /** `stampAndSerialize` for records that already carry their canonical
+    * JSON in a `data` column (the schema-on-read ingest path): the stamped
+    * fields are SPLICED into the existing blob with string expressions —
+    * codegen'd concat, no re-parse and no second struct render — then the
+    * whole blob gets one json.dumps-parity pass. Non-object records (the
+    * reference would crash on them, `app.py:320`) keep their blob unspliced;
+    * validation has already flagged them.
+    */
+  def stampAndSerializeJson(records: DataFrame, schemaVersion: Int,
+                            idBase: Long = 0L, idCol: Option[String] = None): DataFrame = {
+    val id = idCol.map(c => col(c).cast("long"))
+      .getOrElse(lit(idBase) + monotonically_increasing_id())
+    val isObject = col("data").startsWith("{") && col("data").endsWith("}")
+    val spliced = concat(
+      expr("substring(data, 1, length(data) - 1)"),
+      when(length(trim(col("data"))) > 2, lit(",")).otherwise(lit("")),
+      lit("\"_schema_version\":"), col("_schema_version").cast("string"),
+      lit(",\"_ingested_at\":\""), col("_ingested_at_iso"), lit("\""),
+      lit(",\"_quality_issues\":"),
+      to_json(coalesce(col("_quality_issues"), array().cast("array<string>"))),
+      lit("}"))
+    records
+      .withColumn("_schema_version", lit(schemaVersion))
+      .withColumn("ingested_at", current_timestamp())
+      .withColumn("_ingested_at_iso",
+        date_format(col("ingested_at"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      .withColumn("id", id)
+      .withColumn("schema_version", lit(schemaVersion))
+      .withColumn("data", pyDumps(when(isObject, spliced).otherwise(col("data"))))
       .withColumn("ingested_at_iso", col("_ingested_at_iso"))
       .withColumn("quality_issues",
         when(size(coalesce(col("_quality_issues"), array())) === 0, lit(null))

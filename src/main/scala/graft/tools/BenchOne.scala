@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: run a warm-up list of queries, then time one query — isolates
+  * order-dependent slowdowns seen in the full bench.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val warm = args.dropRight(1)
+    val target = args.last
+    warm.foreach { q =>
+      val t0 = System.nanoTime()
+      graft.Queries.queries(q)(spark, sfDir).count()
+      spark.catalog.clearCache()
+      println(f"[benchone] warm $q ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val t0 = System.nanoTime()
+    graft.Queries.queries(target)(spark, sfDir).count()
+    println(f"[benchone] TARGET $target ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}

@@ -71,6 +71,26 @@ class PipelineSpec extends SparkSpec {
     assert(history == Seq(1, 2))
   }
 
+  test("ingestJson: ragged records get real quality issues and spliced blobs") {
+    val dir = tmpDir("corpus_")
+    val recs = Seq("""{"a": 1, "b": 2}""", """{"a": 3}""", """{"a": 4, "z": 5}""").toDF("j")
+    val r = Pipeline.ingestJson(spark, recs, "j", dir)
+    assert(r.recordCount == 3)
+    assert(r.schema.properties.keySet == Set("a", "b", "z"))
+    assert(r.schema.required == Seq("a"))
+    // validation iterates ALL schema properties (app.py:275) — every ragged
+    // record misses some union field, so none is clean
+    assert(r.cleanCount == 0 && r.flaggedCount == 3)
+    val rows = Corpus.records(spark, dir)
+      .select(get_json_object(col("data"), "$.a").as("a"),
+        get_json_object(col("data"), "$._schema_version").as("v"),
+        col("data"))
+      .orderBy("a").collect()
+    assert(rows.map(_.getString(1)).forall(_ == "1"), "blob missing spliced _schema_version")
+    assert(rows(0).getString(2).contains("\"_quality_issues\": [\"Missing field:"),
+      s"expected python-style issues in blob: ${rows(0).getString(2)}")
+  }
+
   test("counters are per-batch, not cumulative") {
     val dir = tmpDir("corpus_")
     Pipeline.ingest(spark, Seq(("x", 1), ("y", 2)).toDF("content", "n"), dir)
