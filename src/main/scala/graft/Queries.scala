@@ -726,6 +726,20 @@ object Queries {
               |WHERE ${dCosine("a.e", "b.e")} >= 0.45
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    ("q_embed_neardup_lsh",
+      (s: SparkSession, d: String) =>
+        Similarity.embeddingNearDuplicates(
+          tbl(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
+          threshold = 0.45, numPlanes = 4, dim = 64)
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+              |  ${dLshBucket("embedding::DOUBLE[]", 4, 64)} AS bucket FROM embeddings)
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              | round(${dCosine("a.e", "b.e")}, 6) AS sim
+              |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |WHERE ${dCosine("a.e", "b.e")} >= 0.45
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     // ------------------------------------------------ text analysis
 
     ("q_term_freq",
