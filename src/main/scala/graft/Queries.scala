@@ -566,6 +566,24 @@ object Queries {
       Some("""SELECT 1 AS version, 6 AS n_props
              |UNION ALL SELECT 2, 7 ORDER BY version""".stripMargin)),
 
+    // The records↔schema_history relationship as a REAL join (SURVEY §2.2 —
+    // the reference re-reads the latest schema instead of ever joining).
+    ("q_records_join_schema",
+      (s: SparkSession, d: String) => {
+        val corpusDir = Files.createTempDirectory("graft_corpus_").toString
+        Pipeline.ingest(s, tbl(s, d, "documents"), corpusDir, idCol = Some("doc_id"))
+        Corpus.records(s, corpusDir)
+          .join(Corpus.schemaHistory(s, corpusDir),
+            col("schema_version") === col("version"))
+          .groupBy("version")
+          .agg(count(lit(1)).as("n_records"),
+            first(size(json_object_keys(get_json_object(col("schema"), "$.properties"))))
+              .as("n_props"))
+          .orderBy("version")
+      },
+      Some("""SELECT 1 AS version, count(*) AS n_records, 6 AS n_props
+             |FROM documents""".stripMargin)),
+
     // ------------------------------------------------ P1/P2 preview
 
     ("q_preview",

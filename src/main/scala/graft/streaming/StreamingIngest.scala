@@ -13,12 +13,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * landing directory: `readStream` file source → `foreachBatch` running the
   * batch pipeline (the schema-version state machine is inherently
   * single-writer, so per-micro-batch driver execution is the *correct* place
-  * for it), parquet-append sink with checkpointing. Delivery is
-  * at-least-once: a micro-batch that fails after the append and is retried
-  * re-appends its records (a blind parquet append is not idempotent). An
-  * exactly-once upgrade would key each batch's output files by `batchId` and
-  * skip already-committed ids — left out to match the reference's own
-  * semantics (re-uploading a file re-ingests it, `app.py:296-315`).
+  * for it), parquet-append sink with checkpointing.
+  *
+  * Delivery: effectively-once via per-batch commit markers. A retried
+  * micro-batch whose previous attempt already committed is skipped
+  * (`ingestBatchOnce`); the residual window — a crash between the corpus
+  * append and the marker write — re-appends one batch, so the guarantee is
+  * at-least-once with idempotent replay of COMPLETED batches, the standard
+  * foreachBatch discipline short of a transactional sink.
   *
   * Event-time analytics over the corpus (watermark + tumbling window) ship as
   * `windowedCounts` — the streaming-native aggregation the reference lacks.
@@ -37,10 +39,26 @@ object StreamingIngest {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("2 seconds"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { Pipeline.ingest(spark, batch, corpusDir); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchOnce(spark, batch, corpusDir, batchId); ()
       }
       .start()
+  }
+
+  /** Run `Pipeline.ingest` for a micro-batch unless a commit marker shows a
+    * previous attempt of the same batchId already completed. Marker files
+    * live under `corpusDir/_batches/` — tiny control-plane state, one flag
+    * per micro-batch.
+    */
+  def ingestBatchOnce(spark: SparkSession, batch: DataFrame, corpusDir: String,
+                      batchId: Long): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(s"$corpusDir/_batches/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return false
+    if (!batch.isEmpty) Pipeline.ingest(spark, batch, corpusDir)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    true
   }
 
   /** Watermarked tumbling-window counts over an event stream — the

@@ -72,6 +72,23 @@ class ReadersSpec extends SparkSpec {
     assert(rows.toSeq == Seq("Hi there "))
   }
 
+  test("pdf: Flate-compressed content stream decodes") {
+    val dir = tmpDir("pdfz_")
+    val content = "BT (Compressed text) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(content); deflater.finish()
+    val buf = new Array[Byte](256)
+    val n = deflater.deflate(buf)
+    val bout = new java.io.ByteArrayOutputStream()
+    val head = s"%PDF-1.4\n4 0 obj\n<< /Length $n /Filter /FlateDecode >>\nstream\n"
+    bout.write(head.getBytes(StandardCharsets.ISO_8859_1))
+    bout.write(buf, 0, n)
+    bout.write("\nendstream\nendobj\n%%EOF\n".getBytes(StandardCharsets.ISO_8859_1))
+    write(dir, "z.pdf", bout.toByteArray)
+    val rows = Readers.pdf(spark, dir).collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("Compressed text "), s"got ${rows.toSeq}")
+  }
+
   test("suffix dispatch routes csv") {
     val dir = tmpDir("csv_")
     write(dir, "d.csv", "a,b\n1,x\n2,y\n".getBytes(StandardCharsets.UTF_8))

@@ -37,6 +37,19 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retried micro-batch with a committed marker is skipped (idempotent replay)") {
+    val corpus = tmpDir("corpus_")
+    val batch = Seq("row one", "row two").toDF("content")
+    assert(StreamingIngest.ingestBatchOnce(spark, batch, corpus, batchId = 7L))
+    assert(Corpus.records(spark, corpus).count() == 2)
+    // same batchId again — the foreachBatch retry case
+    assert(!StreamingIngest.ingestBatchOnce(spark, batch, corpus, batchId = 7L))
+    assert(Corpus.records(spark, corpus).count() == 2, "retry double-appended")
+    // a new batchId ingests normally
+    assert(StreamingIngest.ingestBatchOnce(spark, batch, corpus, batchId = 8L))
+    assert(Corpus.records(spark, corpus).count() == 4)
+  }
+
   test("windowedCounts: watermarked tumbling window aggregates by event_type") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
