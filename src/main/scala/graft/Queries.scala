@@ -731,6 +731,43 @@ object Queries {
               |SELECT qid, rank::INT AS rank, id, round(sim, 6) AS sim
               |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
+    // IVF-bucketed ANN: deterministic seed centroids (16 smallest ids),
+    // nearest-centroid assignment, nprobe=4 probing — the classic
+    // inverted-file recall/fan-in dial, fully reproduced in the oracle.
+    ("q_ann_ivf",
+      (s: SparkSession, d: String) => {
+        val emb = tbl(s, d, "embeddings")
+        val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val cents = Similarity.seedCentroids(corpus, 16)
+        Similarity.ivfTopK(queries, corpus, cents, k = 5, nprobe = 4)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+              |cent AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+              |ascore AS (
+              |  SELECT v.vec_id AS id, v.e, c.cid,
+              |    row_number() OVER (PARTITION BY v.vec_id
+              |      ORDER BY ${dCosine("v.e", "c.ce")} DESC, c.cid) AS rn
+              |  FROM v CROSS JOIN cent c),
+              |asg AS (SELECT id, e, cid AS cluster FROM ascore WHERE rn = 1),
+              |pscore AS (
+              |  SELECT q.vec_id AS qid, q.e AS qe, c.cid AS cluster,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ${dCosine("q.e", "c.ce")} DESC, c.cid) AS prn
+              |  FROM v q CROSS JOIN cent c WHERE q.vec_id < 10),
+              |cand AS (
+              |  SELECT p.qid, a.id, ${dCosine("p.qe", "a.e")} AS sim
+              |  FROM (SELECT * FROM pscore WHERE prn <= 4) p
+              |  JOIN asg a ON a.cluster = p.cluster
+              |  WHERE a.id <> p.qid),
+              |ranked AS (
+              |  SELECT qid, id, sim, row_number() OVER (
+              |    PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM cand)
+              |SELECT qid, rank::INT AS rank, id, round(sim, 6) AS sim
+              |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
     ("q_embed_neardup",
       (s: SparkSession, d: String) =>
         Similarity.bruteForceNearDuplicates(

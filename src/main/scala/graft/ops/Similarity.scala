@@ -122,6 +122,70 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** IVF (inverted-file) index assignment: each vector goes to its nearest
+    * centroid by cosine (ties broken by smallest centroid id — deterministic
+    * and oracle-reproducible). Centroids are a tiny table (id, vec) —
+    * broadcast; assignment is map-only over the corpus, one codegen'd dot
+    * per (vector, centroid).
+    *
+    * Centroid choice is the caller's (k-means, sampled seeds, ...);
+    * `seedCentroids` gives the deterministic sampled-seed variant a training
+    * pipeline would bootstrap with.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
+      .withColumn("nrm", norm(col("vec")))
+    val cent = broadcast(centroids
+      .select(col("cid"), col("cvec").cast("array<double>").as("cvec"))
+      .withColumn("cnrm", norm(col("cvec"))))
+    val scored = c.crossJoin(cent)
+      .withColumn("csim", cosineFromNorms(dot(col("vec"), col("cvec")), col("nrm"), col("cnrm")))
+    // argmax by (sim desc, cid asc) via max of a sortable struct
+    val best = struct(col("csim"), (-col("cid")).as("negcid"))
+    scored.groupBy("id")
+      .agg(max(best).as("b"), first(col("vec")).as("vec"), first(col("nrm")).as("nrm"))
+      .select(col("id"), col("vec"), col("nrm"), (-col("b.negcid")).cast("long").as("cluster"))
+  }
+
+  /** Deterministic seed centroids: the `k` corpus vectors with the smallest
+    * ids (a fixed, engine-agnostic choice — a real deployment would k-means
+    * these; the plumbing is identical).
+    */
+  def seedCentroids(corpus: DataFrame, k: Int): DataFrame =
+    corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
+      .orderBy("id").limit(k)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+
+  /** IVF approximate top-k: queries probe only their `nprobe` nearest
+    * clusters; candidates come from an equi-join on the cluster id — the
+    * classic recall/fan-in dial. Plan: tiny centroid table broadcast twice
+    * (assignment + probe), corpus assigned map-only, then a hash join on
+    * cluster and the same two-stage top-k as the exact path.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids)
+    val cent = broadcast(centroids
+      .select(col("cid"), col("cvec").cast("array<double>").as("cvec"))
+      .withColumn("cnrm", norm(col("cvec"))))
+    val q = queries.select(col("qid"), col("qvec").cast("array<double>").as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(desc("psim"), asc("cid"))
+    val probes = q.crossJoin(cent)
+      .withColumn("psim", cosineFromNorms(dot(col("qvec"), col("cvec")), col("qnorm"), col("cnrm")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("qid"), col("qvec"), col("qnorm"), col("cid").as("cluster"))
+    val scored = broadcast(probes).join(assigned, "cluster")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        cosineFromNorms(dot(col("qvec"), col("vec")), col("qnorm"), col("nrm")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold. Scale variant is
     * the LSH self-join (both sides bucketed — an equi-join, not a cross
     * join); within-bucket pairs get exact cosine.

@@ -50,6 +50,27 @@ class SimilaritySpec extends SparkSpec {
     assert(b(0).length == 4 && b(0).forall(c => c == '0' || c == '1'))
   }
 
+  test("ivfAssign: every vector lands in exactly one cluster; identical vectors co-locate") {
+    val c = vecs.select(col("id"), col("vec"))
+    val cents = Similarity.seedCentroids(c, 2) // centroids from ids 0,1 (identical vecs)
+    val assigned = Similarity.ivfAssign(c, cents)
+    assert(assigned.count() == 5)
+    val byId = assigned.collect().map(r => r.getLong(0) -> r.getAs[Long]("cluster")).toMap
+    // identical vectors 0 and 1 tie on both centroids -> both pick cid 0
+    assert(byId(0L) == 0L && byId(1L) == 0L)
+  }
+
+  test("ivfTopK with nprobe=all matches brute force on this corpus") {
+    val c = vecs.select(col("id"), col("vec"))
+    val q = vecs.filter(col("id") === 0).select(col("id").as("qid"), col("vec").as("qvec"))
+    val cents = Similarity.seedCentroids(c, 2)
+    val ivf = Similarity.ivfTopK(q, c, cents, k = 2, nprobe = 2)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    val brute = Similarity.bruteForceTopK(q, c, k = 2)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(ivf.toSeq == brute.toSeq)
+  }
+
   test("bruteForceNearDuplicates finds only the identical pair at high threshold") {
     val c = vecs.select(col("id"), col("vec"))
     val pairs = Similarity.bruteForceNearDuplicates(c, threshold = 0.999)
