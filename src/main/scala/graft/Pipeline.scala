@@ -82,7 +82,9 @@ object Pipeline {
       count(lit(1)).as("n"),
       count(when(size(col("_quality_issues")) === 0, 1)).as("clean"),
       count(when(size(col("_quality_issues")) > 0, 1)).as("flagged"))
-    val stamped = Corpus.stampAndSerialize(observed.drop("data"), version,
+    // The blob already exists in `data` — splice the stamped fields in with
+    // string expressions instead of re-rendering the whole payload struct.
+    val stamped = Corpus.stampAndSerializeJson(observed, version,
       idBase = idBase, idCol = idCol)
     Corpus.append(stamped, corpusDir)
 

@@ -145,26 +145,33 @@ object Dedup {
                             bits: Int = 16, maxDistance: Int = 3): DataFrame = {
     val nSeg = maxDistance + 1
     val segLen = math.ceil(bits.toDouble / nSeg).toInt
+    // Segment s of a fingerprint, as a small int (long bits from the top,
+    // matching string positions [s*segLen, ...)).
+    def segOf(sig: Column, s: Int): Column = {
+      val width = math.min(segLen, bits - s * segLen)
+      shiftrightunsigned(sig, bits - s * segLen - width)
+        .bitwiseAND(lit((1L << width) - 1L))
+    }
     val withSig = df.select(col(idCol).as("id"), simhashLong(col(textCol), bits).as("sig"))
-    // Segment s covers string positions [s*segLen, ...) = long bits from the
-    // top; extract by shift+mask so the join key is a small int, and persist:
-    // the segment table feeds both sides of the self-join (see
+    // Persist: the segment table feeds both sides of the self-join (see
     // minhashCandidatePairs for why ReuseExchange doesn't apply).
     val segmented = withSig.select(col("id"), col("sig"),
-      posexplode(array((0 until nSeg).map { s =>
-        val width = math.min(segLen, bits - s * segLen)
-        shiftrightunsigned(col("sig"), bits - s * segLen - width)
-          .bitwiseAND(lit((1L << width) - 1L))
-      }: _*)).as(Seq("seg", "segval")))
+      posexplode(array((0 until nSeg).map(segOf(col("sig"), _)): _*)).as(Seq("seg", "segval")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = segmented
+    // First-agreeing-segment ownership: a pair matching on several segments
+    // is emitted ONLY at its first one (all earlier segments must differ) —
+    // exact dedup as a cheap bit-op filter instead of a full-width
+    // distinct() shuffle over the candidate set.
+    val firstAgreement = (0 until nSeg - 1).map { t =>
+      when(col("seg") > t, segOf(col("sig_a"), t) =!= segOf(col("sig_b"), t))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    segmented
       .select(col("seg"), col("segval"), col("id").as("id_a"), col("sig").as("sig_a"))
       .join(segmented.select(col("seg"), col("segval"),
         col("id").as("id_b"), col("sig").as("sig_b")), Seq("seg", "segval"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
-      .distinct()
-    candidates
+      .filter(firstAgreement)
       .withColumn("distance", hammingDistance(col("sig_a"), col("sig_b")))
       .filter(col("distance") <= maxDistance)
       .select("id_a", "id_b", "distance")
