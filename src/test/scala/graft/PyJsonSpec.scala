@@ -68,6 +68,18 @@ class PyJsonSpec extends AnyFunSuite {
     assert(checked > 2900)
   }
 
+  test("golden replay: re-rendering the reference's own stored blobs is byte-identical") {
+    // 50 record blobs + 2 schema rows lifted from the reference's shipped
+    // etl_data.db (each produced by CPython json.dumps): parse -> re-render
+    // must be the identity, proving format parity on real corpus data.
+    val in = getClass.getResourceAsStream("/reference_blobs.jsonl")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+    assert(lines.size >= 50)
+    lines.zipWithIndex.foreach { case (blob, i) =>
+      assert(PyJson.dumps(blob) == blob, s"blob $i diverged")
+    }
+  }
+
   test("dict/list separators and order match json.dumps defaults") {
     assert(PyJson.dumps("""{"a":1,"b":[1.5,null,"x"],"c":{"d":true}}""") ==
       """{"a": 1, "b": [1.5, null, "x"], "c": {"d": true}}""")
