@@ -337,6 +337,77 @@ object Queries {
              |  ON c.user_id = v.user_id AND c.ts_us >= v.ts_us
              |ORDER BY c.event_id""".stripMargin)),
 
+    ("q_rollup",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             | round(sum(l_quantity), 2) AS qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    ("q_cube",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    ("q_grouping_sets",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(s"$d/lineitem.parquet").createOrReplaceTempView("lineitem_gs") match {
+          case _ => s.sql(
+            """SELECT l_returnflag, l_linestatus, count(*) AS n
+              |FROM lineitem_gs
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+        },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
+             |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    ("q_set_ops",
+      (s: SparkSession, d: String) => {
+        val custKeys = tbl(s, d, "customer").select(col("c_custkey").as("k"))
+        val orderCust = tbl(s, d, "orders").select(col("o_custkey").as("k"))
+        custKeys.intersect(orderCust).withColumn("op", lit("intersect"))
+          .unionAll(custKeys.except(orderCust).withColumn("op", lit("except")))
+          .groupBy("op").agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
+          .orderBy("op")
+      },
+      Some("""WITH i AS (SELECT c_custkey AS k FROM customer
+             |          INTERSECT SELECT o_custkey FROM orders),
+             |e AS (SELECT c_custkey AS k FROM customer
+             |      EXCEPT SELECT o_custkey FROM orders),
+             |u AS (SELECT 'intersect' AS op, k FROM i
+             |      UNION ALL SELECT 'except', k FROM e)
+             |SELECT op, count(*) AS n, min(k) AS min_k, max(k) AS max_k
+             |FROM u GROUP BY op ORDER BY op""".stripMargin)),
+
+    // Range (interval) join: bin event values against a literal band table —
+    // a broadcast join on a BETWEEN predicate, the non-equi join Catalyst
+    // plans as BroadcastNestedLoopJoin (correct for a tiny build side).
+    ("q_range_join",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val bands = Seq.tabulate(10)(i => (i, i * 10.0, (i + 1) * 10.0))
+          .toDF("band", "lo", "hi")
+        tbl(s, d, "events")
+          .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy("band").agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+          .orderBy("band")
+      },
+      Some("""WITH bands AS (SELECT i AS band, i * 10.0 AS lo, (i + 1) * 10.0 AS hi
+             |  FROM generate_series(0, 9) t(i))
+             |SELECT band, count(*) AS n, round(avg(value), 6) AS avg_value
+             |FROM events JOIN bands ON value >= lo AND value < hi
+             |GROUP BY band ORDER BY band""".stripMargin)),
+
     ("q_distinct_exact",
       (s: SparkSession, d: String) =>
         tbl(s, d, "lineitem").agg(
