@@ -29,6 +29,15 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(_.getSeq[Float](1).nonEmpty))
   }
 
+  test("resizeStub truncates the payload and rewrites meta dims") {
+    val out = Multimodal.resizeStub(media, 4, 3)
+    val r = out.select(col("meta.width"), col("meta.height"), length(col("payload")))
+      .orderBy(col("media_id")).collect()
+    assert(r.forall(_.getInt(0) == 4))
+    assert(r.forall(_.getInt(1) == 3))
+    assert(r.forall(_.getInt(2) <= 12))
+  }
+
   test("sampleFrames keeps every stride-th frame, renumbered densely") {
     val frames = Multimodal.sampleFrames(media, stride = 2)
       .filter(col("media_id") === 1).orderBy("frame_no").collect()

@@ -91,6 +91,25 @@ class PipelineSpec extends SparkSpec {
       s"expected python-style issues in blob: ${rows(0).getString(2)}")
   }
 
+  test("stampAndSerialize (struct variant) renders the same blob as the splice path") {
+    import graft.ops.{Corpus => C, Validate}
+    import graft.model.JsonSchema
+    val batch = Seq(("hello", 42)).toDF("content", "n")
+    val withPat = graft.ops.Extract.withExtractedPatterns(batch)
+    val cols = withPat.columns
+    val asJson = withPat.withColumn("data",
+      to_json(struct(cols.map(col).toSeq: _*), Map("ignoreNullFields" -> "false")))
+    val schema = JsonSchema(cols.map(_ -> "string").toMap, cols.sorted.toSeq)
+    val validated = Validate.withQualityIssues(asJson, schema, "data")
+    val a = C.stampAndSerialize(validated.drop("data"), 1, idCol = Some("n"))
+      .select("data").collect()(0).getString(0)
+    val b = C.stampAndSerializeJson(validated, 1, idCol = Some("n"))
+      .select("data").collect()(0).getString(0)
+    // strip the (time-dependent) _ingested_at values before comparing
+    def scrub(s: String) = s.replaceAll(""""_ingested_at": "[^"]*"""", """"_ingested_at": "T"""")
+    assert(scrub(a) == scrub(b), s"\nstruct: $a\nsplice: $b")
+  }
+
   test("counters are per-batch, not cumulative") {
     val dir = tmpDir("corpus_")
     Pipeline.ingest(spark, Seq(("x", 1), ("y", 2)).toDF("content", "n"), dir)
