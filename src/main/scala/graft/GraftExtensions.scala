@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSignature, SimHash}
+import graft.functions.{DotProduct, MinHashSignature, PyJsonRender, SimHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -42,5 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         SimHash(children.head, bits)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pyjson"),
+      new ExpressionInfo(classOf[PyJsonRender].getName, "graft_pyjson"),
+      (children: Seq[Expression]) => PyJsonRender(children.head)))
   }
 }

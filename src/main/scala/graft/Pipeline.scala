@@ -56,10 +56,16 @@ object Pipeline {
     // the reference's dict -> json.dumps record model. Null fields stay
     // present (the reference's dicts always carry the key; its
     // stringification maps None -> "" only inside inference, app.py:253-261).
+    // With GraftExtensions loaded the blob is rendered ONCE, directly in
+    // json.dumps parity format (native graft_pyjson); otherwise fall back to
+    // to_json + the re-render pass.
     val payloadCols = withPatterns.columns
-    val asJson = withPatterns
-      .withColumn("data", to_json(struct(payloadCols.map(col).toSeq: _*),
-        Map("ignoreNullFields" -> "false")))
+    val nativeRender =
+      try spark.catalog.functionExists("graft_pyjson") catch { case _: Exception => false }
+    val payloadStruct = struct(payloadCols.map(col).toSeq: _*)
+    val asJson = withPatterns.withColumn("data",
+      if (nativeRender) call_function("graft_pyjson", payloadStruct)
+      else to_json(payloadStruct, Map("ignoreNullFields" -> "false")))
 
     // A1 — constant for a structured batch (see class doc)
     val schema = JsonSchema(
@@ -84,8 +90,11 @@ object Pipeline {
       count(when(size(col("_quality_issues")) > 0, 1)).as("flagged"))
     // The blob already exists in `data` — splice the stamped fields in with
     // string expressions instead of re-rendering the whole payload struct.
-    val stamped = Corpus.stampAndSerializeJson(observed, version,
-      idBase = idBase, idCol = idCol)
+    val stamped =
+      if (nativeRender) Corpus.stampAndSerializeNative(observed, version,
+        idBase = idBase, idCol = idCol)
+      else Corpus.stampAndSerializeJson(observed, version,
+        idBase = idBase, idCol = idCol)
     Corpus.append(stamped, corpusDir)
 
     val m = obs.get // collected during the write job

@@ -48,6 +48,30 @@ object PyJson extends Serializable {
     override def initialValue() = new java.util.HashMap[Long, String](1 << 12)
   }
 
+  /** Cached Python repr of a double (for the direct renderer). */
+  private[functions] def floatReprOf(v: Double): String = pyFloatCached(v)
+
+  /** Python-format an ALREADY-shortest Java digit rendering like "1.5",
+    * "-1.0E20" (e.g. Float.toString output, whose digits are shortest at
+    * single precision) — same fixed/exponent cut-over as repr, no re-search.
+    */
+  private[functions] def reprFromDigits(javaRepr: String): String = {
+    val neg = javaRepr.startsWith("-")
+    val s = if (neg) javaRepr.substring(1) else javaRepr
+    val (mant, e) = s.indexOf('E') match {
+      case -1 => (s, 0)
+      case i => (s.substring(0, i), s.substring(i + 1).toInt)
+    }
+    val dot = mant.indexOf('.')
+    val digitsRaw = mant.substring(0, dot) + mant.substring(dot + 1)
+    val trimmedLeading = digitsRaw.dropWhile(_ == '0')
+    val leadZeros = digitsRaw.length - trimmedLeading.length
+    val digits0 = trimmedLeading.reverse.dropWhile(_ == '0').reverse
+    val digits = if (digits0.isEmpty) "0" else digits0
+    val exp10 = if (digits0.isEmpty) 1 else dot - leadZeros + e
+    formatPy(neg, digits, exp10, zero = digits0.isEmpty)
+  }
+
   private def pyFloatCached(v: Double): String = {
     val cache = floatCache.get()
     if (cache.size > (1 << 16)) cache.clear()
@@ -121,11 +145,19 @@ object PyJson extends Serializable {
     if (v.isNegInfinity) return "-Infinity"
     val neg = (java.lang.Double.doubleToRawLongBits(v) < 0)
     val a = math.abs(v)
+    if (a == 0.0) return formatPy(neg, "0", 1, zero = true)
     val (digits, exp10) = shortestDigits(a) // digits "d1d2..", value = 0.d1d2.. * 10^exp10
+    formatPy(neg, digits, exp10, zero = false)
+  }
+
+  /** repr formatting from (sign, significant digits, decimal exponent) with
+    * value = 0.digits × 10^exp10: fixed iff 1e-4 <= |v| < 1e16 (exp10 in
+    * [-3, 16]), else `e±NN` with two-digit minimum and no '.0' on
+    * single-digit mantissas.
+    */
+  private def formatPy(neg: Boolean, digits: String, exp10: Int, zero: Boolean): String = {
     val sign = if (neg) "-" else ""
-    if (a == 0.0) return sign + "0.0"
-    // fixed iff 1e-4 <= a < 1e16; with a = 0.digits × 10^exp10 that is
-    // exp10 in [-3, 16]
+    if (zero) return sign + "0.0"
     if (exp10 >= -3 && exp10 <= 16) {
       if (exp10 >= digits.length)
         sign + digits + "0" * (exp10 - digits.length) + ".0"

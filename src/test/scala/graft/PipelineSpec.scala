@@ -110,6 +110,23 @@ class PipelineSpec extends SparkSpec {
     assert(scrub(a) == scrub(b), s"\nstruct: $a\nsplice: $b")
   }
 
+  test("native graft_pyjson equals to_json + PyJson.dumps on a gnarly payload") {
+    val df = Seq(
+      ("café 你好", Some(1.5), Some(42L), Seq("a\"b", "c\\d"), java.sql.Date.valueOf("2024-02-29")),
+      ("ctl\tchars\n", None, None, Seq.empty[String], java.sql.Date.valueOf("1999-12-31"))
+    ).toDF("s", "d", "l", "arr", "dt")
+    val payload = struct(col("s"), col("d"), col("l"), col("arr"), col("dt"))
+    val pyDumpsUdf = udf(graft.functions.PyJson.dumps _)
+    val rows = df.select(
+      call_function("graft_pyjson", payload).as("native"),
+      pyDumpsUdf(to_json(payload, java.util.Map.of("ignoreNullFields", "false"))).as("via_tojson"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"\nnative:    ${r.getString(0)}\nvia_tojson: ${r.getString(1)}")
+    }
+  }
+
   test("counters are per-batch, not cumulative") {
     val dir = tmpDir("corpus_")
     Pipeline.ingest(spark, Seq(("x", 1), ("y", 2)).toDF("content", "n"), dir)
