@@ -58,13 +58,17 @@ object Queries {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
-  /** First 100 documents as (doc_id, lang, text), driver-side (fixture
-    * rendering is control plane; 100 rows).
+  /** First n documents as (doc_id, lang, text), driver-side (fixture
+    * rendering is control plane; <=100 rows). Memoized per (sf, n) — three
+    * fixture renderers ask for overlapping prefixes back to back.
     */
+  private val docRowsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(Long, String, String)]]
   private def docRows(spark: SparkSession, sfDir: String, n: Int): Seq[(Long, String, String)] =
-    tbl(spark, sfDir, "documents").filter(col("doc_id") < n)
-      .select("doc_id", "lang", "text").orderBy("doc_id")
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    docRowsCache.getOrElseUpdate((sfDir, n),
+      tbl(spark, sfDir, "documents").filter(col("doc_id") < n)
+        .select("doc_id", "lang", "text").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq)
 
   private def csvFixture(spark: SparkSession, sfDir: String): String = {
     val dir = fixtureDir(sfDir).resolve("customer_csv")
