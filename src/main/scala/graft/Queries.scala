@@ -880,6 +880,29 @@ object Queries {
               | SELECT unnest($dTokens) AS token FROM documents)
               |GROUP BY token ORDER BY token""".stripMargin)),
 
+    ("q_tfidf",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.tfIdf(tbl(s, d, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", topK = 5, linearIcf = true)
+          .orderBy("id", "rank"),
+      Some(s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+              |n AS (SELECT count(*)::DOUBLE AS n FROM docs),
+              |terms AS (
+              |  SELECT doc_id AS id, unnest($dTokens) AS token FROM docs),
+              |tf AS (SELECT id, token, count(*) AS tf FROM terms GROUP BY id, token),
+              |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+              |scored AS (
+              |  SELECT tf.id, tf.token, tf.tf, dfreq.df,
+              |    tf.tf * ((SELECT n FROM n) / dfreq.df) AS weight
+              |  FROM tf JOIN dfreq USING (token)),
+              |ranked AS (
+              |  SELECT id, token, tf, df, weight, row_number() OVER (
+              |    PARTITION BY id ORDER BY weight DESC, token) AS rank
+              |  FROM scored)
+              |SELECT id, rank::INT AS rank, token, tf, df,
+              |  ${Nums.dRound6("weight")} AS weight
+              |FROM ranked WHERE rank <= 5 ORDER BY id, rank""".stripMargin)),
+
     ("q_text_quality",
       (s: SparkSession, d: String) =>
         TextAnalysis.withQualityFeatures(

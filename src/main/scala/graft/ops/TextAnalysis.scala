@@ -91,6 +91,37 @@ object TextAnalysis {
     df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
 
+  /** Per-document term weights: tf × idf over the corpus, top-k terms per
+    * document. Plan: one (doc, token) hash aggregate for term frequencies,
+    * one token aggregate for document frequencies (vocabulary-sized —
+    * broadcast back), then a per-doc top-k window over doc-local rows.
+    *
+    * @param linearIcf true → weight = tf * (N / df): a single IEEE division,
+    *        bit-identical across engines (oracle-checkable). false → classic
+    *        tf * ln(N / df), which ranks slightly differently and whose
+    *        `ln` can differ by an ulp between libm implementations.
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String, topK: Int,
+            linearIcf: Boolean = false): DataFrame = {
+    val n = df.count() // driver-side scalar: total docs, broadcast as literal
+    val terms = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val docFreq = terms.groupBy("token")
+      .agg(count(lit(1)).as("df"))
+    val weight =
+      if (linearIcf) col("tf") * (lit(n.toDouble) / col("df"))
+      else col("tf") * log(lit(n.toDouble) / col("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(desc("weight"), asc("token"))
+    terms.join(broadcast(docFreq), "token")
+      .withColumn("weight", weight)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("id"), col("rank"), col("token"),
+        col("tf"), col("df"), Nums.round6(col("weight")).as("weight"))
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized lowercase text —
     * byte-stable across engines (oracle-checkable exact-dup key).
     */

@@ -44,6 +44,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1).getLong(1) != fp(2).getLong(1))     // order-sensitive
   }
 
+  test("tfIdf: corpus-wide terms weigh less than doc-specific terms") {
+    val docs = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common rare2"),
+      (3L, "common other")
+    ).toDF("doc_id", "t")
+    val out = TextAnalysis.tfIdf(docs, "doc_id", "t", topK = 2)
+      .filter(col("id") === 2).orderBy("rank").collect()
+    // rare2 appears in 1/3 docs, common in 3/3 -> rare2 ranks first
+    assert(out(0).getAs[String]("token") == "rare2")
+    assert(out(1).getAs[String]("token") == "common")
+    assert(out(0).getAs[Double]("weight") > out(1).getAs[Double]("weight"))
+    assert(out(0).getAs[Long]("df") == 1 && out(1).getAs[Long]("df") == 3)
+  }
+
   test("termFrequencies counts duplicated tokens") {
     val tf = TextAnalysis.termFrequencies(Seq("a b a", "b a").toDF("t"), "t")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
