@@ -677,6 +677,32 @@ object Queries {
              |  n_chars := n_chars, source := source, text := text))::VARCHAR AS record_json
              |FROM documents ORDER BY doc_id LIMIT 5""".stripMargin)),
 
+    // Gap-based sessionization (SURVEY §2.2 stateful category): 30-minute
+    // gap over each user's event stream.
+    ("q_sessionize",
+      (s: SparkSession, d: String) =>
+        graft.ops.Sessionize.byGap(
+          tbl(s, d, "events").select(col("user_id"), expr("ts div 1000").as("ts_us")),
+          "user_id", "ts_us", gapMicros = 30L * 60 * 1000000)
+          .select(col("user_id"), col("session_no").cast("long").as("session_no"),
+            col("n_events"), col("start_us"), col("end_us"))
+          .orderBy("user_id", "session_no"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+             |marked AS (
+             |  SELECT user_id, ts_us,
+             |    CASE WHEN lag(ts_us) OVER w IS NULL
+             |      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+             |ids AS (
+             |  SELECT user_id, ts_us, sum(ns) OVER (
+             |    PARTITION BY user_id ORDER BY ts_us
+             |    ROWS UNBOUNDED PRECEDING) AS session_no
+             |  FROM marked)
+             |SELECT user_id, session_no, count(*) AS n_events,
+             |  min(ts_us) AS start_us, max(ts_us) AS end_us
+             |FROM ids GROUP BY user_id, session_no
+             |ORDER BY user_id, session_no""".stripMargin)),
+
     // ------------------------------------------------ dedup family
 
     ("q_dedup_exact",

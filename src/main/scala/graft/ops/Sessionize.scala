@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Gap-based sessionization — the canonical stateful operator the reference
+  * lacks (SURVEY §2.2 "streaming / stateful: absent").
+  *
+  * Batch: a new session starts when the gap to the previous event of the
+  * same key exceeds `gapMicros`; session id = running count of starts. One
+  * shuffle+sort per key (window), two streaming window functions — linear,
+  * spillable, AQE-splittable on skewed keys.
+  *
+  * Streaming: the same semantics as `flatMapGroupsWithState` over a
+  * key-grouped event stream with processing-time timeouts — sessions close
+  * when no event arrives within the gap; closed sessions are emitted
+  * downstream (append mode).
+  */
+object Sessionize {
+
+  /** Batch sessionization.
+    * Input: (key, tsMicros) columns. Output: one row per session —
+    * (key, session_no, n_events, start_us, end_us).
+    */
+  def byGap(df: DataFrame, keyCol: String, tsCol: String, gapMicros: Long): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val withStart = df
+      .withColumn("__prev", lag(col(tsCol), 1).over(byKey))
+      .withColumn("__new_session",
+        when(col("__prev").isNull || col(tsCol) - col("__prev") > gapMicros, 1)
+          .otherwise(0))
+    val withId = withStart
+      .withColumn("session_no",
+        sum(col("__new_session")).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withId.groupBy(col(keyCol), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_us"),
+        max(col(tsCol)).as("end_us"))
+  }
+
+  final case class SessionEvent(key: String, tsMicros: Long)
+  final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
+  final case class ClosedSession(key: String, nEvents: Long, startUs: Long, endUs: Long)
+
+  /** Per-group state transition — exposed so the timeout and advance paths
+    * are unit-testable with `TestGroupState` (the streaming harness only
+    * exercises them with wall-clock timing).
+    */
+  def onGroup(key: String, rows: Iterator[SessionEvent],
+              state: GroupState[SessionState], gapMicros: Long,
+              registerTimeout: Boolean): Iterator[ClosedSession] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator(ClosedSession(key, s.nEvents, s.startUs, s.lastUs))
+    } else {
+      val sorted = rows.toSeq.sortBy(_.tsMicros)
+      var closed = List.empty[ClosedSession]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.tsMicros - s.lastUs <= gapMicros =>
+            cur = Some(SessionState(s.startUs, e.tsMicros, s.nEvents + 1))
+          case Some(s) =>
+            closed ::= ClosedSession(key, s.nEvents, s.startUs, s.lastUs)
+            cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+          case None =>
+            cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        if (registerTimeout) state.setTimeoutDuration(gapMicros / 1000L + 1L)
+      }
+      closed.reverseIterator
+    }
+  }
+
+  /** Streaming sessionization: a buffered session closes when a new event of
+    * the same key arrives beyond the gap, and — with `idleTimeout=true` —
+    * when the processing-time timeout (= the gap) fires with no new events.
+    * NOTE an armed idle timeout keeps the query scheduling micro-batches
+    * while any session is open (that is what evaluates timeouts); bounded
+    * drains (Trigger.AvailableNow) should run with `idleTimeout=false`.
+    */
+  def streamingByGap(events: Dataset[SessionEvent], gapMicros: Long,
+                     idleTimeout: Boolean = true)
+                    (implicit spark: SparkSession): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val timeout =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, ClosedSession](OutputMode.Append(), timeout) {
+        (key, rows, state) => onGroup(key, rows, state, gapMicros, idleTimeout)
+      }
+  }
+}

@@ -50,6 +50,71 @@ class StreamingSpec extends SparkSpec {
     assert(Corpus.records(spark, corpus).count() == 4)
   }
 
+  test("batch sessionization: sessions split exactly at the gap") {
+    val df = Seq(
+      ("u1", 0L), ("u1", 900L), ("u1", 2000L),   // gap 1000 between 900 and 2000
+      ("u2", 50L)
+    ).toDF("k", "ts")
+    val out = graft.ops.Sessionize.byGap(df, "k", "ts", gapMicros = 1000L)
+      .orderBy("k", "session_no")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("u1", 1L, 2L, 0L, 900L),   // boundary: 900-0 <= gap keeps them together
+      ("u1", 2L, 1L, 2000L, 2000L),
+      ("u2", 1L, 1L, 50L, 50L)))
+  }
+
+  test("streaming sessionization: a beyond-gap event closes the buffered session") {
+    implicit val s = spark
+    import graft.ops.Sessionize
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.SessionEvent]
+    mem.addData(
+      Sessionize.SessionEvent("u1", 0L),
+      Sessionize.SessionEvent("u1", 500000L),
+      Sessionize.SessionEvent("u1", 5000000L)) // 4.5s after -> new session
+    // idleTimeout=false + AvailableNow: drain the pending data then stop (an
+    // armed processing-time timeout would keep the query scheduling batches)
+    val closed = Sessionize.streamingByGap(mem.toDS(), gapMicros = 1000000L,
+      idleTimeout = false)
+    val q = closed.writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000L), "stream did not drain in time")
+      val rows = spark.table("sessions")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq(("u1", 2L, 0L, 500000L)),
+        s"expected first session closed, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("session state machine: advance, beyond-gap closure, idle timeout") {
+    import graft.ops.Sessionize._
+    import org.apache.spark.sql.streaming.TestGroupState
+    // fresh key opens a session, nothing closes
+    val s1 = TestGroupState.create[SessionState](
+      org.apache.spark.api.java.Optional.empty[SessionState](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      1000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out1 = onGroup("u", Iterator(SessionEvent("u", 10L), SessionEvent("u", 20L)),
+      s1, gapMicros = 100L, registerTimeout = true).toSeq
+    assert(out1.isEmpty && s1.get == SessionState(10L, 20L, 2))
+    // an event beyond the gap closes the buffered session and re-opens
+    val out2 = onGroup("u", Iterator(SessionEvent("u", 500L)), s1, 100L, true).toSeq
+    assert(out2 == Seq(ClosedSession("u", 2, 10L, 20L)))
+    assert(s1.get == SessionState(500L, 500L, 1))
+    // idle timeout closes and clears
+    val s2 = TestGroupState.create[SessionState](
+      org.apache.spark.api.java.Optional.of(SessionState(1L, 2L, 3)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      5000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    val out3 = onGroup("u", Iterator.empty, s2, 100L, true).toSeq
+    assert(out3 == Seq(ClosedSession("u", 3, 1L, 2L)))
+    assert(s2.isRemoved)
+  }
+
   test("windowedCounts: watermarked tumbling window aggregates by event_type") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
