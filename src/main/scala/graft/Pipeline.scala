@@ -51,50 +51,42 @@ object Pipeline {
     // F2 — extract patterns from content (empty struct when none)
     val withPatterns = Extract.withExtractedPatterns(batch)
 
-    // Render each record as canonical JSON; everything downstream
-    // (validation, storage) is schema-on-read over this blob, exactly like
-    // the reference's dict -> json.dumps record model. Null fields stay
-    // present (the reference's dicts always carry the key; its
-    // stringification maps None -> "" only inside inference, app.py:253-261).
-    // With GraftExtensions loaded the blob is rendered ONCE, directly in
-    // json.dumps parity format (native graft_pyjson); otherwise fall back to
-    // to_json + the re-render pass.
-    val payloadCols = withPatterns.columns
-    val nativeRender =
-      try spark.catalog.functionExists("graft_pyjson") catch { case _: Exception => false }
-    val payloadStruct = struct(payloadCols.map(col).toSeq: _*)
-    val asJson = withPatterns.withColumn("data",
-      if (nativeRender) call_function("graft_pyjson", payloadStruct)
-      else to_json(payloadStruct, Map("ignoreNullFields" -> "false")))
-
     // A1 — constant for a structured batch (see class doc)
+    val payloadCols = withPatterns.columns
     val schema = JsonSchema(
       payloadCols.map(_ -> "string").toMap, payloadCols.sorted.toSeq)
 
     // A2/W2 — version state machine (driver-side control plane)
     val version = evo.evolve(schema, schema.fieldNames)
 
-    // V1 — per-record quality issues against the (just-stored) schema
-    val validated = Validate.withQualityIssues(asJson, schema, "data")
+    // V1 — CONSTANT on this path, like inference: the blob is rendered from
+    // the batch's fixed column struct with nulls kept, so every record
+    // carries exactly the schema's properties — record keys ∖ schema and
+    // schema ∖ record keys are empty BY CONSTRUCTION. No per-record JSON
+    // parse; the schema-on-read `ingestJson` path below keeps the real
+    // distributed validation for ragged input.
+    val validated = withPatterns
+      .withColumn("_quality_issues", array().cast("array<string>"))
 
-    // M1 + W1 — stamp metadata, serialize, append (single vectorized write).
+    // M1 + W1 — stamp metadata, render the canonical blob, append (single
+    // vectorized write). With GraftExtensions loaded the WHOLE blob —
+    // payload + `_schema_version`/`_ingested_at`/`_quality_issues`, in
+    // reference dict order (`app.py:355-364`) — renders in one codegen'd
+    // `graft_pyjson` pass; otherwise to_json + the json.dumps re-render.
     // idBase seeds above the corpus max so ids stay unique and ascending
     // across batches (the reference's AUTOINCREMENT contract that Q4's
     // "latest N by id desc" depends on). V2 counters ride the SAME job via
     // observe() — no second pass over the batch.
+    val nativeRender =
+      try spark.catalog.functionExists("graft_pyjson") catch { case _: Exception => false }
     val idBase = if (idCol.isDefined) 0L else Corpus.maxId(spark, corpusDir) + 1L
     val obs = new org.apache.spark.sql.Observation()
     val observed = validated.observe(obs,
       count(lit(1)).as("n"),
       count(when(size(col("_quality_issues")) === 0, 1)).as("clean"),
       count(when(size(col("_quality_issues")) > 0, 1)).as("flagged"))
-    // The blob already exists in `data` — splice the stamped fields in with
-    // string expressions instead of re-rendering the whole payload struct.
-    val stamped =
-      if (nativeRender) Corpus.stampAndSerializeNative(observed, version,
-        idBase = idBase, idCol = idCol)
-      else Corpus.stampAndSerializeJson(observed, version,
-        idBase = idBase, idCol = idCol)
+    val stamped = Corpus.stampAndSerialize(observed, version,
+      idBase = idBase, idCol = idCol, native = nativeRender)
     Corpus.append(stamped, corpusDir)
 
     val m = obs.get // collected during the write job

@@ -44,8 +44,14 @@ object Corpus {
     * derives it from the corpus max — `app.py:169-173` AUTOINCREMENT
     * semantics) so Q4's "latest N by id desc" orders batches correctly.
     */
+  /** With `native=true` (requires [[graft.GraftExtensions]]) the whole blob —
+    * payload and stamped fields — renders in ONE codegen'd `graft_pyjson`
+    * pass over the final struct: no `to_json`, no re-render, no splice copy.
+    * This is the structured-ingest hot path.
+    */
   def stampAndSerialize(records: DataFrame, schemaVersion: Int,
-                        idBase: Long = 0L, idCol: Option[String] = None): DataFrame = {
+                        idBase: Long = 0L, idCol: Option[String] = None,
+                        native: Boolean = false): DataFrame = {
     val payloadCols = records.columns
       .filterNot(Set("_schema_version", "_ingested_at", "_quality_issues"))
     val blobCols =
@@ -54,6 +60,9 @@ object Corpus {
         col("_quality_issues"))
     val id = idCol.map(c => col(c).cast("long"))
       .getOrElse(lit(idBase) + monotonically_increasing_id())
+    val blob =
+      if (native) call_function("graft_pyjson", struct(blobCols: _*))
+      else pyDumps(to_json(struct(blobCols: _*), Map("ignoreNullFields" -> "false")))
     records
       .withColumn("_schema_version", lit(schemaVersion))
       .withColumn("ingested_at", current_timestamp())
@@ -61,8 +70,7 @@ object Corpus {
         date_format(col("ingested_at"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
       .withColumn("id", id)
       .withColumn("schema_version", lit(schemaVersion))
-      .withColumn("data",
-        pyDumps(to_json(struct(blobCols: _*), Map("ignoreNullFields" -> "false"))))
+      .withColumn("data", blob)
       .withColumn("ingested_at_iso", col("_ingested_at_iso"))
       .withColumn("quality_issues",
         when(size(coalesce(col("_quality_issues"), array())) === 0, lit(null))
