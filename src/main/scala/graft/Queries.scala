@@ -906,6 +906,37 @@ object Queries {
               | SELECT unnest($dTokens) AS token FROM documents)
               |GROUP BY token ORDER BY token""".stripMargin)),
 
+    // Gopher-style repetition filters (duplicate-line/token fraction,
+    // top-bigram share) — training-data quality signals.
+    ("q_repetition",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.repetitionSignals(
+          tbl(s, d, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+          .orderBy("id"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id,
+              |    list_filter(list_transform(string_split(text, chr(10)),
+              |      x -> trim(x)), x -> x <> '') AS l,
+              |    $dTokens AS tk
+              |  FROM documents WHERE doc_id < 200),
+              |f AS (
+              |  SELECT doc_id,
+              |    CASE WHEN len(l) <= 0 THEN 0.0
+              |      ELSE 1.0 - len(list_distinct(l))::DOUBLE / len(l) END AS dlf,
+              |    CASE WHEN len(tk) <= 0 THEN 0.0
+              |      ELSE 1.0 - len(list_distinct(tk))::DOUBLE / len(tk) END AS dtf,
+              |    CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+              |      i -> tk[i] || ' ' || tk[i + 1]) ELSE []::VARCHAR[] END AS bg
+              |  FROM t),
+              |cnt AS (SELECT doc_id, b, count(*) AS c
+              |  FROM (SELECT doc_id, unnest(bg) AS b FROM f) GROUP BY 1, 2),
+              |top AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tbf FROM cnt GROUP BY 1)
+              |SELECT f.doc_id AS id,
+              |  ${Nums.dRound6("dlf")} AS dup_line_frac,
+              |  ${Nums.dRound6("dtf")} AS dup_token_frac,
+              |  ${Nums.dRound6("coalesce(tbf, 0.0)")} AS top_bigram_frac
+              |FROM f LEFT JOIN top USING (doc_id) ORDER BY id""".stripMargin)),
+
     ("q_tfidf",
       (s: SparkSession, d: String) =>
         TextAnalysis.tfIdf(tbl(s, d, "documents").filter(col("doc_id") < 100),

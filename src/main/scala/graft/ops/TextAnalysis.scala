@@ -122,6 +122,47 @@ object TextAnalysis {
         col("tf"), col("df"), Nums.round6(col("weight")).as("weight"))
   }
 
+  /** Repetition signals for training-data filtering (the Gopher-rule family,
+    * Rae et al. 2021 §A1.1): per document,
+    *   - `dup_line_frac`  — fraction of non-empty trimmed lines that are
+    *     duplicates of an earlier line,
+    *   - `dup_token_frac` — same at token granularity,
+    *   - `top_bigram_frac` — the most frequent bigram's share of all bigram
+    *     occurrences.
+    * Line/token fractions are pure per-row array expressions (map-only).
+    * The bigram mode is an explode + two hash aggregates + an id-keyed join
+    * back — fully distributed; deliberately NOT a per-row
+    * `transform(distinct, count-occurrences)` pass, which is O(len²) per
+    * document and dies on long documents.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val dupFrac = (arr: Column) => when(size(arr) <= 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr).cast("double"))
+    val toks = tokens(col(textCol))
+    val bigrams = when(size(toks) >= 2,
+      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    val base = df.select(col(idCol).as("id"),
+      dupFrac(lines).as("dup_line_frac"),
+      dupFrac(toks).as("dup_token_frac"),
+      bigrams.as("__bigrams"))
+    val topBigram = base
+      .select(col("id"), explode(col("__bigrams")).as("bg"))
+      .groupBy("id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+        .as("top_bigram_frac"))
+    base.drop("__bigrams")
+      .join(topBigram, Seq("id"), "left")
+      .select(col("id"),
+        Nums.round6(col("dup_line_frac")).as("dup_line_frac"),
+        Nums.round6(col("dup_token_frac")).as("dup_token_frac"),
+        Nums.round6(coalesce(col("top_bigram_frac"), lit(0.0))).as("top_bigram_frac"))
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized lowercase text —
     * byte-stable across engines (oracle-checkable exact-dup key).
     */

@@ -61,6 +61,20 @@ object StreamingIngest {
     true
   }
 
+  /** Streaming exact dedup: keep the FIRST record per dedup key, with
+    * bounded state — the streaming face of `Dedup.dedupKeepFirst`. State is
+    * evicted once the watermark passes a key's arrival time, so memory is
+    * O(keys per watermark window), not O(stream); duplicates arriving after
+    * eviction re-emit (the standard watermark/state trade, same as any
+    * at-scale streaming dedup). Key on a content fingerprint
+    * (`TextAnalysis.fingerprintMd5`) to dedup documents by content.
+    */
+  def dedupStream(records: DataFrame, tsCol: String, keyCols: Seq[String],
+                  watermark: String): DataFrame =
+    records
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Watermarked tumbling-window counts over an event stream — the
     * streaming-native aggregation pattern (watermark bounds state; late rows
     * beyond it are dropped, so state size is O(windows in flight), not O(n)).

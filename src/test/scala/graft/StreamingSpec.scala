@@ -50,6 +50,27 @@ class StreamingSpec extends SparkSpec {
     assert(Corpus.records(spark, corpus).count() == 4)
   }
 
+  test("streaming exact dedup keeps the first record per fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    mem.addData(
+      (new Timestamp(1000L), "Hello  World"),
+      (new Timestamp(2000L), "hello world"),   // same fingerprint as above
+      (new Timestamp(3000L), "different doc"))
+    val deduped = StreamingIngest.dedupStream(
+      mem.toDF().toDF("ts", "content")
+        .withColumn("fp", graft.ops.TextAnalysis.fingerprintMd5(col("content"))),
+      "ts", Seq("fp"), watermark = "10 seconds")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val contents = spark.table("dedup_out").collect().map(_.getAs[String]("content"))
+      assert(contents.sorted.toSeq == Seq("Hello  World", "different doc"),
+        s"expected first-per-fingerprint, got ${contents.toSeq}")
+    } finally q.stop()
+  }
+
   test("batch sessionization: sessions split exactly at the gap") {
     val df = Seq(
       ("u1", 0L), ("u1", 900L), ("u1", 2000L),   // gap 1000 between 900 and 2000

@@ -64,4 +64,23 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(tf == Map("a" -> 3L, "b" -> 2L))
   }
+
+  test("repetitionSignals: duplicate lines/tokens and the top-bigram share") {
+    val docs = Seq(
+      (1L, "x y\nx y\nz"),        // 3 lines, 1 dup; tokens x y x y z
+      (2L, "a b a b a b"),        // bigrams: "a b"×3, "b a"×2 -> top 3/5
+      (3L, "solo"),               // single token: no bigrams
+      (4L, "")                    // empty text
+    ).toDF("doc_id", "t")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "t")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // fractions come back round6-ed (floor(x*1e6+0.5)/1e6)
+    assert(out(0) == ((1L, 0.333333, 0.4, 0.5)),
+      s"doc1: ${out(0)}") // bigrams: "x y","y x","x y","y z" -> top 2/4
+    assert(out(1)._1 == 2L && out(1)._2 == 0.0)
+    assert(out(1)._3 == 0.666667 && out(1)._4 == 0.6, s"doc2: ${out(1)}")
+    assert(out(2) == ((3L, 0.0, 0.0, 0.0)))
+    assert(out(3) == ((4L, 0.0, 0.0, 0.0)))
+  }
 }
