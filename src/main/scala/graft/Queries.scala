@@ -703,6 +703,66 @@ object Queries {
              |FROM ids GROUP BY user_id, session_no
              |ORDER BY user_id, session_no""".stripMargin)),
 
+    // Same sessions via the built-in `session_window` aggregate (the
+    // Spark-native single-aggregation plan, streaming-valid). Merge is
+    // inclusive at the boundary (diff == gap extends the session), exactly
+    // like `Sessionize.byGap` — verified by StreamingSpec.
+    ("q_sessionize_native",
+      (s: SparkSession, d: String) =>
+        graft.ops.Sessionize.byGapNative(
+          tbl(s, d, "events").select(col("user_id"), expr("ts div 1000").as("ts_us")),
+          "user_id", "ts_us", gapMicros = 30L * 60 * 1000000)
+          .orderBy("user_id", "start_us"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+             |marked AS (
+             |  SELECT user_id, ts_us,
+             |    CASE WHEN lag(ts_us) OVER w IS NULL
+             |      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+             |ids AS (
+             |  SELECT user_id, ts_us, sum(ns) OVER (
+             |    PARTITION BY user_id ORDER BY ts_us
+             |    ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM marked)
+             |SELECT user_id, count(*) AS n_events,
+             |  min(ts_us) AS start_us, max(ts_us) AS end_us
+             |FROM ids GROUP BY user_id, sid
+             |ORDER BY user_id, start_us""".stripMargin)),
+
+    // Exact interpolated quantiles (percentile = DuckDB quantile_cont) per
+    // group — the sort-based analytics staple.
+    ("q_percentile",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            Nums.round6(expr("percentile(l_quantity, 0.25)")).as("p25"),
+            Nums.round6(expr("percentile(l_quantity, 0.5)")).as("p50"),
+            Nums.round6(expr("percentile(l_quantity, 0.75)")).as("p75"),
+            Nums.round6(expr("percentile(l_extendedprice, 0.95)")).as("p95_price"))
+          .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+              | ${Nums.dRound6("quantile_cont(l_quantity, 0.25)")} AS p25,
+              | ${Nums.dRound6("quantile_cont(l_quantity, 0.5)")} AS p50,
+              | ${Nums.dRound6("quantile_cont(l_quantity, 0.75)")} AS p75,
+              | ${Nums.dRound6("quantile_cont(l_extendedprice, 0.95)")} AS p95_price
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Salted skew-join: identical result set to the plain equi-join (the
+    // salt is internal); the oracle IS the plain join.
+    ("q_join_salted",
+      (s: SparkSession, d: String) =>
+        graft.ops.SkewJoin.saltedJoin(
+          tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+          tbl(s, d, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+          Seq("l_orderkey"), salts = 8)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").cast("long").as("qty"))
+          .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, count(*) AS n, sum(l_quantity)::BIGINT AS qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
     // ------------------------------------------------ dedup family
 
     ("q_dedup_exact",

@@ -40,6 +40,24 @@ object Sessionize {
         max(col(tsCol)).as("end_us"))
   }
 
+  /** `byGap` via the built-in `session_window` aggregate — the Spark-native
+    * plan (a single SessionWindow aggregation, no lag/sum window pair; also
+    * valid in Structured Streaming with a watermark). Emits the same
+    * sessions as `byGap` minus the per-key ordinal — boundary semantics
+    * agree too: an event exactly `gap` after the previous one extends the
+    * session in both (session_window's merge is end-inclusive). `tsCol` is
+    * epoch MICROSECONDS (converted internally to the timestamp the operator
+    * needs).
+    */
+  def byGapNative(df: DataFrame, keyCol: String, tsCol: String, gapMicros: Long): DataFrame = {
+    val ts = timestamp_micros(col(tsCol))
+    df.groupBy(col(keyCol), session_window(ts, s"$gapMicros microseconds").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_us"),
+        max(col(tsCol)).as("end_us"))
+      .drop("w")
+  }
+
   final case class SessionEvent(key: String, tsMicros: Long)
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
   final case class ClosedSession(key: String, nEvents: Long, startUs: Long, endUs: Long)

@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Explicit key-salting for skewed equi-joins.
+  *
+  * AQE's skew-join split (on by default) rebalances most skew at runtime by
+  * splitting oversized sort-merge partitions, so it is the FIRST tool. Explicit
+  * salting remains the scale path for the cases AQE cannot split: a broadcast
+  * disabled by size with one key holding a double-digit share of the fact
+  * side, or a skewed aggregation-input join feeding a shuffle whose hot key
+  * would serialize one reducer. Salting trades `salts`× replication of the
+  * build side for `salts`-way parallelism of every hot key.
+  *
+  * Result set is IDENTICAL to `facts.join(dims, keys)` — the salt is an
+  * internal join-key extension, dropped before returning.
+  */
+object SkewJoin {
+
+  /** Inner equi-join of a skewed `facts` side against a smaller `dims` side.
+    *
+    * The fact side gets a deterministic salt in `[0, salts)` (hash of the
+    * whole row — any distribution works, determinism keeps replays stable);
+    * the dim side is replicated once per salt with `explode(sequence(...))`.
+    * Join key becomes (key..., salt): a key with N fact rows fans out across
+    * `salts` reducers instead of one.
+    */
+  def saltedJoin(facts: DataFrame, dims: DataFrame, keys: Seq[String],
+                 salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val factCols = facts.columns
+    val salted = facts.withColumn("__salt",
+      pmod(hash(factCols.map(col).toSeq: _*), lit(salts)))
+    val replicated = dims.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+}

@@ -85,6 +85,23 @@ class StreamingSpec extends SparkSpec {
       ("u2", 1L, 1L, 50L, 50L)))
   }
 
+  test("byGapNative agrees with byGap, including at the exact gap boundary") {
+    // session_window merges diff == gap (inclusive), same as byGap
+    val df = Seq(("u", 0L), ("u", 1000L), ("u", 1500L), ("u", 2501L), ("v", 5L))
+      .toDF("k", "ts")
+    val native = graft.ops.Sessionize.byGapNative(df, "k", "ts", gapMicros = 1000L)
+      .orderBy("k", "start_us")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(native.toSeq == Seq(
+      ("u", 3L, 0L, 1500L),    // 0,1000(== gap, merged),1500
+      ("u", 1L, 2501L, 2501L), // 1001 past the previous event -> new session
+      ("v", 1L, 5L, 5L)), s"got ${native.toSeq}")
+    val custom = graft.ops.Sessionize.byGap(df, "k", "ts", gapMicros = 1000L)
+      .orderBy("k", "session_no")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(custom.toSeq == native.toSeq, s"\ncustom: ${custom.toSeq}\nnative: ${native.toSeq}")
+  }
+
   test("streaming sessionization: a beyond-gap event closes the buffered session") {
     implicit val s = spark
     import graft.ops.Sessionize
