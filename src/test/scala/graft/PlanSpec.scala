@@ -53,4 +53,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [graft_dot"), s"expected codegen'd projection:\n$plan")
     assert(df.count() > 0) // and it must actually execute compiled
   }
+
+  test("co-bucketed tables join with no Exchange on either side") {
+    import graft.ops.Bucketing
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    Bucketing.writeBucketed(li, "li_bkt", "l_orderkey", 4)
+    Bucketing.writeBucketed(ord, "ord_bkt", "o_orderkey", 4)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a shuffle-family join so the assertion pins bucketing, not a
+      // broadcast that would skip the exchange anyway
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("li_bkt")
+        .join(spark.table("ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+      assert(j.count() > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join must not re-shuffle either side:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed scan not used:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    }
+  }
 }
