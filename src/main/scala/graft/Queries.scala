@@ -1106,6 +1106,25 @@ object Queries {
 
     // ------------------------------------------------ multimodal plumbing
 
+    // REAL WAV decode (pure-JVM RIFF/PCM parse): payloads are valid 8-bit
+    // mono WAVs synthesized from each doc's utf-8 bytes; the oracle recomputes
+    // the header-derived fields from the text byte length. (Sample stats —
+    // rms/peak — are pinned byte-exactly in MultimodalSpec instead: DuckDB
+    // has no per-byte blob arithmetic.)
+    ("q_multimodal_decode",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeMedia(s,
+          Multimodal.demoWavTable(
+            tbl(s, d, "documents").filter(col("doc_id") < 200), "doc_id", "text"))
+          .select(col("media_id"), col("format"), col("sample_rate"),
+            col("n_samples"), Nums.round6(col("duration_ms")).as("duration_ms"))
+          .orderBy("media_id"),
+      Some(s"""SELECT doc_id AS media_id, 'audio/wav' AS format,
+              | 8000 AS sample_rate,
+              | octet_length(encode(text))::INT AS n_samples,
+              | ${Nums.dRound6("octet_length(encode(text)) * 1000.0 / 8000")} AS duration_ms
+              |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin)),
+
     ("q_multimodal_frames",
       (s: SparkSession, d: String) =>
         Multimodal.sampleFrames(

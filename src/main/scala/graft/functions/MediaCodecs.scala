@@ -1,0 +1,206 @@
+package graft.functions
+
+/** Pure-JVM media codecs for the container formats that are plain byte
+  * layouts — no native or third-party codec libraries involved.
+  *
+  *   - WAV: RIFF container, PCM 8-bit unsigned / 16-bit signed LE
+  *     (format spec: Microsoft/IBM RIFF WAVE, public since 1991)
+  *   - BMP: BITMAPINFOHEADER, 24-bit uncompressed, bottom-up rows
+  *
+  * These make the multimodal decode path REAL for the formats a JVM can
+  * parse unaided; compressed codecs (JPEG/MP3/H.264...) stay behind the
+  * labeled stub because this container ships no codec libraries.
+  *
+  * Encoders exist so tests and fixtures can synthesize valid payloads
+  * deterministically; decoders never throw on malformed input (None).
+  */
+object MediaCodecs {
+
+  final case class WavInfo(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                           nSamples: Int, durationMs: Double, rms: Double,
+                           peak: Double)
+
+  final case class BmpInfo(width: Int, height: Int, bitsPerPixel: Int,
+                           meanR: Double, meanG: Double, meanB: Double)
+
+  // ------------------------------------------------------------------ WAV
+
+  /** Synthesize a mono 8-bit-unsigned-PCM WAV from raw sample bytes. */
+  def encodeWav(samples: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val n = samples.length
+    val buf = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("ASCII"))
+      .put("fmt ".getBytes("ASCII")).putInt(16)
+      .putShort(1.toShort)              // PCM
+      .putShort(1.toShort)              // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate)               // byte rate = rate * 1 ch * 1 B
+      .putShort(1.toShort)              // block align
+      .putShort(8.toShort)              // bits per sample
+      .put("data".getBytes("ASCII")).putInt(n)
+      .put(samples)
+    buf.array()
+  }
+
+  /** Parse a RIFF/WAVE PCM payload: walks the chunk list (fmt before data,
+    * unknown chunks skipped — the spec allows LIST/fact/etc. in between).
+    */
+  def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
+    if (bytes == null || bytes.length < 44) return None
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var data: Option[(Int, Int)] = None     // (offset, length)
+    while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(off)
+      val len = b.getInt(off + 4)
+      if (len < 0 || off + 8 + len > bytes.length) return None
+      id match {
+        case "fmt " if len >= 16 =>
+          val audioFormat = b.getShort(off + 8).toInt
+          if (audioFormat != 1) return None // PCM only
+          fmt = Some((b.getShort(off + 10).toInt, b.getInt(off + 12),
+            b.getShort(off + 22).toInt))
+        case "data" => data = Some((off + 8, len))
+        case _ => ()
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    for ((channels, rate, bits) <- fmt; (dOff, dLen) <- data
+         if rate > 0 && channels > 0 && (bits == 8 || bits == 16)) yield {
+      val bytesPerSample = bits / 8
+      val frame = channels * bytesPerSample
+      val nSamples = dLen / frame
+      var sumSq = 0.0
+      var peak = 0.0
+      var i = 0
+      while (i < nSamples * frame) {
+        val v =
+          if (bits == 8) ((bytes(dOff + i) & 0xff) - 128) / 128.0
+          else b.getShort(dOff + i) / 32768.0
+        sumSq += v * v
+        val a = math.abs(v); if (a > peak) peak = a
+        i += bytesPerSample
+      }
+      val total = nSamples.toLong * channels
+      WavInfo(rate, channels, bits, nSamples,
+        nSamples * 1000.0 / rate,
+        if (total == 0) 0.0 else math.sqrt(sumSq / total),
+        peak)
+    }
+  }
+
+  /** RMS over `k` equal sample windows — a real per-window audio feature
+    * (8-bit mono path; window boundaries by sample index).
+    */
+  def wavWindowRms(bytes: Array[Byte], k: Int): Array[Float] = {
+    val out = new Array[Float](k)
+    decodeWav(bytes) match {
+      case Some(info) if info.bitsPerSample == 8 && info.nSamples > 0 =>
+        // data chunk offset: re-walk (cheap; payloads are already in memory)
+        val dataOff = findChunk(bytes, "data").getOrElse(return out)
+        val n = info.nSamples
+        val sumSq = new Array[Double](k)
+        val cnt = new Array[Long](k)
+        var i = 0
+        while (i < n) {
+          val w = (i.toLong * k / n).toInt
+          val v = ((bytes(dataOff + i) & 0xff) - 128) / 128.0
+          sumSq(w) += v * v; cnt(w) += 1
+          i += 1
+        }
+        var w = 0
+        while (w < k) {
+          out(w) = if (cnt(w) == 0) 0f else math.sqrt(sumSq(w) / cnt(w)).toFloat
+          w += 1
+        }
+        out
+      case _ => out
+    }
+  }
+
+  private def findChunk(bytes: Array[Byte], id: String): Option[Int] = {
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val tag = new String(bytes, off, 4, "ASCII")
+      val len = b.getInt(off + 4)
+      if (len < 0 || off + 8 + len > bytes.length) return None
+      if (tag == id) return Some(off + 8)
+      off += 8 + len + (len & 1)
+    }
+    None
+  }
+
+  // ------------------------------------------------------------------ BMP
+
+  /** Synthesize a 24-bit uncompressed BMP (bottom-up rows, 4-byte padded)
+    * from row-major top-down (r,g,b) pixels.
+    */
+  def encodeBmp(width: Int, height: Int, rgb: Array[(Byte, Byte, Byte)]): Array[Byte] = {
+    require(rgb.length == width * height, "pixel count must be width*height")
+    val rowBytes = width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val imageSize = (rowBytes + pad) * height
+    val buf = java.nio.ByteBuffer.allocate(54 + imageSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + imageSize)
+      .putInt(0).putInt(54)
+      .putInt(40).putInt(width).putInt(height)
+      .putShort(1.toShort).putShort(24.toShort)
+      .putInt(0).putInt(imageSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1 // bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = rgb(y * width + x)
+        buf.put(b).put(g).put(r) // BGR on disk
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Parse a 24-bit uncompressed BITMAPINFOHEADER BMP; channel means over
+    * all pixels.
+    */
+  def decodeBmp(bytes: Array[Byte]): Option[BmpInfo] = {
+    if (bytes == null || bytes.length < 54) return None
+    if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOff = b.getInt(10)
+    val hdrSize = b.getInt(14)
+    if (hdrSize < 40) return None
+    val width = b.getInt(18)
+    val height = b.getInt(22)
+    val bpp = b.getShort(28).toInt
+    val compression = b.getInt(30)
+    if (width <= 0 || height == 0 || bpp != 24 || compression != 0) return None
+    val h = math.abs(height)
+    val rowBytes = width * 3
+    val stride = rowBytes + (4 - rowBytes % 4) % 4
+    if (dataOff < 54 || dataOff.toLong + stride.toLong * h > bytes.length) return None
+    var (sumR, sumG, sumB) = (0.0, 0.0, 0.0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      val row = dataOff + y * stride
+      while (x < width) {
+        sumB += (bytes(row + x * 3) & 0xff)
+        sumG += (bytes(row + x * 3 + 1) & 0xff)
+        sumR += (bytes(row + x * 3 + 2) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toDouble * h
+    Some(BmpInfo(width, h, bpp, sumR / n, sumG / n, sumB / n))
+  }
+}

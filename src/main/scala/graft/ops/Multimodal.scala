@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * struct, with decode / feature-extraction / resize / frame-sampling
   * operators shaped for distributed batch execution.
   *
-  * The actual codec work is STUBBED (this container carries no image/audio
-  * libraries): `decodeStub` derives deterministic fake pixels/features from
-  * the bytes. Everything around the stub — schema, batch iteration shape
-  * (mapPartitions, one buffer reuse per partition, no per-row driver work),
-  * partitioning, and the metadata contract — is real and tested; swapping the
-  * stub for a JNI/javacv decoder changes one function.
+  * Decode is REAL for the formats a JVM parses unaided —
+  * WAV (RIFF/PCM) and BMP (24-bit uncompressed), via
+  * [[graft.functions.MediaCodecs]] — covering `decodeMedia` and the audio
+  * feature path end to end. Compressed codecs (JPEG/MP3/H.264...) remain
+  * behind the labeled `decodeStub` because this container ships no codec
+  * libraries; swapping the stub for a JNI/javacv decoder changes one
+  * function, and the batch iteration shape (mapPartitions, per-partition
+  * init, no per-row driver work) is shared with the real path.
   */
 object Multimodal {
 
@@ -46,6 +48,66 @@ object Multimodal {
         (pmod(length(col(textCol)), lit(64)) + 1).cast("int").as("n_frames")
       ).as("meta"))
 
+  /** Demo AUDIO table: each row's text rendered as a REAL mono 8-bit PCM
+    * WAV (RIFF container, samples = the utf-8 bytes) — a valid payload any
+    * WAV reader decodes. Synthesis is a fixture generator (UDF is fine off
+    * the hot path); decode is the operator under test.
+    */
+  def demoWavTable(df: DataFrame, idCol: String, textCol: String,
+                   sampleRate: Int = 8000): DataFrame = {
+    val wav = udf((t: String) => graft.functions.MediaCodecs.encodeWav(
+      t.getBytes(java.nio.charset.StandardCharsets.UTF_8), sampleRate))
+    df.select(col(idCol).cast("long").as("media_id"),
+      wav(col(textCol)).as("payload"))
+  }
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("duration_ms", DoubleType),
+    StructField("rms", DoubleType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)
+  ))
+
+  /** REAL decode: dispatch on magic bytes (RIFF→WAV, BM→BMP), emit typed
+    * per-modality metadata (audio: rate/samples/duration/RMS; image:
+    * dims/channel means); unrecognized payloads pass through as
+    * format="unknown" with null fields — flagged, never failing the batch.
+    * mapPartitions keeps the decode loop executor-side and batch-shaped.
+    */
+  def decodeMedia(spark: SparkSession, media: DataFrame): DataFrame = {
+    import graft.functions.MediaCodecs
+    val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        MediaCodecs.decodeWav(bytes) match {
+          case Some(w) =>
+            Row(id, "audio/wav", w.sampleRate, w.channels, w.nSamples,
+              w.durationMs, w.rms, null, null, null, null, null)
+          case None => MediaCodecs.decodeBmp(bytes) match {
+            case Some(b) =>
+              Row(id, "image/bmp", null, null, null, null, null,
+                b.width, b.height, b.meanR, b.meanG, b.meanB)
+            case None =>
+              Row(id, "unknown", null, null, null, null, null,
+                null, null, null, null, null)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** ======= STUB ======= deterministic fake "decode": bytes → k floats in
     * [0,1) (rolling sum over the byte stream). Replace with a real codec for
     * production; the call shape (whole payload in, fixed-size feature vector
@@ -67,9 +129,12 @@ object Multimodal {
   /** Feature extraction over the payload column via mapPartitions: the
     * executor-side batch loop a real decoder would use (per-partition codec
     * init amortized across rows — the pattern that matters at scale; a UDF
-    * would re-enter the codec per row).
+    * would re-enter the codec per row). WAV payloads get REAL features
+    * (per-window RMS over the decoded samples); other payloads fall back to
+    * the deterministic stub.
     */
   def withFeatures(spark: SparkSession, media: DataFrame, k: Int = 8): DataFrame = {
+    import graft.functions.MediaCodecs
     val outSchema = StructType(media.schema.fields :+
       StructField("features", ArrayType(FloatType, containsNull = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
@@ -77,7 +142,10 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition decoder init would go here (once, not per row)
       rows.map { r =>
-        val feats = decodeStub(r.getAs[Array[Byte]](payloadIdx), k)
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val feats =
+          if (MediaCodecs.decodeWav(bytes).isDefined) MediaCodecs.wavWindowRms(bytes, k)
+          else decodeStub(bytes, k)
         Row.fromSeq(r.toSeq :+ feats.toSeq)
       }
     }(enc)

@@ -3,11 +3,12 @@ package graft
 import graft.ops.Multimodal
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing: schema shape, deterministic stub features, frame
-  * sampling stride semantics. The decode itself is a labeled stub (no codec
-  * libraries in this environment) — these tests pin the Spark-side contract.
+/** Multimodal plumbing: schema shape, REAL WAV/BMP decode (pure-JVM byte
+  * parsing — no codec libs needed for those formats), deterministic stub
+  * features for undecodable payloads, frame sampling stride semantics.
   */
 class MultimodalSpec extends SparkSpec {
+  import graft.functions.MediaCodecs
   import spark.implicits._
 
   private def media = Multimodal.demoMediaTable(
@@ -43,5 +44,81 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("media_id") === 1).orderBy("frame_no").collect()
     val nos = frames.map(_.getAs[Int]("frame_no")).toSeq
     assert(nos == nos.indices.toSeq, "frame_no must be dense 0..k")
+  }
+
+  test("WAV round-trip: encode -> decode recovers header and sample stats") {
+    // constant sample 228 -> v = (228-128)/128 = 0.78125 for every sample
+    val samples = Array.fill(400)(228.toByte)
+    val wav = MediaCodecs.encodeWav(samples, sampleRate = 8000)
+    val info = MediaCodecs.decodeWav(wav).get
+    assert(info.sampleRate == 8000 && info.channels == 1 && info.bitsPerSample == 8)
+    assert(info.nSamples == 400 && info.durationMs == 50.0)
+    assert(math.abs(info.rms - 0.78125) < 1e-12 && info.peak == 0.78125)
+  }
+
+  test("WAV decode walks past unknown chunks and rejects non-PCM") {
+    val samples = Array[Byte](0, 127.toByte, 255.toByte)
+    val plain = MediaCodecs.encodeWav(samples, 16000)
+    // splice a junk 6-byte "LIST" chunk between fmt and data
+    val junk = "LIST".getBytes("ASCII") ++ Array[Byte](6, 0, 0, 0, 1, 2, 3, 4, 5, 6)
+    val spliced = plain.take(36) ++ junk ++ plain.drop(36)
+    val info = MediaCodecs.decodeWav(spliced).get
+    assert(info.nSamples == 3 && info.sampleRate == 16000)
+    // flip the audio-format field to 2 (ADPCM) -> rejected
+    val nonPcm = plain.clone(); nonPcm(20) = 2
+    assert(MediaCodecs.decodeWav(nonPcm).isEmpty)
+    assert(MediaCodecs.decodeWav("nonsense".getBytes("ASCII")).isEmpty)
+  }
+
+  test("16-bit PCM decode: samples parsed as signed little-endian") {
+    // hand-build: 2 samples, 16-bit mono 1000 Hz: 16384 (0.5), -32768 (-1.0)
+    val b = java.nio.ByteBuffer.allocate(44 + 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("ASCII")).putInt(40).put("WAVE".getBytes("ASCII"))
+      .put("fmt ".getBytes("ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(1000).putInt(2000).putShort(2).putShort(16)
+      .put("data".getBytes("ASCII")).putInt(4)
+      .putShort(16384).putShort(Short.MinValue)
+    val info = MediaCodecs.decodeWav(b.array()).get
+    assert(info.bitsPerSample == 16 && info.nSamples == 2)
+    assert(info.peak == 1.0)
+    assert(math.abs(info.rms - math.sqrt((0.25 + 1.0) / 2)) < 1e-12)
+  }
+
+  test("BMP round-trip: encode -> decode recovers dims and channel means") {
+    // 3x2 top-down pixels; width 3 -> row padding exercised (9 % 4 != 0)
+    val px = Array[(Byte, Byte, Byte)](
+      (255.toByte, 0, 0), (0, 255.toByte, 0), (0, 0, 255.toByte),
+      (10, 20, 30), (40, 50, 60), (70, 80, 90))
+    val bmp = MediaCodecs.encodeBmp(3, 2, px)
+    val info = MediaCodecs.decodeBmp(bmp).get
+    assert(info.width == 3 && info.height == 2 && info.bitsPerPixel == 24)
+    assert(math.abs(info.meanR - (255 + 10 + 40 + 70) / 6.0) < 1e-12)
+    assert(math.abs(info.meanG - (255 + 20 + 50 + 80) / 6.0) < 1e-12)
+    assert(math.abs(info.meanB - (255 + 30 + 60 + 90) / 6.0) < 1e-12)
+    assert(MediaCodecs.decodeBmp(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("decodeMedia dispatches on magic bytes; unknowns flagged not failed") {
+    val rows = Seq(
+      (1L, MediaCodecs.encodeWav(Array.fill(100)(200.toByte), 8000)),
+      (2L, MediaCodecs.encodeBmp(2, 2, Array.fill(4)((9.toByte, 9.toByte, 9.toByte)))),
+      (3L, "not media at all".getBytes("UTF-8"))
+    ).toDF("media_id", "payload")
+    val out = Multimodal.decodeMedia(spark, rows).orderBy("media_id").collect()
+    assert(out(0).getAs[String]("format") == "audio/wav")
+    assert(out(0).getAs[Int]("n_samples") == 100)
+    assert(out(1).getAs[String]("format") == "image/bmp")
+    assert(out(1).getAs[Int]("width") == 2 && out(1).getAs[Double]("mean_r") == 9.0)
+    assert(out(2).getAs[String]("format") == "unknown")
+    assert(out(2).isNullAt(out(2).fieldIndex("sample_rate")))
+  }
+
+  test("withFeatures computes real per-window RMS for WAV payloads") {
+    // first half silence (128 -> 0.0), second half constant 192 -> 0.5
+    val samples = Array.fill(100)(128.toByte) ++ Array.fill(100)(192.toByte)
+    val df = Seq((1L, MediaCodecs.encodeWav(samples, 8000))).toDF("media_id", "payload")
+    val feats = Multimodal.withFeatures(spark, df, k = 2)
+      .select("features").collect()(0).getSeq[Float](0)
+    assert(feats.toSeq == Seq(0.0f, 0.5f), s"got $feats")
   }
 }
