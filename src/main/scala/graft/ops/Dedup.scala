@@ -92,15 +92,24 @@ object Dedup {
   }
 
   /** Candidate pairs + exact shingle-set Jaccard, filtered at `threshold`.
-    * The verify join re-reads only candidate ids — two hash joins against the
-    * (id, shingle-set) projection, not the full corpus.
+    *
+    * The expensive shingle-set arrays are materialized ONLY for documents
+    * that appear in some candidate pair (semi-join first): at corpus scale
+    * candidates are a sliver of the table, and computing + shuffling
+    * shingle sets for every document — the naive plan — moves orders of
+    * magnitude more data than the candidates need.
     */
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                             threshold: Double, numHashes: Int = 16,
                             bands: Int = 4, shingleSize: Int = 5): DataFrame = {
+    // pairs feed three consumers (id collection + two verify joins)
     val pairs = minhashCandidatePairs(df, idCol, textCol, numHashes, bands, shingleSize)
-    val sets = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val sets = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(candIds, Seq("id"), "leftsemi") // filter BEFORE shingling
+      .select(col("id"),
+        array_distinct(shingles(col("__text"), shingleSize)).as("sh"))
     pairs
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
