@@ -75,5 +75,48 @@ class PropertySpec extends SparkSpec {
     sigs(0).zip(sigs(1)).foreach { case (orig, dup) => assert(dup <= orig) }
   }
 
+  test("WAV codec: encode/decode round-trips on generated sample buffers") {
+    import graft.functions.MediaCodecs
+    val bufGen = for {
+      n <- Gen.choose(0, 3000)
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      bytes <- Gen.containerOfN[Array, Byte](n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (bytes, rate)
+    samples(bufGen, 40).foreach { case (bytes, rate) =>
+      val info = MediaCodecs.decodeWav(MediaCodecs.encodeWav(bytes, rate)).get
+      assert(info.sampleRate == rate && info.nSamples == bytes.length)
+      assert(info.channels == 1 && info.bitsPerSample == 8)
+      assert(info.rms >= 0.0 && info.rms <= 1.0 && info.peak <= 1.0)
+      assert(math.abs(info.durationMs - bytes.length * 1000.0 / rate) < 1e-9)
+    }
+    // decode never throws on arbitrary garbage
+    samples(Gen.containerOfN[Array, Byte](64,
+      Gen.choose(Byte.MinValue, Byte.MaxValue)), 60)
+      .foreach(g => MediaCodecs.decodeWav(g)) // must not throw
+  }
+
+  test("BMP codec: encode/decode round-trips on generated images") {
+    import graft.functions.MediaCodecs
+    val imgGen = for {
+      w <- Gen.choose(1, 17)
+      h <- Gen.choose(1, 13)
+      px <- Gen.containerOfN[Array, (Byte, Byte, Byte)](w * h,
+        for { r <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+              g <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+              b <- Gen.choose(Byte.MinValue, Byte.MaxValue) } yield (r, g, b))
+    } yield (w, h, px)
+    samples(imgGen, 40).foreach { case (w, h, px) =>
+      val info = MediaCodecs.decodeBmp(MediaCodecs.encodeBmp(w, h, px)).get
+      assert(info.width == w && info.height == h)
+      val n = (w * h).toDouble
+      assert(math.abs(info.meanR - px.map(p => p._1 & 0xff).sum / n) < 1e-9)
+      assert(math.abs(info.meanG - px.map(p => p._2 & 0xff).sum / n) < 1e-9)
+      assert(math.abs(info.meanB - px.map(p => p._3 & 0xff).sum / n) < 1e-9)
+    }
+    samples(Gen.containerOfN[Array, Byte](64,
+      Gen.choose(Byte.MinValue, Byte.MaxValue)), 60)
+      .foreach(g => MediaCodecs.decodeBmp(g)) // must not throw
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
