@@ -48,8 +48,19 @@ object Pipeline {
     if (batch.isEmpty)
       return IngestResult(evo.latestVersion, JsonSchema(Map.empty, Nil), 0, 0, 0)
 
+    // Spread a narrow batch before the render+write: one small file with a
+    // single row group arrives as ONE input split, which would serialize the
+    // whole extract -> blob-render -> write chain on one core while the rest
+    // idle. The repartition shuffles only the raw batch (cheap at batch
+    // sizes) and is skipped when the source already carries enough splits —
+    // at warehouse scale it always does, so this never shuffles 100 TB.
+    val par = spark.sparkContext.defaultParallelism
+    val spread =
+      if (batch.rdd.getNumPartitions * 4 <= par) batch.repartition(par)
+      else batch
+
     // F2 — extract patterns from content (empty struct when none)
-    val withPatterns = Extract.withExtractedPatterns(batch)
+    val withPatterns = Extract.withExtractedPatterns(spread)
 
     // A1 — constant for a structured batch (see class doc)
     val payloadCols = withPatterns.columns
