@@ -151,9 +151,17 @@ object Corpus {
 
   /** W1 — append a stamped batch to the corpus (reference `store_record`,
     * `app.py:133-141`, minus the per-row commit pathology).
+    *
+    * The corpus is PARTITIONED by `schema_version`: each ingest writes one
+    * (or zero) new partition directories, and every version-scoped read —
+    * validation recounts, the records↔schema join, evolution audits — prunes
+    * to its partitions at the scan (`PartitionFilters`, pinned by PlanSpec)
+    * instead of scanning an ever-growing corpus. Version count is small and
+    * append-monotone, the ideal partition key cardinality.
     */
   def append(stamped: DataFrame, corpusDir: String): Unit =
-    stamped.write.mode(SaveMode.Append).parquet(s"$corpusDir/records")
+    stamped.write.mode(SaveMode.Append)
+      .partitionBy("schema_version").parquet(s"$corpusDir/records")
 
   def records(spark: SparkSession, corpusDir: String): DataFrame =
     spark.read.parquet(s"$corpusDir/records")

@@ -54,6 +54,18 @@ class PlanSpec extends SparkSpec {
     assert(df.count() > 0) // and it must actually execute compiled
   }
 
+  test("version-scoped corpus reads prune to their schema_version partitions") {
+    val dir = tmpDir("corpus_")
+    import spark.implicits._
+    Pipeline.ingest(spark, Seq(("a", 1)).toDF("a", "n"), dir)   // version 1
+    Pipeline.ingest(spark, Seq(("b", 2)).toDF("b", "n"), dir)   // version 2
+    val scoped = Corpus.records(spark, dir).filter(col("schema_version") === 2)
+    val plan = planOf(scoped)
+    assert(plan.contains("PartitionFilters") && plan.contains("schema_version"),
+      s"expected partition pruning on schema_version:\n$plan")
+    assert(scoped.count() == 1)
+  }
+
   test("co-bucketed tables join with no Exchange on either side") {
     import graft.ops.Bucketing
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
