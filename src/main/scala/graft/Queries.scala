@@ -895,6 +895,21 @@ object Queries {
     // IVF-bucketed ANN: deterministic seed centroids (16 smallest ids),
     // nearest-centroid assignment, nprobe=4 probing — the classic
     // inverted-file recall/fan-in dial, fully reproduced in the oracle.
+    // k-means-trained IVF: Lloyd's iterations in DataFrame ops. No
+    // cross-engine oracle (FP summation order differs by engine) — rows-only
+    // here; convergence and assignment quality pinned in SimilaritySpec.
+    ("q_kmeans",
+      (s: SparkSession, d: String) => {
+        val emb = tbl(s, d, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val cents = Similarity.kmeans(emb, k = 8, iters = 2)
+        Similarity.ivfAssign(
+          emb.select(col("id"), col("vec").cast("array<double>").as("vec")), cents)
+          .groupBy("cluster").agg(count(lit(1)).as("n"))
+          .orderBy("cluster")
+      },
+      None),
+
     ("q_ann_ivf",
       (s: SparkSession, d: String) => {
         val emb = tbl(s, d, "embeddings")

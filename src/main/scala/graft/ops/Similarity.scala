@@ -156,6 +156,44 @@ object Similarity {
       .orderBy("id").limit(k)
       .select(col("id").as("cid"), col("vec").as("cvec"))
 
+  /** Distributed Lloyd's k-means (spherical: cosine assignment, mean
+    * update) — the centroid trainer IVF bootstraps from, in pure DataFrame
+    * ops. Per iteration: assignment is the broadcast map-only `ivfAssign`;
+    * the update is posexplode + a (cluster, dim) hash aggregate whose
+    * map-side combine collapses every partition to ≤ k×dim partial sums
+    * before the shuffle — the classic scalable k-means shape (shuffle volume
+    * is partitions × k × dim, independent of corpus size). Between
+    * iterations only the k×dim centroid matrix crosses to the driver
+    * (control plane, like any distributed k-means). Deterministic given the
+    * seed centroids up to FP summation order — convergence behavior is
+    * pinned by ScalaTest on separated clusters; no cross-engine oracle (sum
+    * order differs by engine).
+    */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
+    var centroids = seedCentroids(c, k)
+    for (_ <- 1 to iters) {
+      val means = ivfAssign(c, centroids)
+        .select(col("cluster"), posexplode(col("vec")).as(Seq("pos", "comp")))
+        .groupBy("cluster", "pos").agg(avg(col("comp")).as("m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cvec"))
+        .select(col("cluster").as("cid"), col("cvec"))
+        .collect().map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Double]](1).toSeq)).toMap
+      // empty clusters keep their previous centroid
+      val prev = centroids.collect()
+        .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Double]](1).toSeq))
+      centroids = prev
+        .map { case (cid, old) => (cid, means.getOrElse(cid, old)) }.toSeq
+        .toDF("cid", "cvec")
+    }
+    centroids
+  }
+
   /** IVF approximate top-k: queries probe only their `nprobe` nearest
     * clusters; candidates come from an equi-join on the cluster id — the
     * classic recall/fan-in dial. Plan: tiny centroid table broadcast twice

@@ -77,4 +77,25 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet == Set((0L, 1L)))
   }
+
+  test("kmeans separates well-separated direction clusters") {
+    // three direction clusters in 4-dim; ids 0,1,2 seed one per cluster
+    def jig(base: Seq[Double], eps: Double) = base.map(_ + eps)
+    val a = Seq(1.0, 0.0, 0.0, 0.0); val b = Seq(0.0, 1.0, 0.0, 0.0)
+    val c3 = Seq(0.0, 0.0, 1.0, 0.0)
+    val rows = Seq(
+      (0L, a), (1L, b), (2L, c3),
+      (3L, jig(a, 0.05)), (4L, jig(a, 0.1)),
+      (5L, jig(b, 0.05)), (6L, jig(b, 0.1)),
+      (7L, jig(c3, 0.05)), (8L, jig(c3, 0.1))).toDF("id", "vec")
+    val cents = Similarity.kmeans(rows, k = 3, iters = 3)
+    assert(cents.count() == 3)
+    val assigned = Similarity.ivfAssign(
+      rows.select(col("id"), col("vec").cast("array<double>").as("vec")), cents)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cluster")).toMap
+    assert(assigned(0L) == assigned(3L) && assigned(3L) == assigned(4L))
+    assert(assigned(1L) == assigned(5L) && assigned(5L) == assigned(6L))
+    assert(assigned(2L) == assigned(7L) && assigned(7L) == assigned(8L))
+    assert(Set(assigned(0L), assigned(1L), assigned(2L)).size == 3)
+  }
 }
