@@ -12,21 +12,78 @@ import scala.collection.mutable.ArrayBuffer
   * the fidelity class of the reference's PyPDF2 extraction (`app.py:186-192`)
   * — best-effort, garbage-in-garbage-out on scanned/CID-font PDFs.
   *
-  * Page splitting: we approximate "one record per page" by one record per
-  * content stream; for single-stream-per-page PDFs (the norm for simple
-  * generators) this equals the reference's per-page records.
+  * Page splitting: the real page tree is walked — Catalog → /Pages →
+  * /Kids (depth-first, the PDF page order) → each /Page's /Contents
+  * stream(s), concatenated per page — so multi-stream pages yield ONE
+  * record per page exactly like the reference's `reader.pages` loop. PDFs
+  * whose object table we can't parse fall back to one record per content
+  * stream (equal for single-stream-per-page files).
   */
 object PdfText {
 
   def extractPages(bytes: Array[Byte]): Seq[String] = {
     try {
-      val streams = findStreams(bytes)
-      streams.flatMap { s =>
-        val data = if (s.flate) inflate(s.data) else s.data
-        val t = extractTextOps(data)
-        if (t.trim.nonEmpty) Some(t) else None
-      }
+      pageTreeTexts(bytes).getOrElse(perStreamTexts(bytes))
     } catch { case _: Throwable => Seq.empty }
+  }
+
+  private def perStreamTexts(bytes: Array[Byte]): Seq[String] =
+    findStreams(bytes).flatMap { s =>
+      val data = if (s.flate) inflate(s.data) else s.data
+      val t = extractTextOps(data)
+      if (t.trim.nonEmpty) Some(t) else None
+    }
+
+  /** Page-tree-ordered per-page texts, or None when the structure doesn't
+    * parse (encrypted, exotic xref, object streams...).
+    * ISO-8859-1 is byte-bijective, so regex-captured object bodies convert
+    * back to the exact original bytes for stream decoding.
+    */
+  private def pageTreeTexts(bytes: Array[Byte]): Option[Seq[String]] = {
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    val objRe = """(?s)(\d+)\s+0\s+obj\b(.*?)\bendobj""".r
+    val objs: Map[Int, String] =
+      objRe.findAllMatchIn(s).map(m => m.group(1).toInt -> m.group(2)).toMap
+    if (objs.isEmpty) return None
+    val refRe = """(\d+)\s+0\s+R""".r
+    def refsIn(body: String): Seq[Int] =
+      refRe.findAllMatchIn(body).map(_.group(1).toInt).toSeq
+    // root: Catalog's /Pages ref, else any /Pages node
+    val typeRe = (t: String) => ("""(?s).*/Type\s*/""" + t + """\b.*""").r
+    val rootPages = objs.collectFirst {
+      case (_, body) if typeRe("Catalog").matches(body) =>
+        """/Pages\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(body).map(_.group(1).toInt)
+    }.flatten.orElse(objs.collectFirst {
+      case (num, body) if typeRe("Pages").matches(body) => num
+    })
+    val pages = ArrayBuffer[Int]()
+    val seen = scala.collection.mutable.Set[Int]()
+    def walk(num: Int): Unit = objs.get(num).foreach { body =>
+      if (seen.add(num)) {
+        if (typeRe("Page").matches(body) && !typeRe("Pages").matches(body)) pages += num
+        else if (typeRe("Pages").matches(body)) {
+          """(?s)/Kids\s*\[([^\]]*)\]""".r.findFirstMatchIn(body)
+            .foreach(kids => refsIn(kids.group(1)).foreach(walk))
+        }
+      }
+    }
+    rootPages.foreach(walk)
+    if (pages.isEmpty) return None
+    Some(pages.toSeq.flatMap { p =>
+      val body = objs(p)
+      val contentRefs =
+        """(?s)/Contents\s*\[([^\]]*)\]""".r.findFirstMatchIn(body)
+          .map(m => refsIn(m.group(1)))
+          .orElse("""/Contents\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(body)
+            .map(m => Seq(m.group(1).toInt)))
+          .getOrElse(Seq.empty)
+      val text = contentRefs.flatMap(objs.get).flatMap { cBody =>
+        findStreams(cBody.getBytes(StandardCharsets.ISO_8859_1)).map { st =>
+          extractTextOps(if (st.flate) inflate(st.data) else st.data)
+        }
+      }.mkString
+      if (text.trim.nonEmpty) Some(text) else None
+    })
   }
 
   private case class Stream(data: Array[Byte], flate: Boolean)

@@ -72,6 +72,26 @@ class ReadersSpec extends SparkSpec {
     assert(rows.toSeq == Seq("Hi there "))
   }
 
+  test("pdf: page tree groups multi-stream pages into one record per page") {
+    val dir = tmpDir("pdfp_")
+    def streamObj(num: Int, content: String) =
+      s"$num 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n"
+    val pdf = "%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 2 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>\nendobj\n" +
+      streamObj(4, "BT (Hello ) Tj ET") + streamObj(5, "BT (World) Tj ET") +
+      "6 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>\nendobj\n" +
+      streamObj(7, "BT (Second) Tj ET") +
+      "%%EOF\n"
+    write(dir, "p.pdf", pdf.getBytes(StandardCharsets.ISO_8859_1))
+    val rows = Readers.pdf(spark, dir).collect().map(_.getString(0))
+    assert(rows.length == 2, s"expected one record per PAGE, got ${rows.toSeq}")
+    assert(rows.exists(r => r.contains("Hello") && r.contains("World")),
+      s"two streams of one page must merge: ${rows.toSeq}")
+    assert(rows.exists(_.contains("Second")))
+  }
+
   test("pdf: Flate-compressed content stream decodes") {
     val dir = tmpDir("pdfz_")
     val content = "BT (Compressed text) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
