@@ -75,14 +75,17 @@ object StreamingIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
-  /** Watermarked tumbling-window counts over an event stream — the
-    * streaming-native aggregation pattern (watermark bounds state; late rows
-    * beyond it are dropped, so state size is O(windows in flight), not O(n)).
+  /** Watermarked window counts over an event stream — the streaming-native
+    * aggregation pattern (watermark bounds state; late rows beyond it are
+    * dropped, so state size is O(windows in flight), not O(n)). Tumbling by
+    * default; pass `slide` < `window` for overlapping sliding windows (each
+    * event then contributes to window/slide windows).
     */
   def windowedCounts(events: DataFrame, tsCol: String, window: String,
-                     watermark: String): DataFrame =
+                     watermark: String, slide: Option[String] = None): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col("event_type"))
+      .groupBy(org.apache.spark.sql.functions.window(
+        col(tsCol), window, slide.getOrElse(window)), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 }

@@ -172,4 +172,21 @@ class StreamingSpec extends SparkSpec {
       assert(out.contains(("2024-01-01 00:10:00", "view", 1L, 5.0)), s"got $out")
     } finally q.stop()
   }
+
+  test("windowedCounts sliding: each event lands in window/slide windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val counts = StreamingIngest.windowedCounts(
+      events, "ts", "10 minutes", "5 minutes", slide = Some("5 minutes"))
+    val q = counts.writeStream.format("memory").queryName("wcs").outputMode("update").start()
+    try {
+      mem.addData((Timestamp.valueOf("2024-01-01 00:07:00"), "click", 1.0))
+      q.processAllAvailable()
+      val starts = spark.table("wcs")
+        .select(col("window.start").cast("string")).collect().map(_.getString(0)).sorted
+      assert(starts.toSeq == Seq("2024-01-01 00:00:00", "2024-01-01 00:05:00"),
+        s"one event at 00:07 must hit the 00:00 and 00:05 windows, got ${starts.toSeq}")
+    } finally q.stop()
+  }
 }
