@@ -895,6 +895,45 @@ object Queries {
     // IVF-bucketed ANN: deterministic seed centroids (16 smallest ids),
     // nearest-centroid assignment, nprobe=4 probing — the classic
     // inverted-file recall/fan-in dial, fully reproduced in the oracle.
+    // ANN quality measurement: recall@5 of the sign-bit LSH index against
+    // exact brute force — BOTH algorithms replayed in DuckDB, so the metric
+    // itself is oracle-checked.
+    ("q_ann_recall",
+      (s: SparkSession, d: String) => {
+        val emb = tbl(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
+        val approx = Similarity.lshTopK(queries, corpus, k = 5, numPlanes = 4, dim = 64)
+        Similarity.recallAtK(approx, exact)
+          .select(Nums.round6(col("mean_recall")).as("mean_recall"),
+            col("n_queries"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+              |  ${dLshBucket("embedding::DOUBLE[]", 4, 64)} AS bucket FROM embeddings),
+              |ex AS (
+              |  SELECT qid, id FROM (
+              |    SELECT q.vec_id AS qid, c.vec_id AS id, row_number() OVER (
+              |      PARTITION BY q.vec_id ORDER BY ${dCosine("q.e", "c.e")} DESC, c.vec_id) AS rank
+              |    FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+              |  WHERE rank <= 5),
+              |ap AS (
+              |  SELECT qid, id FROM (
+              |    SELECT q.vec_id AS qid, c.vec_id AS id, row_number() OVER (
+              |      PARTITION BY q.vec_id ORDER BY ${dCosine("q.e", "c.e")} DESC, c.vec_id) AS rank
+              |    FROM v q JOIN v c ON q.bucket = c.bucket
+              |      AND q.vec_id < 10 AND c.vec_id <> q.vec_id)
+              |  WHERE rank <= 5),
+              |r AS (
+              |  SELECT ex.qid,
+              |    sum(CASE WHEN ap.id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+              |      / count(*) AS recall
+              |  FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.id = ap.id
+              |  GROUP BY ex.qid)
+              |SELECT ${Nums.dRound6("avg(recall)")} AS mean_recall,
+              |  count(*)::BIGINT AS n_queries FROM r""".stripMargin)),
+
     // k-means-trained IVF: Lloyd's iterations in DataFrame ops. No
     // cross-engine oracle (FP summation order differs by engine) — rows-only
     // here; convergence and assignment quality pinned in SimilaritySpec.
