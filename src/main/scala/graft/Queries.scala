@@ -314,6 +314,35 @@ object Queries {
     // As-of join (backward, inclusive): each click matched to the user's
     // latest strictly-not-later view. Union+window plan (one shuffle) vs
     // DuckDB's native ASOF JOIN as the oracle.
+    // Forward as-of (earliest at-or-after match) — DuckDB replays it with
+    // the reversed ASOF inequality.
+    ("q_asof_forward",
+      (s: SparkSession, d: String) => {
+        val ev = tbl(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("ts_us"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts_us", "event_id")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_us"), col("value").as("view_value"))
+        graft.ops.AsOf.joinForward(clicks, views, Seq("user_id"),
+          "ts_us", "ts_us", Seq("view_value"))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            round(col("view_value"), 6).as("view_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (
+             |  SELECT user_id, epoch_us(ts) AS ts_us, event_id
+             |  FROM events WHERE event_type = 'click'),
+             |views AS (
+             |  SELECT user_id, epoch_us(ts) AS ts_us, value AS view_value
+             |  FROM events WHERE event_type = 'view')
+             |SELECT c.event_id, c.user_id, c.ts_us,
+             |  round(v.view_value, 6) AS view_value
+             |FROM clicks c ASOF LEFT JOIN views v
+             |  ON c.user_id = v.user_id AND c.ts_us <= v.ts_us
+             |ORDER BY c.event_id""".stripMargin)),
+
     ("q_asof_join",
       (s: SparkSession, d: String) => {
         val ev = tbl(s, d, "events")

@@ -33,14 +33,43 @@ object AsOf {
     */
   def joinBackward(left: DataFrame, right: DataFrame, on: Seq[String],
                    leftTime: String, rightTime: String,
-                   rightVals: Seq[String]): DataFrame = {
+                   rightVals: Seq[String]): DataFrame =
+    joinImpl(left, right, on, leftTime, rightTime, rightVals,
+      forward = false, tolerance = None)
+
+  /** Forward as-of: the single right row with the SMALLEST `rightTime` >=
+    * the left row's time, per key (ties included). Same union+window plan,
+    * time order reversed.
+    */
+  def joinForward(left: DataFrame, right: DataFrame, on: Seq[String],
+                  leftTime: String, rightTime: String,
+                  rightVals: Seq[String]): DataFrame =
+    joinImpl(left, right, on, leftTime, rightTime, rightVals,
+      forward = true, tolerance = None)
+
+  /** As-of with a match-window bound: right values null out when the
+    * matched right time is more than `tolerance` away from the left time
+    * (requires numeric time columns — epoch micros in this engine).
+    */
+  def joinWithTolerance(left: DataFrame, right: DataFrame, on: Seq[String],
+                        leftTime: String, rightTime: String,
+                        rightVals: Seq[String], tolerance: Long,
+                        forward: Boolean = false): DataFrame =
+    joinImpl(left, right, on, leftTime, rightTime, rightVals,
+      forward, Some(tolerance))
+
+  private def joinImpl(left: DataFrame, right: DataFrame, on: Seq[String],
+                       leftTime: String, rightTime: String,
+                       rightVals: Seq[String], forward: Boolean,
+                       tolerance: Option[Long]): DataFrame = {
     require(rightVals.nonEmpty, "rightVals must name at least one column")
     val leftCols = left.columns.toSeq
     val nullOf: ((String, org.apache.spark.sql.types.DataType)) => Column = {
       case (n, t) => lit(null).cast(t).as(n)
     }
-    val rightTypes = rightVals.map(v =>
-      v -> right.schema(v).dataType)
+    // "__asof_rt" carries the matched right TIME so tolerance can bound it
+    val rightTypes = rightVals.map(v => v -> right.schema(v).dataType) :+
+      ("__asof_rt" -> right.schema(rightTime).dataType)
     val leftTypes = leftCols.filterNot(on.contains).map(c =>
       c -> left.schema(c).dataType)
 
@@ -53,18 +82,32 @@ object AsOf {
       .select((on.map(col) ++
         Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
         leftTypes.map(nullOf) ++
-        rightVals.map(n => col(n).as(s"__r_$n"))): _*)
+        rightVals.map(n => col(n).as(s"__r_$n")) :+
+        col(rightTime).as("__r___asof_rt")): _*)
 
     // right rows sort before a left row at the same time -> inclusive match
+    // (both directions); forward scans time descending so "last seen right"
+    // is the nearest one at-or-after
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(if (forward) col("__t").desc else col("__t").asc, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lTagged.unionByName(rTagged)
       .select((col("*") +:
         rightTypes.map { case (n, _) =>
           last(col(s"__r_$n"), ignoreNulls = true).over(w).as(n)
         }): _*)
-    carried.filter(col("__side") === 1)
+    val matched = carried.filter(col("__side") === 1)
+    val bounded = tolerance match {
+      case None => matched
+      case Some(tol) =>
+        val dist =
+          if (forward) col("__asof_rt") - col("__t")
+          else col("__t") - col("__asof_rt")
+        val ok = col("__asof_rt").isNotNull && dist <= tol
+        matched.select((matched.columns.filterNot(rightVals.contains).map(col) ++
+          rightVals.map(n => when(ok, col(n)).as(n))): _*)
+    }
+    bounded
       .select((on.map(col) ++
         Seq(col("__t").as(leftTime)) ++
         leftCols.filterNot(c => on.contains(c) || c == leftTime).map(col) ++
