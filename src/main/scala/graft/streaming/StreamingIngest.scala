@@ -75,6 +75,25 @@ object StreamingIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream interval join: each left event pairs with right events
+    * of the same key whose event time lies in
+    * [leftTs + lower, leftTs + upper] — the attribution-join shape
+    * (impression ↔ click within N minutes). BOTH sides carry watermarks and
+    * the join condition bounds time in BOTH directions, which is what lets
+    * Spark evict buffered state (watermark + interval width per side)
+    * instead of holding each stream forever. Column names must be disjoint
+    * across the two sides (streaming joins have no alias scoping).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   watermark: String, lower: String, upper: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) + expr(s"INTERVAL $lower") &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upper"))
+
   /** Watermarked window counts over an event stream — the streaming-native
     * aggregation pattern (watermark bounds state; late rows beyond it are
     * dropped, so state size is O(windows in flight), not O(n)). Tumbling by

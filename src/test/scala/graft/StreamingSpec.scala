@@ -173,6 +173,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin: clicks attribute to impressions within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, String)]
+    val clicks = MemoryStream[(Timestamp, String)]
+    val joined = StreamingIngest.intervalJoin(
+      imps.toDF().toDF("imp_ts", "imp_user"),
+      clicks.toDF().toDF("click_ts", "click_user"),
+      "imp_user", "click_user", "imp_ts", "click_ts",
+      watermark = "1 hour", lower = "0 seconds", upper = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      imps.addData((Timestamp.valueOf("2024-01-01 00:00:00"), "u1"),
+        (Timestamp.valueOf("2024-01-01 00:00:00"), "u2"))
+      clicks.addData(
+        (Timestamp.valueOf("2024-01-01 00:05:00"), "u1"),  // in window
+        (Timestamp.valueOf("2024-01-01 00:20:00"), "u2"),  // too late
+        (Timestamp.valueOf("2024-01-01 00:03:00"), "u3"))  // no impression
+      q.processAllAvailable()
+      val rows = spark.table("attrib").select("imp_user").collect().map(_.getString(0))
+      assert(rows.toSeq == Seq("u1"), s"only u1's click is in-window, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("windowedCounts sliding: each event lands in window/slide windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
