@@ -166,6 +166,39 @@ object Corpus {
   def records(spark: SparkSession, corpusDir: String): DataFrame =
     spark.read.parquet(s"$corpusDir/records")
 
+  /** Offline small-files compaction. Every micro-batch append adds files;
+    * at warehouse scale an append-only corpus degrades into millions of
+    * KB-sized files whose open/footer costs dominate scans. Rewrites the
+    * record store with ~`rowsPerFile` rows per file (still partitioned by
+    * `schema_version`), then atomically swaps directories — a maintenance
+    * job to run between ingests (same single-writer discipline as the
+    * schema state machine; not concurrent with an ingest).
+    */
+  def compact(spark: SparkSession, corpusDir: String,
+              rowsPerFile: Long = 1000000L): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$corpusDir/records")
+    if (!fs.exists(live)) return
+    val tmp = new org.apache.hadoop.fs.Path(s"$corpusDir/_records_compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$corpusDir/_records_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    val df = records(spark, corpusDir)
+    val n = math.max(1L, df.count())
+    val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+    df.repartition(files)
+      .write.partitionBy("schema_version").parquet(tmp.toString)
+    // two renames, not copies: the unsafe window is between them and a
+    // crash leaves either the old or the new store intact under a
+    // recoverable name
+    if (!fs.rename(live, old)) sys.error(s"compact: cannot move $live aside")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live) // roll back
+      sys.error(s"compact: cannot publish $tmp")
+    }
+    fs.delete(old, true)
+  }
+
   /** Highest issued id, or -1 for a missing/empty corpus. One tiny max-agg
     * over the pruned `id` column — the driver-side seed for the next batch's
     * `idBase` (AUTOINCREMENT parity without serializing the write path).

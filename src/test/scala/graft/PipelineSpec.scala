@@ -145,6 +145,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("compact rewrites many small appends into few files, data intact") {
+    val dir = tmpDir("corpus_")
+    (1 to 5).foreach(i =>
+      Pipeline.ingest(spark, Seq((s"doc$i", i)).toDF("content", "n"), dir))
+    def parquetFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/records"))
+        .filter(_.getName.endsWith(".parquet"))
+    }
+    val before = Corpus.records(spark, dir).orderBy("id")
+      .select("id", "data").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(parquetFiles.size >= 5, s"expected >=5 small files, got ${parquetFiles.size}")
+    Corpus.compact(spark, dir)
+    assert(parquetFiles.size == 1, s"expected 1 file after compact, got ${parquetFiles.size}")
+    val after = Corpus.records(spark, dir).orderBy("id")
+      .select("id", "data").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(after.toSeq == before.toSeq, "compaction must not change the data")
+  }
+
   test("counters are per-batch, not cumulative") {
     val dir = tmpDir("corpus_")
     Pipeline.ingest(spark, Seq(("x", 1), ("y", 2)).toDF("content", "n"), dir)
