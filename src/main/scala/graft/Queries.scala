@@ -970,7 +970,10 @@ object Queries {
       (s: SparkSession, d: String) => {
         val emb = tbl(s, d, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
-        val cents = Similarity.kmeans(emb, k = 8, iters = 2)
+        // train on a deterministic 10% slice (the 100 TB pattern: centroids
+        // come from a sample, assignment runs over everything)
+        val cents = Similarity.kmeans(emb.filter(col("id") % 10 === 0),
+          k = 8, iters = 2)
         Similarity.ivfAssign(
           emb.select(col("id"), col("vec").cast("array<double>").as("vec")), cents)
           .groupBy("cluster").agg(count(lit(1)).as("n"))
