@@ -475,6 +475,36 @@ object Queries {
              | min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Pivot: one column per event_type, counts per user — groupBy().pivot()
+    // with an explicit value list so the plan is a single aggregate (no
+    // distinct-scan for the pivot domain).
+    ("q_pivot",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "events")
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("user_id"),
+      Some("""SELECT user_id,
+             | count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             | count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+             | count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+             | count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+             | count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Typed extraction from a JSON column: from_json with an explicit
+    // schema (schema-on-read projection — stays codegen'd, no UDF).
+    ("q_json_extract",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "events")
+          .select(col("event_id"),
+            expr("from_json(props, 'k INT').k").as("k"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, json_extract(props, '$.k')::INT AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // ------------------------------------------------ S1-S6 ingest readers
 
     ("q_ingest_csv",

@@ -109,6 +109,20 @@ class ReadersSpec extends SparkSpec {
     assert(rows.toSeq == Seq("Compressed text "), s"got ${rows.toSeq}")
   }
 
+  test("json: a malformed file flags _corrupt_record without failing the batch") {
+    val dir = tmpDir("badjson_")
+    write(dir, "good.json", "[{\"a\": 1}]".getBytes(StandardCharsets.UTF_8))
+    write(dir, "bad.json", "[{\"a\": 2}, {broken".getBytes(StandardCharsets.UTF_8))
+    val df = Readers.json(spark, dir)
+    assert(df.columns.contains("_corrupt_record"),
+      s"expected PERMISSIVE corrupt-record column, got ${df.columns.toSeq}")
+    val rows = df.collect()
+    assert(rows.length == 2, s"good row + corrupt row, got ${rows.toSeq}")
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("a")) &&
+      r.getLong(r.fieldIndex("a")) == 1L))
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("_corrupt_record"))))
+  }
+
   test("suffix dispatch routes csv") {
     val dir = tmpDir("csv_")
     write(dir, "d.csv", "a,b\n1,x\n2,y\n".getBytes(StandardCharsets.UTF_8))
