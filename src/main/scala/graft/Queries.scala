@@ -163,6 +163,14 @@ object Queries {
   private val dTokensCase = "string_split_regex(trim(text), '\\s+')"
 
   /** DuckDB: k-shingle list of `toks` (clamped like `Dedup.shingles`). */
+  /** DuckDB: the kernel's deterministic minhash permutation multipliers as
+    * a BIGINT list literal (md5-derived driver-side — same values the
+    * native `graft_minhash` uses).
+    */
+  private def dMinhashCoeffs(numHashes: Int): String =
+    graft.functions.MinHashImpl.coeffs(numHashes)
+      .mkString("[", "::BIGINT, ", "::BIGINT]")
+
   private def dShingles(toks: String, k: Int): String =
     s"""CASE WHEN len($toks) <= $k THEN [array_to_string($toks, ' ')]
        | ELSE list_transform(generate_series(1, len($toks) - ${k - 1}),
@@ -859,17 +867,48 @@ object Queries {
               |GROUP BY md5(array_to_string($dTokens, ' '))
               |ORDER BY id""".stripMargin)),
 
+    // The oracle replays the ENTIRE deterministic algorithm — md5 token
+    // hashes, shingle fold, the 16 permutations, band keys, the bucket
+    // self-join — not just ground-truth Jaccard: LSH recall is
+    // probabilistic (a true pair can miss every band), so asserting
+    // against all-pairs truth would fail whenever banding misses (observed
+    // at sf0.1). Exact Jaccard still verifies every emitted pair.
     ("q_dedup_minhash",
       (s: SparkSession, d: String) =>
         Dedup.minhashNearDuplicates(tbl(s, d, "documents"), "doc_id", "text",
           threshold = 0.9).orderBy("id_a", "id_b"),
-      Some(s"""WITH sh AS (
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, list_transform($dTokensCase,
+              |    t -> ('0x' || substr(md5(t), 1, 7))::BIGINT + 1) AS th
+              |  FROM documents),
+              |shh AS (
+              |  SELECT doc_id, CASE WHEN len(th) <= 5
+              |    THEN [list_reduce(list_prepend(7::BIGINT, th[1:len(th)]),
+              |      (a, b) -> (a * 31 + b) % 2147483647)]
+              |    ELSE list_transform(range(1, len(th) - 3),
+              |      i -> list_reduce(list_prepend(7::BIGINT, th[i:i+4]),
+              |        (a, b) -> (a * 31 + b) % 2147483647)) END AS sh
+              |  FROM t),
+              |sig AS (
+              |  SELECT doc_id, list_transform(${dMinhashCoeffs(16)},
+              |    a -> list_min(list_transform(sh, h -> (a * (h + 1)) % 2147483647))) AS sg
+              |  FROM shh),
+              |bands AS (
+              |  SELECT doc_id, unnest(list_transform(range(0, 4),
+              |    b -> md5(b || ':' || array_to_string(sg[b*4+1 : b*4+4], '|')))) AS bkey
+              |  FROM sig),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+              |sets AS (
               |  SELECT doc_id, list_distinct(${dShingles(dTokensCase, 5)}) AS s
               |  FROM documents)
-              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |SELECT c.id_a, c.id_b,
               | ${Nums.dRound6("""len(list_intersect(a.s, b.s))::DOUBLE /
               |   len(list_distinct(list_concat(a.s, b.s)))""")} AS jaccard
-              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |FROM cand c
+              |JOIN sets a ON a.doc_id = c.id_a
+              |JOIN sets b ON b.doc_id = c.id_b
               |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
               |   len(list_distinct(list_concat(a.s, b.s))) >= 0.9
               |ORDER BY id_a, id_b""".stripMargin)),

@@ -8,20 +8,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Shared minhash kernel: token array → H-element signature in one pass.
   *
-  * Design (all engine-internal — the correctness oracle checks the *pairs*
-  * a dedup run emits against exact ground-truth Jaccard, never these
-  * intermediate hashes, so the hash family is a pure perf choice):
+  * Every stage is CROSS-ENGINE REPLAYABLE — LSH recall is probabilistic (a
+  * true near-dup pair can miss every band), so the correctness oracle must
+  * reproduce the exact candidate set, misses included, not assume perfect
+  * recall against ground truth. Hence each hash is expressible in plain
+  * SQL (`q_dedup_minhash`'s DuckDB oracle replays the whole chain):
   *
-  *  - token hash: FNV-1a over the token's UTF-8 bytes, computed once per
-  *    token;
-  *  - shingle hash: polynomial fold of `k` consecutive token hashes
-  *    (order-sensitive, like the string shingle it replaces); documents
-  *    shorter than `k` tokens contribute their single whole-document
-  *    shingle, so no input maps to an empty set;
-  *  - permutation j: universal hash (a_j * (h + 1)) mod (2^31 - 1) with
-  *    deterministic odd 30-bit a_j; signature j = min over shingles.
+  *  - token hash: first 7 hex chars of md5(token utf-8), as an int, + 1
+  *    (SQL: `('0x' || substr(md5(t), 1, 7))::BIGINT + 1`);
+  *  - shingle hash: polynomial fold h = (h*31 + th) mod P over `k`
+  *    consecutive token hashes, seed 7, P = 2^31-1 (order-sensitive, like
+  *    the string shingle it replaces; all intermediates < 2^36, no 64-bit
+  *    wraparound — DuckDB BIGINT arithmetic errors on overflow);
+  *  - permutation j: universal hash (a_j * (h + 1)) mod P with
+  *    deterministic odd 30-bit a_j (products < 2^61); signature j = min
+  *    over shingles.
   *
-  * Duplicate shingles need no dedup — min() is multiset-insensitive.
+  * Documents shorter than `k` tokens contribute their single
+  * whole-document shingle, so no input maps to an empty set. Duplicate
+  * shingles need no dedup — min() is multiset-insensitive.
   */
 object MinHashImpl extends Serializable {
 
@@ -40,23 +45,24 @@ object MinHashImpl extends Serializable {
 
   private final val P = 2147483647L // 2^31 - 1, prime
 
-  private def fnv1a(bytes: Array[Byte]): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
-    h
+  /** First 28 bits of md5(token), + 1 — what the SQL replay
+    * `('0x' || substr(md5(t), 1, 7))::BIGINT + 1` computes.
+    */
+  private def tokenHash(md: java.security.MessageDigest, bytes: Array[Byte]): Long = {
+    md.reset()
+    val d = md.digest(bytes)
+    (((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+      ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >> 4)) + 1L
   }
 
-  /** 30-bit base hash in (0, 2^30] from a 64-bit shingle hash. */
-  private def fold30(h: Long): Long = (((h ^ (h >>> 32)) & 0x3fffffffL) + 1L)
-
   def signature(tokens: ArrayData, k: Int, a: Array[Long]): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     val n = tokens.numElements()
     val th = new Array[Long](n)
     var i = 0
     while (i < n) {
       val t = tokens.getUTF8String(i)
-      th(i) = if (t == null) 0L else fnv1a(t.getBytes)
+      th(i) = if (t == null) 1L else tokenHash(md, t.getBytes)
       i += 1
     }
     val mins = Array.fill(a.length)(Long.MaxValue)
@@ -64,13 +70,12 @@ object MinHashImpl extends Serializable {
     val width = math.min(k, n)
     var s = 0
     while (s < nShingles) {
-      var h = 1125899906842597L
+      var h = 7L
       var w = 0
-      while (w < width) { h = h * 31L + th(s + w); w += 1 }
-      val hb = fold30(h)
+      while (w < width) { h = (h * 31L + th(s + w)) % P; w += 1 }
       var j = 0
       while (j < a.length) {
-        val v = (a(j) * hb) % P
+        val v = (a(j) * (h + 1L)) % P
         if (v < mins(j)) mins(j) = v
         j += 1
       }
