@@ -615,6 +615,35 @@ object Queries {
               | array_to_string(regexp_extract_all(content, '-?\\d+\\.?\\d*'), '|') AS numbers
               |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // PII scrubbing: full email/phone spans replaced with placeholder tags
+    // (same portable regexes as extraction, whole-match semantics).
+    ("q_redact_pii",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "documents").filter(col("doc_id") < 200)
+          .withColumn("content", contentExpr)
+          .select(col("doc_id"),
+            graft.ops.Extract.redactPii(col("content")).as("redacted"))
+          .orderBy("doc_id"),
+      Some(s"""WITH c AS (SELECT doc_id, $dContentExpr AS content
+              | FROM documents WHERE doc_id < 200)
+              |SELECT doc_id, regexp_replace(regexp_replace(content,
+              |  '${graft.ops.Extract.emailPattern}', '[EMAIL]', 'g'),
+              |  '${graft.ops.Extract.phonePattern}', '[PHONE]', 'g') AS redacted
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    ("q_stopword_removal",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            graft.ops.Extract.removeStopwords(col("text"),
+              Seq("the", "a", "of", "and", "to", "in", "is")).as("cleaned"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, array_to_string(list_filter(
+             |  string_split_regex(trim(text), '\s+'),
+             |  t -> NOT list_contains(['the','a','of','and','to','in','is'],
+             |    lower(t))), ' ') AS cleaned
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------------ A1 inference / V1 validation
 
     ("q_field_presence",

@@ -45,6 +45,26 @@ object Extract {
   def numbers(content: Column): Column =
     regexp_extract_all(content, lit(numberPattern), lit(0))
 
+  /** PII scrubbing for training corpora: full email and phone matches are
+    * replaced with placeholder tags (the whole match, not the reference's
+    * group-join quirk — redaction must remove the complete PII span). Two
+    * codegen'd regexp_replace passes, map-only.
+    */
+  def redactPii(content: Column): Column =
+    regexp_replace(
+      regexp_replace(content, emailPattern, "[EMAIL]"),
+      phonePattern, "[PHONE]")
+
+  /** Stopword removal: drop `words` tokens (case-insensitive), rejoin with
+    * single spaces. Pure array expressions.
+    */
+  def removeStopwords(text: Column, words: Seq[String]): Column = {
+    val stop = array(words.map(w => lit(w.toLowerCase)): _*)
+    array_join(
+      filter(split(trim(text), "\\s+"),
+        t => !array_contains(stop, lower(t))), " ")
+  }
+
   /** The `_extracted_patterns` struct for a content column. */
   def patternsStruct(content: Column): Column = struct(
     emails(content).as("emails"),

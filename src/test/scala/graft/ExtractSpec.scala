@@ -54,6 +54,15 @@ class ExtractSpec extends SparkSpec {
     assert(numbers == Seq("1"))
   }
 
+  test("redactPii replaces whole email/phone spans; stopwords drop case-insensitively") {
+    val out = Seq("mail a@b.co or (555) 123-4567 now").toDF("content")
+      .select(Extract.redactPii($"content")).collect()(0).getString(0)
+    assert(out == "mail [EMAIL] or [PHONE] now", s"got: $out")
+    val cleaned = Seq("The cat AND the dog").toDF("t")
+      .select(Extract.removeStopwords($"t", Seq("the", "and"))).collect()(0).getString(0)
+    assert(cleaned == "cat dog", s"got: $cleaned")
+  }
+
   test("withExtractedPatterns: empty struct when content column is absent or empty") {
     val noContent = Seq((1, "x")).toDF("id", "other")
     val r1 = Extract.withExtractedPatterns(noContent)
