@@ -319,6 +319,40 @@ object Queries {
              | FROM orders) WHERE rn <= 3
              |ORDER BY o_custkey, rn""".stripMargin)),
 
+    // Window-function variety: lead/lag offsets and ntile quartiles over
+    // each customer's order history.
+    ("q_window_offsets",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        tbl(s, d, "orders").filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(w).as("next_price"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             | lag(o_totalprice, 1) OVER w AS prev_price,
+             | lead(o_totalprice, 1) OVER w AS next_price,
+             | ntile(4) OVER w AS quartile
+             |FROM orders WHERE o_custkey < 100
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Fixed-width histogram: manual binning (floor((x-lo)/step), last bin
+    // closed) — the portable form of width_bucket.
+    ("q_histogram",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "lineitem")
+          .select(least(floor((col("l_extendedprice") - 900) / 7000), lit(9.0))
+            .cast("int").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy("bucket"),
+      Some("""SELECT least(floor((l_extendedprice - 900) / 7000), 9)::INT AS bucket,
+             | count(*) AS n
+             |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
     // As-of join (backward, inclusive): each click matched to the user's
     // latest strictly-not-later view. Union+window plan (one shuffle) vs
     // DuckDB's native ASOF JOIN as the oracle.
