@@ -709,6 +709,27 @@ object Queries {
 
     // ---------------------------------- pipeline round-trip: M1/W1/W2/Q1-Q4
 
+    // The RAGGED schema-on-read path end-to-end (ingestJson): records
+    // disagree on key sets, so inference unions properties, intersects
+    // required, and every record picks up real "Missing field" issues —
+    // recomputed independently by the oracle from the same case split.
+    ("q_ingest_json_ragged",
+      (s: SparkSession, d: String) => {
+        val corpusDir = Files.createTempDirectory("graft_corpus_").toString
+        val recs = tbl(s, d, "events").filter(col("event_id") < 300)
+          .select(col("event_id"), validateJson.as("j"))
+        Pipeline.ingestJson(s, recs, "j", corpusDir, idCol = Some("event_id"))
+        Corpus.records(s, corpusDir)
+          .select(col("id"), col("schema_version"),
+            coalesce(array_join(col("quality_issues"), "|"), lit("")).as("issues"))
+          .orderBy("id")
+      },
+      Some(s"""SELECT event_id AS id, 1 AS schema_version,
+              | CASE WHEN event_id % 3 = 0 THEN 'Missing field: ''q'''
+              |   WHEN event_id % 3 = 1 THEN 'Missing field: ''k''|Missing field: ''z'''
+              |   ELSE 'Missing field: ''q''|Missing field: ''z''' END AS issues
+              |FROM events WHERE event_id < 300 ORDER BY id""".stripMargin)),
+
     ("q_corpus_roundtrip",
       (s: SparkSession, d: String) => {
         val corpusDir = Files.createTempDirectory("graft_corpus_").toString
