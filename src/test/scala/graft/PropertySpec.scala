@@ -75,6 +75,38 @@ class PropertySpec extends SparkSpec {
     sigs(0).zip(sigs(1)).foreach { case (orig, dup) => assert(dup <= orig) }
   }
 
+  test("sessionization: chunked streaming transitions reproduce batch sessions") {
+    import graft.ops.Sessionize._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 2000L))
+      cuts <- Gen.listOfN(3, Gen.choose(0, n))
+    } yield (ts.sorted, cuts)
+    samples(gen, 25).foreach { case (ts, cuts) =>
+      val gap = 100L
+      val batch = byGap(ts.map(("k", _)).toDF("k", "ts"), "k", "ts", gap)
+        .orderBy("session_no").collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+      val state = TestGroupState.create[SessionState](
+        Optional.empty[SessionState](),
+        GroupStateTimeout.ProcessingTimeTimeout(),
+        1000L, Optional.empty[Long](), hasTimedOut = false)
+      val bounds = (0 +: cuts.sorted :+ ts.length).distinct.sorted
+      val closed = bounds.sliding(2).flatMap {
+        case Seq(a, b) =>
+          onGroup("k", ts.slice(a, b).map(SessionEvent("k", _)).iterator,
+            state, gap, registerTimeout = true).toList
+        case _ => Nil
+      }.toList
+      val all = closed ++
+        state.getOption.map(s => ClosedSession("k", s.nEvents, s.startUs, s.lastUs))
+      assert(all.map(c => (c.nEvents, c.startUs, c.endUs)).toSeq == batch.toSeq,
+        s"ts=$ts cuts=$bounds\nstreaming=$all\nbatch=${batch.toSeq}")
+    }
+  }
+
   test("WAV codec: encode/decode round-trips on generated sample buffers") {
     import graft.functions.MediaCodecs
     val bufGen = for {
