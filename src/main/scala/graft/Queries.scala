@@ -766,8 +766,12 @@ object Queries {
     ("q_schema_evolution",
       (s: SparkSession, d: String) => {
         val corpusDir = Files.createTempDirectory("graft_corpus_").toString
-        Pipeline.ingest(s, tbl(s, d, "documents"), corpusDir, idCol = Some("doc_id"))
-        Pipeline.ingest(s, tbl(s, d, "events"), corpusDir, idCol = Some("event_id"))
+        // version-bump semantics are row-count independent; slices keep this
+        // query about the state machine (bulk throughput has its own query)
+        Pipeline.ingest(s, tbl(s, d, "documents").filter(col("doc_id") < 2000),
+          corpusDir, idCol = Some("doc_id"))
+        Pipeline.ingest(s, tbl(s, d, "events").filter(col("event_id") < 2000),
+          corpusDir, idCol = Some("event_id"))
         Corpus.schemaChanges(s, corpusDir)
           .select(col("old_version"), col("new_version"),
             array_join(col("added_fields"), "|").as("added"),
@@ -781,8 +785,10 @@ object Queries {
     ("q_schema_history",
       (s: SparkSession, d: String) => {
         val corpusDir = Files.createTempDirectory("graft_corpus_").toString
-        Pipeline.ingest(s, tbl(s, d, "documents"), corpusDir, idCol = Some("doc_id"))
-        Pipeline.ingest(s, tbl(s, d, "events"), corpusDir, idCol = Some("event_id"))
+        Pipeline.ingest(s, tbl(s, d, "documents").filter(col("doc_id") < 2000),
+          corpusDir, idCol = Some("doc_id"))
+        Pipeline.ingest(s, tbl(s, d, "events").filter(col("event_id") < 2000),
+          corpusDir, idCol = Some("event_id"))
         Corpus.schemaHistory(s, corpusDir)
           .select(col("version"),
             size(json_object_keys(get_json_object(col("schema"), "$.properties")))
