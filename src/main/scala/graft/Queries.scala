@@ -1083,6 +1083,35 @@ object Queries {
     // IVF-bucketed ANN: deterministic seed centroids (16 smallest ids),
     // nearest-centroid assignment, nprobe=4 probing — the classic
     // inverted-file recall/fan-in dial, fully reproduced in the oracle.
+    // Quantized (int8-style) ANN: scoring is pure integer arithmetic, so
+    // the top-k is EXACTLY reproducible in SQL — fp dot products are not
+    // (summation order). 4x memory cut at serving time.
+    ("q_ann_quantized",
+      (s: SparkSession, d: String) => {
+        val emb = tbl(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.quantizedTopK(queries, corpus, k = 5)
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v),
+             |qz AS (SELECT vec_id, CASE WHEN mx = 0
+             |  THEN list_transform(e, x -> 0::BIGINT)
+             |  ELSE list_transform(e, x -> floor(x * 127 / mx + 0.5)::BIGINT) END AS iv
+             |  FROM m),
+             |scored AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS id,
+             |    list_sum(list_transform(range(1, len(q.iv) + 1),
+             |      i -> q.iv[i] * c.iv[i]))::BIGINT AS score
+             |  FROM qz q JOIN qz c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+             |ranked AS (
+             |  SELECT qid, id, score, row_number() OVER (
+             |    PARTITION BY qid ORDER BY score DESC, id) AS rank FROM scored)
+             |SELECT qid, rank::INT AS rank, id, score
+             |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
     // ANN quality measurement: recall@5 of the sign-bit LSH index against
     // exact brute force — BOTH algorithms replayed in DuckDB, so the metric
     // itself is oracle-checked.

@@ -92,6 +92,18 @@ class SimilaritySpec extends SparkSpec {
     assert(rb.getDouble(0) <= 1.0)
   }
 
+  test("quantizeInt maps the max-magnitude component to ±127") {
+    val out = Seq((1L, Seq(0.5, -1.0, 0.25), "x")).toDF("id", "vec", "pad")
+      .select(Similarity.quantizeInt(col("vec")).as("iv"))
+      .collect()(0).getAs[scala.collection.Seq[Long]](0)
+    // floor(x*127/1.0 + 0.5): 0.5 -> 64, -1.0 -> -127 (floor(-126.5)=-127), 0.25 -> 32
+    assert(out.toSeq == Seq(64L, -127L, 32L), s"got $out")
+    val zero = Seq((1L, Seq(0.0, 0.0))).toDF("id", "vec")
+      .select(Similarity.quantizeInt(col("vec")).as("iv"))
+      .collect()(0).getAs[scala.collection.Seq[Long]](0)
+    assert(zero.toSeq == Seq(0L, 0L))
+  }
+
   test("kmeans separates well-separated direction clusters") {
     // three direction clusters in 4-dim; ids 0,1,2 seed one per cluster
     def jig(base: Seq[Double], eps: Double) = base.map(_ + eps)
