@@ -294,6 +294,18 @@ object Queries {
              |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
              |ORDER BY c_custkey""".stripMargin)),
 
+    ("q_join_semi",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "customer")
+          .join(tbl(s, d, "orders")
+            .filter(col("o_totalprice") > 300000), // only big spenders
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (
+             |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
+
     ("q_topk_orders",
       (s: SparkSession, d: String) =>
         tbl(s, d, "orders").filter(col("o_orderstatus") === "O")
