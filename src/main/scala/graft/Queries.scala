@@ -294,6 +294,34 @@ object Queries {
              |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // The spark.sql entry point: users can run plain SQL against registered
+    // views — a TPC-H Q3-flavored 3-way join + agg + top-k, near-identical
+    // text on both engines.
+    ("q_sql_api",
+      (s: SparkSession, d: String) => {
+        tbl(s, d, "customer").createOrReplaceTempView("customer")
+        tbl(s, d, "orders").createOrReplaceTempView("orders")
+        tbl(s, d, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""SELECT o_orderkey,
+                |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                |  count(*) AS n_items
+                |FROM customer
+                |JOIN orders ON c_custkey = o_custkey
+                |JOIN lineitem ON l_orderkey = o_orderkey
+                |WHERE c_mktsegment = 'BUILDING'
+                |GROUP BY o_orderkey
+                |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             |  count(*) AS n_items
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY o_orderkey
+             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+
     ("q_join_semi",
       (s: SparkSession, d: String) =>
         tbl(s, d, "customer")
