@@ -322,6 +322,37 @@ object Queries {
              |GROUP BY o_orderkey
              |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
 
+    // TPC-H Q5-flavored 5-way join: region -> nation -> supplier ->
+    // lineitem -> orders. Catalyst broadcasts the three dimension tables
+    // (region/nation/supplier) and shuffles only the two fact tables.
+    ("q_sql_multijoin",
+      (s: SparkSession, d: String) => {
+        Seq("region", "nation", "supplier", "lineitem", "orders")
+          .foreach(t => tbl(s, d, t).createOrReplaceTempView(t))
+        s.sql("""SELECT n_name,
+                |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                |  count(*) AS n_items
+                |FROM region
+                |JOIN nation ON n_regionkey = r_regionkey
+                |JOIN supplier ON s_nationkey = n_nationkey
+                |JOIN lineitem ON l_suppkey = s_suppkey
+                |JOIN orders ON o_orderkey = l_orderkey
+                |WHERE r_name = 'ASIA'
+                |GROUP BY n_name
+                |ORDER BY revenue DESC, n_name""".stripMargin)
+      },
+      Some("""SELECT n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             |  count(*) AS n_items
+             |FROM region
+             |JOIN nation ON n_regionkey = r_regionkey
+             |JOIN supplier ON s_nationkey = n_nationkey
+             |JOIN lineitem ON l_suppkey = s_suppkey
+             |JOIN orders ON o_orderkey = l_orderkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin)),
+
     ("q_join_semi",
       (s: SparkSession, d: String) =>
         tbl(s, d, "customer")
