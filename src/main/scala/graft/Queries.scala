@@ -322,6 +322,19 @@ object Queries {
              |GROUP BY o_orderkey
              |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
 
+    ("q_part_stats",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "part")
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"),
+            Nums.round6(avg(col("p_retailprice"))).as("avg_price"),
+            max(col("p_size")).as("max_size"))
+          .orderBy("p_brand"),
+      Some(s"""SELECT p_brand, count(*) AS n,
+              | ${Nums.dRound6("avg(p_retailprice)")} AS avg_price,
+              | max(p_size) AS max_size
+              |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
     // TPC-H Q5-flavored 5-way join: region -> nation -> supplier ->
     // lineitem -> orders. Catalyst broadcasts the three dimension tables
     // (region/nation/supplier) and shuffles only the two fact tables.
