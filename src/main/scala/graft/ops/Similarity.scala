@@ -242,8 +242,10 @@ object Similarity {
   def dotQuantized(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
-  /** Brute-force top-k under quantized scoring (broadcast queries,
-    * integer dot, two-stage rank) — the memory-bound serving path.
+  /** Brute-force top-k under quantized scoring (broadcast queries, integer
+    * dot) — the memory-bound serving path. Same EXACT two-stage rank as
+    * `bruteForceTopK`: per-partition top-k first, so no reducer ever holds
+    * a query's corpus-sized score list.
     */
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("id"),
@@ -252,9 +254,13 @@ object Similarity {
       quantizeInt(col("qvec").cast("array<double>")).as("qiv")))
     val scored = c.crossJoin(q)
       .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), dotQuantized(col("qiv"), col("iv")).as("score"))
+      .select(col("qid"), col("id"), dotQuantized(col("qiv"), col("iv")).as("score"),
+        spark_partition_id().as("part"))
+    val wLocal = Window.partitionBy(col("qid"), col("part")).orderBy(desc("score"), asc("id"))
+    val local = scored.withColumn("lrank", row_number().over(wLocal))
+      .filter(col("lrank") <= k)
     val w = Window.partitionBy(col("qid")).orderBy(desc("score"), asc("id"))
-    scored.withColumn("rank", row_number().over(w))
+    local.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("score"))
   }

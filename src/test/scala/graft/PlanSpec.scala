@@ -54,6 +54,15 @@ class PlanSpec extends SparkSpec {
     assert(df.count() > 0) // and it must actually execute compiled
   }
 
+  test("5-way join broadcasts every dimension table") {
+    val df = Queries.queries("q_sql_multijoin")(spark, sf)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3,
+      s"region/nation/supplier should all broadcast, got $broadcasts:\n$plan")
+  }
+
   test("version-scoped corpus reads prune to their schema_version partitions") {
     val dir = tmpDir("corpus_")
     import spark.implicits._
