@@ -75,6 +75,22 @@ object StreamingIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Watermarked streaming session windows via the built-in
+    * `session_window` aggregate — sessions close (and emit, in append
+    * mode) once the watermark passes their gap-extended end. The
+    * `flatMapGroupsWithState` variant ([[graft.ops.Sessionize]]) remains
+    * the custom-state alternative with processing-time idle timeouts.
+    */
+  def sessionCounts(events: DataFrame, keyCol: String, tsCol: String,
+                    gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol),
+        org.apache.spark.sql.functions.session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("session_window.start").as("start"),
+        col("session_window.end").as("end"), col("n"))
+
   /** Stream-stream interval join: each left event pairs with right events
     * of the same key whose event time lies in
     * [leftTs + lower, leftTs + upper] — the attribution-join shape

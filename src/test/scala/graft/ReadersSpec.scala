@@ -123,6 +123,13 @@ class ReadersSpec extends SparkSpec {
     assert(rows.exists(r => !r.isNullAt(r.fieldIndex("_corrupt_record"))))
   }
 
+  test("csv: rows with too many fields don't fail the batch (PERMISSIVE)") {
+    val dir = tmpDir("badcsv_")
+    write(dir, "d.csv", "a,b\n1,x\n2,y,EXTRA,FIELDS\n3,z\n".getBytes(StandardCharsets.UTF_8))
+    val rows = Readers.csv(spark, dir).collect()
+    assert(rows.length == 3, s"malformed row must not drop the batch: ${rows.toSeq}")
+  }
+
   test("suffix dispatch routes csv") {
     val dir = tmpDir("csv_")
     write(dir, "d.csv", "a,b\n1,x\n2,y\n".getBytes(StandardCharsets.UTF_8))

@@ -173,6 +173,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window: sessions emit once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val sessions = StreamingIngest.sessionCounts(
+      mem.toDF().toDF("ts", "user"), "user", "ts",
+      gap = "5 minutes", watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), "u1"),
+        (Timestamp.valueOf("2024-01-01 00:03:00"), "u1"))
+      q.processAllAvailable()
+      // advance the watermark far past the session's end to force emission
+      mem.addData((Timestamp.valueOf("2024-01-01 01:00:00"), "u1"))
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .select(col("user"), col("start").cast("string"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(rows.toSeq == Seq(("u1", "2024-01-01 00:00:00", 2L)),
+        s"expected the closed 2-event session, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("intervalJoin: clicks attribute to impressions within the window only") {
     implicit val sqlCtx = spark.sqlContext
     val imps = MemoryStream[(Timestamp, String)]
