@@ -935,9 +935,9 @@ object Queries {
              |      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
              |ids AS (
-             |  SELECT user_id, ts_us, sum(ns) OVER (
+             |  SELECT user_id, ts_us, (sum(ns) OVER (
              |    PARTITION BY user_id ORDER BY ts_us
-             |    ROWS UNBOUNDED PRECEDING) AS session_no
+             |    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_no
              |  FROM marked)
              |SELECT user_id, session_no, count(*) AS n_events,
              |  min(ts_us) AS start_us, max(ts_us) AS end_us

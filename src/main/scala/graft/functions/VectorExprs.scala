@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst dot product over two array<double> columns.
   *
@@ -64,6 +64,64 @@ case class DotProduct(left: Expression, right: Expression)
     })
 
   override def prettyName: String = "graft_dot"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native Catalyst dot product over two array<long> columns — the integer
+  * sibling of [[DotProduct]] for quantized (int8-style) embedding scoring.
+  *
+  * The `zip_with` + `aggregate` HOF equivalent interprets one lambda call per
+  * element; on the quantized brute-force scan that measured ~3× the wall time
+  * of the codegen'd double kernel on the same join shape. This is the same
+  * tight primitive loop over unsafe array data, kept inside
+  * WholeStageCodegen. Exact integer arithmetic — no FP summation-order
+  * caveat, so results are bit-identical across engines by construction.
+  */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_doti expects (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("dotiN")
+      val s = ctx.freshName("dotiSum")
+      val i = ctx.freshName("dotiI")
+      s"""
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $x.getLong($i) * $y.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override def prettyName: String = "graft_doti"
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

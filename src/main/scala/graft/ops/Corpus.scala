@@ -159,9 +159,28 @@ object Corpus {
     * instead of scanning an ever-growing corpus. Version count is small and
     * append-monotone, the ideal partition key cardinality.
     */
-  def append(stamped: DataFrame, corpusDir: String): Unit =
-    stamped.write.mode(SaveMode.Append)
+  def append(stamped: DataFrame, corpusDir: String): Unit = {
+    val spark = stamped.sparkSession
+    val fs = fsOf(spark, corpusDir)
+    // The id high-water sidecar makes the next batch's idBase seed an O(1)
+    // driver-side file read instead of a max-agg scan over an append-only
+    // corpus that only grows. Crash-safe under the corpus's single-writer
+    // discipline: the pending marker is up for the whole append, and maxId
+    // falls back to the authoritative scan (and repairs the sidecar)
+    // whenever it finds one — so a crash anywhere in here can only cost a
+    // scan, never a duplicate id.
+    fs.create(pendingPath(corpusDir), true).close()
+    val obs = new org.apache.spark.sql.Observation()
+    stamped.observe(obs, max(col("id")).as("max_id"))
+      .write.mode(SaveMode.Append)
       .partitionBy("schema_version").parquet(s"$corpusDir/records")
+    val mx = obs.get("max_id") match {
+      case null => -1L
+      case v => v.asInstanceOf[Long]
+    }
+    writeHighWater(spark, corpusDir, math.max(mx, readHighWater(spark, corpusDir)))
+    fs.delete(pendingPath(corpusDir), false)
+  }
 
   def records(spark: SparkSession, corpusDir: String): DataFrame =
     spark.read.parquet(s"$corpusDir/records")
@@ -199,18 +218,68 @@ object Corpus {
     fs.delete(old, true)
   }
 
-  /** Highest issued id, or -1 for a missing/empty corpus. One tiny max-agg
-    * over the pruned `id` column — the driver-side seed for the next batch's
-    * `idBase` (AUTOINCREMENT parity without serializing the write path).
+  private def fsOf(spark: SparkSession, corpusDir: String) =
+    new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def highWaterPath(corpusDir: String) =
+    new org.apache.hadoop.fs.Path(s"$corpusDir/_maxid")
+
+  private def pendingPath(corpusDir: String) =
+    new org.apache.hadoop.fs.Path(s"$corpusDir/_maxid_pending")
+
+  /** Sidecar read: the persisted id high-water mark, or -1 when absent. */
+  private[graft] def readHighWater(spark: SparkSession, corpusDir: String): Long = {
+    val fs = fsOf(spark, corpusDir)
+    val p = highWaterPath(corpusDir)
+    if (!fs.exists(p)) return -1L
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+    finally in.close()
+  }
+
+  /** Sidecar write — tmp + rename, atomic on local FS and HDFS. */
+  private[graft] def writeHighWater(spark: SparkSession, corpusDir: String,
+                                    id: Long): Unit = {
+    val fs = fsOf(spark, corpusDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$corpusDir/_maxid_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(highWaterPath(corpusDir), false)
+    if (!fs.rename(tmp, highWaterPath(corpusDir)))
+      sys.error(s"writeHighWater: cannot publish $tmp")
+  }
+
+  /** Highest issued id, or -1 for a missing/empty corpus — the driver-side
+    * seed for the next batch's `idBase` (AUTOINCREMENT parity without
+    * serializing the write path).
+    *
+    * Served from the high-water sidecar `append` maintains — an O(1) file
+    * read, no job — so per-ingest id seeding stops scanning an append-only
+    * corpus that only grows. Falls back to the authoritative max-agg scan
+    * (parquet min/max footer stats make it cheap-ish) and REPAIRS the
+    * sidecar when the sidecar is absent (pre-sidecar corpus) or a pending
+    * marker shows an append died between its data commit and its sidecar
+    * update.
     */
   def maxId(spark: SparkSession, corpusDir: String): Long = {
+    val fs = fsOf(spark, corpusDir)
     val p = new org.apache.hadoop.fs.Path(s"$corpusDir/records")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return -1L
-    records(spark, corpusDir).agg(max(col("id"))).collect()(0) match {
+    val pending = fs.exists(pendingPath(corpusDir))
+    if (!pending) {
+      val hw = readHighWater(spark, corpusDir)
+      if (hw >= 0) return hw
+    }
+    val scanned = records(spark, corpusDir).agg(max(col("id"))).collect()(0) match {
       case r if r.isNullAt(0) => -1L
       case r => r.getLong(0)
     }
+    if (scanned >= 0) {
+      writeHighWater(spark, corpusDir, scanned)
+      if (pending) fs.delete(pendingPath(corpusDir), false)
+    }
+    scanned
   }
 
   /** Q4 — latest-N records (reference `app.py:169-173`). Catalyst plans this

@@ -133,18 +133,40 @@ object Similarity {
     * pipeline would bootstrap with.
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    // Centroids are control plane: k×dim doubles. Collect them once and bake
+    // each as a literal array into the plan — the per-row argmax then runs
+    // entirely map-side (`greatest` over k sortable (csim, -cid) structs,
+    // each a codegen'd `graft_dot` loop), with NO exchange. The previous
+    // crossJoin + groupBy(id) argmax shuffled corpus×k rows WITH their
+    // embedding payloads — a k× amplification of the whole corpus that
+    // dominates the IVF/k-means path at scale.
+    //
+    // Arithmetic is bit-identical to the join formulation: same
+    // left-to-right dot fold, same sqrt, same (sim desc, cid asc) struct
+    // ordering — so oracle replays are unaffected.
+    val cents: Array[(Long, Array[Double])] = centroids
+      .select(col("cid").cast("long"), col("cvec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Double]](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfAssign: empty centroid table")
     val c = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
       .withColumn("nrm", norm(col("vec")))
-    val cent = broadcast(centroids
-      .select(col("cid"), col("cvec").cast("array<double>").as("cvec"))
-      .withColumn("cnrm", norm(col("cvec"))))
-    val scored = c.crossJoin(cent)
-      .withColumn("csim", cosineFromNorms(dot(col("vec"), col("cvec")), col("nrm"), col("cnrm")))
-    // argmax by (sim desc, cid asc) via max of a sortable struct
-    val best = struct(col("csim"), (-col("cid")).as("negcid"))
-    scored.groupBy("id")
-      .agg(max(best).as("b"), first(col("vec")).as("vec"), first(col("nrm")).as("nrm"))
-      .select(col("id"), col("vec"), col("nrm"), (-col("b.negcid")).cast("long").as("cluster"))
+    val candidates = cents.map { case (cid, cv) =>
+      var s = 0.0
+      var i = 0
+      while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+      val cnrm = math.sqrt(s) // same fold order + sqrt as norm(col)
+      val cvec = array(cv.toSeq.map(lit(_)): _*)
+      struct(
+        cosineFromNorms(dot(col("vec"), cvec), col("nrm"), lit(cnrm)).as("csim"),
+        lit(-cid).as("negcid"))
+    }
+    val best =
+      if (candidates.length == 1) candidates.head
+      else greatest(candidates.toSeq: _*)
+    c.select(col("id"), col("vec"), col("nrm"),
+      (-best.getField("negcid")).cast("long").as("cluster"))
   }
 
   /** Deterministic seed centroids: the `k` corpus vectors with the smallest
@@ -238,9 +260,13 @@ object Similarity {
         .otherwise(floor(v * levels / mx + lit(0.5)).cast("long")))
   }
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — the codegen'd
+    * `graft_doti` kernel ([[graft.functions.LongDotProduct]]); the
+    * `zip_with`+`aggregate` HOF equivalent interprets a lambda per element
+    * and measured ~3× slower on the brute-force pair scan.
+    */
   def dotQuantized(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    call_function("graft_doti", a, b)
 
   /** Brute-force top-k under quantized scoring (broadcast queries, integer
     * dot) — the memory-bound serving path. Same EXACT two-stage rank as

@@ -165,6 +165,41 @@ class PipelineSpec extends SparkSpec {
     assert(after.toSeq == before.toSeq, "compaction must not change the data")
   }
 
+  test("id seeding reads the high-water sidecar, not the corpus") {
+    val dir = tmpDir("corpus_")
+    Pipeline.ingest(spark, Seq(("a", 1), ("b", 2)).toDF("content", "n"), dir)
+    val hw = Corpus.readHighWater(spark, dir)
+    val trueMax = Corpus.records(spark, dir).agg(max(col("id")))
+      .collect()(0).getLong(0)
+    assert(hw == trueMax, s"sidecar $hw != corpus max $trueMax")
+    // poke a sentinel into the sidecar; maxId must serve it verbatim —
+    // direct proof the corpus was NOT scanned
+    Corpus.writeHighWater(spark, dir, hw + 1000000)
+    assert(Corpus.maxId(spark, dir) == hw + 1000000)
+    // and the next batch seeds ABOVE the sidecar: ids stay unique/ascending
+    Pipeline.ingest(spark, Seq(("c", 3)).toDF("content", "n"), dir)
+    val newIds = Corpus.records(spark, dir).filter(col("id") > hw)
+      .select("id").collect().map(_.getLong(0))
+    assert(newIds.nonEmpty && newIds.forall(_ > hw + 1000000),
+      s"second batch must seed above the sidecar, got ${newIds.toSeq}")
+  }
+
+  test("a stale sidecar with a pending marker falls back to the corpus scan") {
+    val dir = tmpDir("corpus_")
+    Pipeline.ingest(spark, Seq(("a", 1), ("b", 2)).toDF("content", "n"), dir)
+    val trueMax = Corpus.records(spark, dir).agg(max(col("id")))
+      .collect()(0).getLong(0)
+    // simulate a crash between the data commit and the sidecar update:
+    // sidecar holds a stale LOW value, pending marker still present
+    Corpus.writeHighWater(spark, dir, -1L)
+    new java.io.File(s"$dir/_maxid_pending").createNewFile()
+    assert(Corpus.maxId(spark, dir) == trueMax,
+      "pending marker must force the authoritative scan")
+    // ... and the scan repaired the sidecar + cleared the marker
+    assert(Corpus.readHighWater(spark, dir) == trueMax)
+    assert(!new java.io.File(s"$dir/_maxid_pending").exists())
+  }
+
   test("counters are per-batch, not cumulative") {
     val dir = tmpDir("corpus_")
     Pipeline.ingest(spark, Seq(("x", 1), ("y", 2)).toDF("content", "n"), dir)

@@ -54,6 +54,31 @@ class PlanSpec extends SparkSpec {
     assert(df.count() > 0) // and it must actually execute compiled
   }
 
+  test("IVF assignment is map-side: no Exchange anywhere in the plan") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = graft.ops.Similarity.seedCentroids(emb, 4)
+    val assigned = graft.ops.Similarity.ivfAssign(emb, cents)
+    val plan = planOf(assigned)
+    assert(!plan.contains("Exchange"),
+      s"nearest-centroid assignment must not shuffle the corpus:\n$plan")
+    assert(assigned.count() > 0)
+  }
+
+  test("graft_doti quantized scoring stays inside whole-stage codegen") {
+    val v = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.ops.Similarity.quantizeInt(col("embedding").cast("array<double>")).as("iv"))
+    val df = v.select(graft.ops.Similarity.dotQuantized(col("iv"), col("iv")).as("d"))
+    val plan = planOf(df)
+    // '*(n)' prefix = the scoring projection is fused into a
+    // WholeStageCodegen stage (the quantize transform HOF above it is not,
+    // which is fine — quantization is one pass; scoring runs per PAIR)
+    assert("""\*\(\d+\) Project \[graft_doti""".r.findFirstIn(plan).isDefined,
+      s"expected codegen'd graft_doti projection:\n$plan")
+    assert(df.count() > 0) // and it must actually execute compiled
+  }
+
   test("5-way join broadcasts every dimension table") {
     val df = Queries.queries("q_sql_multijoin")(spark, sf)
     assert(df.count() > 0)

@@ -92,6 +92,17 @@ class SimilaritySpec extends SparkSpec {
     assert(rb.getDouble(0) <= 1.0)
   }
 
+  test("graft_doti matches the HOF integer dot on mixed-sign vectors") {
+    val df = Seq((Seq(3L, -2L, 0L, 127L), Seq(-1L, 4L, 9L, 127L))).toDF("a", "b")
+    val native = df.select(Similarity.dotQuantized(col("a"), col("b")))
+      .collect()(0).getLong(0)
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v))
+      .collect()(0).getLong(0)
+    assert(native == hof && native == (-3L - 8L + 0L + 127L * 127L))
+  }
+
   test("quantizeInt maps the max-magnitude component to ±127") {
     val out = Seq((1L, Seq(0.5, -1.0, 0.25), "x")).toDF("id", "vec", "pad")
       .select(Similarity.quantizeInt(col("vec")).as("iv"))
