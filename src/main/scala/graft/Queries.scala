@@ -578,14 +578,25 @@ object Queries {
              | count(DISTINCT l_orderkey) AS n_orders
              |FROM lineitem""".stripMargin)),
 
-    // HLL sketch differs across engines by construction -> rows-only check;
-    // q_distinct_exact above is the oracle-anchored variant.
+    // HLL sketch values differ across engines by construction, so the query
+    // asserts its own contract instead of emitting the raw estimate: both
+    // estimate and exact count are computed IN SPARK in one aggregate, and
+    // the output is whether the relative error sits inside 3x the configured
+    // rsd (0.05 -> 15%) — trivially oracle-checkable as constants.
+    // q_distinct_exact above stays the oracle-anchored exact variant.
     ("q_approx_distinct",
       (s: SparkSession, d: String) =>
         tbl(s, d, "lineitem").agg(
-          approx_count_distinct(col("l_partkey")).as("n_parts_approx"),
-          approx_count_distinct(col("l_orderkey")).as("n_orders_approx")),
-      None),
+          approx_count_distinct(col("l_partkey"), 0.05).as("ap"),
+          countDistinct(col("l_partkey")).as("ep"),
+          approx_count_distinct(col("l_orderkey"), 0.05).as("ao"),
+          countDistinct(col("l_orderkey")).as("eo"))
+          .select(
+            (abs(col("ap") - col("ep")).cast("double") / col("ep") <= 0.15)
+              .as("parts_within_tol"),
+            (abs(col("ao") - col("eo")).cast("double") / col("eo") <= 0.15)
+              .as("orders_within_tol")),
+      Some("SELECT true AS parts_within_tol, true AS orders_within_tol")),
 
     ("q_events_agg",
       (s: SparkSession, d: String) =>
@@ -770,6 +781,70 @@ object Queries {
       Some("""SELECT field, count(*)::BIGINT AS n_present FROM (
              | SELECT unnest(json_keys(props)) AS field FROM events)
              |GROUP BY field ORDER BY field""".stripMargin)),
+
+    // Typed (non-parity) inference end-to-end: ragged, mixed-type JSON built
+    // from lineitem (same construction both engines — only key presence and
+    // JSON value TYPES matter, so value formatting differences are
+    // irrelevant), through InferSchema.infer(parityStringify = false) — the
+    // Jackson type-vote path — with the vote replayed independently in
+    // DuckDB via json_each/json_type. Expected: amt sees {integer, number}
+    // across rows and votes number; even_supp is integer and absent on odd
+    // lines (not required); qty/flag/big are total (required).
+    ("q_infer_typed",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val json = concat(
+          lit("{\"qty\": "), col("l_quantity").cast("string"),
+          lit(", \"flag\": \""), col("l_returnflag"), lit("\""),
+          lit(", \"big\": "), (col("l_quantity") > 25).cast("string"),
+          when(col("l_linenumber") % 2 === 0,
+            concat(lit(", \"even_supp\": "), col("l_suppkey").cast("string")))
+            .otherwise(lit("")),
+          when(col("l_linenumber") === 1,
+            concat(lit(", \"amt\": "), col("l_suppkey").cast("string")))
+            .when(col("l_linenumber") === 2,
+              concat(lit(", \"amt\": "), col("l_extendedprice").cast("string")))
+            .otherwise(lit("")),
+          lit("}"))
+        val records = tbl(s, d, "lineitem").select(json.as("data"))
+        val schema = InferSchema.infer(records, "data", parityStringify = false)
+          .getOrElse(sys.error("empty batch"))
+        val req = schema.required.toSet
+        schema.properties.toSeq.sortBy(_._1)
+          .map { case (f, t) => (f, t, req.contains(f)) }
+          .toDF("field", "jtype", "required")
+      },
+      Some("""WITH src AS (
+             |  SELECT ('{"qty": ' || l_quantity || ', "flag": "' || l_returnflag ||
+             |    '", "big": ' || (l_quantity > 25) ||
+             |    CASE WHEN l_linenumber % 2 = 0
+             |      THEN ', "even_supp": ' || l_suppkey ELSE '' END ||
+             |    CASE WHEN l_linenumber = 1 THEN ', "amt": ' || l_suppkey
+             |         WHEN l_linenumber = 2 THEN ', "amt": ' || l_extendedprice
+             |         ELSE '' END || '}')::JSON AS j
+             |  FROM lineitem),
+             |total AS (SELECT count(*) AS n FROM src),
+             |kv AS (
+             |  SELECT field,
+             |    CASE json_type(j, '$.' || field)
+             |      WHEN 'BIGINT' THEN 'integer' WHEN 'UBIGINT' THEN 'integer'
+             |      WHEN 'DOUBLE' THEN 'number' WHEN 'VARCHAR' THEN 'string'
+             |      WHEN 'BOOLEAN' THEN 'boolean' WHEN 'OBJECT' THEN 'object'
+             |      WHEN 'ARRAY' THEN 'array' WHEN 'NULL' THEN 'null'
+             |      ELSE 'string' END AS t
+             |  FROM (SELECT j, unnest(json_keys(j)) AS field FROM src)),
+             |agg AS (
+             |  SELECT field, count(*) AS np,
+             |    list_sort(list_distinct(list(t) FILTER (WHERE t <> 'null'))) AS ts
+             |  FROM kv GROUP BY field)
+             |SELECT field,
+             |  CASE WHEN len(ts) = 0 THEN 'null'
+             |       WHEN len(ts) = 1 THEN ts[1]
+             |       WHEN len(ts) = 2 AND ts[1] = 'integer' AND ts[2] = 'number'
+             |         THEN 'number'
+             |       ELSE 'string' END AS jtype,
+             |  np = (SELECT n FROM total) AS required
+             |FROM agg ORDER BY field""".stripMargin)),
 
     ("q_validate",
       (s: SparkSession, d: String) =>
