@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, LongDotProduct, MinHashSignature, PyJsonRender, SimHash}
+import graft.functions.{ArgmaxCosine, DotProduct, LongDotProduct, MinHashSignature, PyJsonRender, SimHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         SimHash(children.head, bits)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_argmax_cos"),
+      new ExpressionInfo(classOf[ArgmaxCosine].getName, "graft_argmax_cos"),
+      (children: Seq[Expression]) => ArgmaxCosine(children)))
     ext.injectFunction((
       new FunctionIdentifier("graft_pyjson"),
       new ExpressionInfo(classOf[PyJsonRender].getName, "graft_pyjson"),

@@ -127,3 +127,143 @@ case class LongDotProduct(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Native nearest-centroid argmax by cosine: `graft_argmax_cos(vec, nrm,
+  * matrix, cnorms, cids)` → the `cids` entry whose row of `matrix` has the
+  * highest cosine similarity to `vec` (ties → the earliest entry; callers
+  * pass cids ascending, giving the reference's "smallest centroid id" rule).
+  *
+  * `matrix`/`cnorms`/`cids` must be foldable (they are the collected k×dim
+  * centroid control plane, inlined as ONE literal each): the expression
+  * evaluates them once and embeds them as plan reference objects, so plan
+  * size and codegen size stay O(1) in k — unlike the previous
+  * `greatest`-over-k-structs formulation, whose generated source grew with
+  * k×dim literals and paid ~1.4 s of Janino compile per fresh centroid set
+  * (and risked codegen-split fallback at k in the hundreds).
+  *
+  * Arithmetic parity (the DuckDB oracle replays it): dot is the same
+  * left-to-right fold as `graft_dot` truncated to min length; cosine is
+  * `denom == 0 → 0.0, else dot/denom` with `denom = nrm * cnorms[c]`;
+  * candidate comparison uses Spark's double ordering (`Double.compare`, NaN
+  * greatest) exactly like the struct `greatest` it replaces.
+  */
+case class ArgmaxCosine(children: Seq[Expression]) extends Expression {
+  private def vecChild = children(0)
+  private def nrmChild = children(1)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = children.length == 5 &&
+      (vecChild.dataType match { case ArrayType(DoubleType, _) => true; case _ => false }) &&
+      nrmChild.dataType == DoubleType &&
+      (children(2).dataType match {
+        case ArrayType(ArrayType(DoubleType, _), _) => true; case _ => false
+      }) &&
+      (children(3).dataType match { case ArrayType(DoubleType, _) => true; case _ => false }) &&
+      (children(4).dataType match { case ArrayType(LongType, _) => true; case _ => false }) &&
+      children.drop(2).forall(_.foldable)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_argmax_cos expects (array<double>, double, " +
+        "foldable array<array<double>>, foldable array<double>, foldable array<bigint>)")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = vecChild.nullable || nrmChild.nullable
+
+  // the collected centroid control plane, evaluated once per plan
+  @transient private lazy val matrix: Array[Array[Double]] = {
+    val ad = children(2).eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
+  @transient private lazy val cnorms: Array[Double] =
+    children(3).eval(null).asInstanceOf[ArrayData].toDoubleArray()
+  @transient private lazy val cids: Array[Long] =
+    children(4).eval(null).asInstanceOf[ArrayData].toLongArray()
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = vecChild.eval(input)
+    val nr = nrmChild.eval(input)
+    if (v == null || nr == null) return null
+    val vec = v.asInstanceOf[ArrayData]
+    val nrm = nr.asInstanceOf[Double]
+    var bestSim = 0.0
+    var bestCid = 0L
+    var c = 0
+    while (c < matrix.length) {
+      val cv = matrix(c)
+      val n = math.min(vec.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += vec.getDouble(i) * cv(i); i += 1 }
+      val denom = nrm * cnorms(c)
+      val sim = if (denom == 0.0) 0.0 else s / denom
+      if (c == 0 || java.lang.Double.compare(sim, bestSim) > 0) {
+        bestSim = sim; bestCid = cids(c)
+      }
+      c += 1
+    }
+    bestCid
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vecGen = vecChild.genCode(ctx)
+    val nrmGen = nrmChild.genCode(ctx)
+    val mRef = ctx.addReferenceObj("argmaxMatrix", matrix, "double[][]")
+    val nRef = ctx.addReferenceObj("argmaxNorms", cnorms, "double[]")
+    val cRef = ctx.addReferenceObj("argmaxCids", cids, "long[]")
+    val bestSim = ctx.freshName("bestSim")
+    val bestCid = ctx.freshName("bestCid")
+    val cIdx = ctx.freshName("cIdx")
+    val cv = ctx.freshName("cv")
+    val n = ctx.freshName("n")
+    val s = ctx.freshName("s")
+    val i = ctx.freshName("i")
+    val denom = ctx.freshName("denom")
+    val sim = ctx.freshName("sim")
+    // the argmax loop, writing its winner into $bestCid
+    val loop =
+      s"""double $bestSim = 0.0;
+         |long $bestCid = 0L;
+         |for (int $cIdx = 0; $cIdx < $mRef.length; $cIdx++) {
+         |  double[] $cv = $mRef[$cIdx];
+         |  int $n = Math.min(${vecGen.value}.numElements(), $cv.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ${vecGen.value}.getDouble($i) * $cv[$i];
+         |  }
+         |  double $denom = ${nrmGen.value} * $nRef[$cIdx];
+         |  double $sim = ($denom == 0.0) ? 0.0 : $s / $denom;
+         |  if ($cIdx == 0 || Double.compare($sim, $bestSim) > 0) {
+         |    $bestSim = $sim; $bestCid = $cRef[$cIdx];
+         |  }
+         |}""".stripMargin
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    if (nullable) {
+      ev.copy(code =
+        code"""
+             |${vecGen.code}
+             |${nrmGen.code}
+             |boolean ${ev.isNull} = ${vecGen.isNull} || ${nrmGen.isNull};
+             |long ${ev.value} = 0L;
+             |if (!${ev.isNull}) {
+             |  $loop
+             |  ${ev.value} = $bestCid;
+             |}
+           """.stripMargin)
+    } else {
+      ev.copy(code =
+        code"""
+             |${vecGen.code}
+             |${nrmGen.code}
+             |$loop
+             |long ${ev.value} = $bestCid;
+           """.stripMargin, isNull = FalseLiteral)
+    }
+  }
+
+  override def prettyName: String = "graft_argmax_cos"
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}

@@ -133,40 +133,42 @@ object Similarity {
     * pipeline would bootstrap with.
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    // Centroids are control plane: k×dim doubles. Collect them once and bake
-    // each as a literal array into the plan — the per-row argmax then runs
-    // entirely map-side (`greatest` over k sortable (csim, -cid) structs,
-    // each a codegen'd `graft_dot` loop), with NO exchange. The previous
-    // crossJoin + groupBy(id) argmax shuffled corpus×k rows WITH their
-    // embedding payloads — a k× amplification of the whole corpus that
-    // dominates the IVF/k-means path at scale.
+    // Centroids are control plane: k×dim doubles. Collect them once and
+    // embed them as ONE literal matrix inside the native
+    // `graft_argmax_cos` kernel ([[graft.functions.ArgmaxCosine]]) — the
+    // per-row argmax then runs entirely map-side with NO exchange, and the
+    // plan/codegen size stays O(1) in k (the r2 crossJoin+groupBy argmax
+    // shuffled corpus×k rows; the r3 `greatest`-over-k-structs formulation
+    // was exchange-free but its generated source grew with k×dim literals —
+    // ~1.4 s of Janino compile per fresh centroid set at k=16·dim=64, and a
+    // codegen-split risk at k in the hundreds).
     //
-    // Arithmetic is bit-identical to the join formulation: same
-    // left-to-right dot fold, same sqrt, same (sim desc, cid asc) struct
-    // ordering — so oracle replays are unaffected.
+    // Arithmetic is bit-identical to both prior formulations: same
+    // left-to-right dot fold, same sqrt, denom==0 → 0.0, ties → smallest
+    // cid — so oracle replays are unaffected.
     val cents: Array[(Long, Array[Double])] = centroids
       .select(col("cid").cast("long"), col("cvec").cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Double]](1).toArray))
       .sortBy(_._1)
-    require(cents.nonEmpty, "ivfAssign: empty centroid table")
     val c = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
       .withColumn("nrm", norm(col("vec")))
-    val candidates = cents.map { case (cid, cv) =>
+    // empty centroid table → empty assignment (e.g. k-means over an empty
+    // corpus), preserving the schema instead of throwing
+    if (cents.isEmpty)
+      return c.select(col("id"), col("vec"), col("nrm"), lit(0L).as("cluster")).limit(0)
+    val cnorms = cents.map { case (_, cv) =>
       var s = 0.0
       var i = 0
       while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
-      val cnrm = math.sqrt(s) // same fold order + sqrt as norm(col)
-      val cvec = array(cv.toSeq.map(lit(_)): _*)
-      struct(
-        cosineFromNorms(dot(col("vec"), cvec), col("nrm"), lit(cnrm)).as("csim"),
-        lit(-cid).as("negcid"))
+      math.sqrt(s) // same fold order + sqrt as norm(col)
     }
-    val best =
-      if (candidates.length == 1) candidates.head
-      else greatest(candidates.toSeq: _*)
-    c.select(col("id"), col("vec"), col("nrm"),
-      (-best.getField("negcid")).cast("long").as("cluster"))
+    val cluster = call_function("graft_argmax_cos",
+      col("vec"), col("nrm"),
+      typedLit(cents.map(_._2.toSeq).toSeq),
+      typedLit(cnorms.toSeq),
+      typedLit(cents.map(_._1).toSeq))
+    c.select(col("id"), col("vec"), col("nrm"), cluster.as("cluster"))
   }
 
   /** Deterministic seed centroids: the `k` corpus vectors with the smallest
@@ -264,6 +266,13 @@ object Similarity {
     * `graft_doti` kernel ([[graft.functions.LongDotProduct]]); the
     * `zip_with`+`aggregate` HOF equivalent interprets a lambda per element
     * and measured ~3× slower on the brute-force pair scan.
+    *
+    * Malformed-input convention (same as `graft_dot`, differs from the old
+    * HOF formulation which returned NULL): mismatched lengths truncate to
+    * the shorter vector, and null array slots read as 0 — a well-defined
+    * score for ragged input rather than a null that silently drops the pair
+    * from top-k. Pinned by SimilaritySpec ("quantized dot malformed-input
+    * convention").
     */
   def dotQuantized(a: Column, b: Column): Column =
     call_function("graft_doti", a, b)

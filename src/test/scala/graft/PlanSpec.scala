@@ -65,6 +65,33 @@ class PlanSpec extends SparkSpec {
     assert(assigned.count() > 0)
   }
 
+  test("IVF assignment stays codegen-fused at realistic k (k=32, real dim)") {
+    // r3's greatest-over-k-structs formulation generated O(k×dim) source —
+    // fine at the k=4 pin above but a split/fallback risk at realistic k.
+    // The graft_argmax_cos kernel embeds the centroid matrix as ONE
+    // reference object; this pins that the projection is still fused into
+    // WholeStageCodegen (the '*(n)' prefix) at k=32 over the real 64-dim
+    // embeddings, and that it executes compiled.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = graft.ops.Similarity.seedCentroids(emb, 32)
+    val assigned = graft.ops.Similarity.ivfAssign(emb, cents)
+    val plan = planOf(assigned)
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+    assert("""\*\(\d+\) Project \[.*graft_argmax_cos""".r.findFirstIn(plan).isDefined,
+      s"expected codegen-fused graft_argmax_cos projection:\n${plan.take(2000)}")
+    assert(assigned.select(countDistinct(col("cluster"))).head().getLong(0) > 1)
+  }
+
+  test("ivfAssign of an empty centroid table is an empty result, not an error") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val empty = graft.ops.Similarity.seedCentroids(emb.limit(0), 4)
+    val assigned = graft.ops.Similarity.ivfAssign(emb, empty)
+    assert(assigned.columns.toSeq == Seq("id", "vec", "nrm", "cluster"))
+    assert(assigned.count() == 0)
+  }
+
   test("graft_doti quantized scoring stays inside whole-stage codegen") {
     val v = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"),

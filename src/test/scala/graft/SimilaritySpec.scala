@@ -103,6 +103,37 @@ class SimilaritySpec extends SparkSpec {
     assert(native == hof && native == (-3L - 8L + 0L + 127L * 127L))
   }
 
+  test("quantized dot malformed-input convention: truncate to min length, null slots = 0") {
+    // graft_doti intentionally differs from the old zip_with+aggregate HOF
+    // (which returned NULL for ragged input): a mismatched length truncates
+    // to the shorter vector and a null slot contributes 0 — a well-defined
+    // score instead of a null that silently drops the pair from top-k.
+    val ragged = Seq((Seq(2L, 3L, 5L), Seq(10L, 10L))).toDF("a", "b")
+      .select(Similarity.dotQuantized(col("a"), col("b")).as("d")).collect()(0)
+    assert(!ragged.isNullAt(0) && ragged.getLong(0) == 50L, s"ragged: $ragged")
+    val withNull = Seq((Seq(Some(2L), None, Some(5L)), Seq(Some(10L), Some(10L), Some(10L))))
+      .toDF("a", "b")
+      .select(Similarity.dotQuantized(col("a"), col("b")).as("d")).collect()(0)
+    assert(!withNull.isNullAt(0) && withNull.getLong(0) == 70L, s"null slot: $withNull")
+    // a NULL vector (vs a null slot) is still NULL-propagating
+    val nullVec = Seq((Some(Seq(1L, 2L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(Similarity.dotQuantized(col("a"), col("b")).as("d")).collect()(0)
+    assert(nullVec.isNullAt(0))
+  }
+
+  test("graft_argmax_cos matches the struct-greatest argmax formulation") {
+    // the kernel must reproduce the exact (sim desc, cid asc) choice the
+    // oracle replays: ties -> smallest cid, zero denom -> sim 0
+    val corpus = vecs.select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val cents = Seq((10L, Seq(1.0, 0.0, 0.0)), (11L, Seq(0.0, 1.0, 0.0)),
+      (12L, Seq(1.0, 0.0, 0.0))).toDF("cid", "cvec") // 12 duplicates 10 -> tie
+    val out = Similarity.ivfAssign(corpus, cents)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cluster")).toMap
+    assert(out(0L) == 10L && out(1L) == 10L, "tie must pick the smallest cid")
+    assert(out(2L) == 11L)
+    assert(out(4L) == 10L, "zero vector: all sims 0, first (smallest) cid wins")
+  }
+
   test("quantizeInt maps the max-magnitude component to ±127") {
     val out = Seq((1L, Seq(0.5, -1.0, 0.25), "x")).toDF("id", "vec", "pad")
       .select(Similarity.quantizeInt(col("vec")).as("iv"))
