@@ -1,9 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every `SparkEntry.queries` entry at
+  * `SPARK_GRAFT_SF_DIR` and prints ONE compact JSON line.
+  *
+  * Artifact hygiene (the r3 bench tail was truncated and unparseable):
+  *   - queries run in sorted-name order — deterministic across rounds, so
+  *     per-query diffs compare like with like (a Map's hash order reshuffled
+  *     whenever a query was added, silently moving queries between cold and
+  *     warm slots);
+  *   - timings are rounded to ms so the full line stays within a 2 KB
+  *     stdout tail capture;
+  *   - the full-precision result is also written to `graft_bench_full.json`
+  *     in the working directory as a machine-diffable backup.
+  *
+  * `SPARK_GRAFT_BENCH_REPEAT` (default 1) reruns each query N times and
+  * reports the minimum — the steady-state number, free of one-shot plan/
+  * codegen compile and CPU-contention spikes, for local regression hunts.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,20 +40,31 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Operators that persist derived tables (LSH buckets, simhash segments,
-      // in-flight batches) release them per-run; drop leftovers so queries
-      // are timed independently.
-      spark.catalog.clearCache()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val dt = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val t = (System.nanoTime() - t0) / 1e9
+        // Operators that persist derived tables (LSH buckets, simhash
+        // segments, in-flight batches) release them per-run; drop leftovers
+        // so queries are timed independently.
+        spark.catalog.clearCache()
+        t
+      }.min
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).sum
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("graft_bench_full.json"),
+        line(_.toString).getBytes("UTF-8"))
+    } catch { case _: Exception => () } // read-only cwd: stdout still has it
+    println(line(v => f"$v%.3f"))
     spark.stop()
   }
 }

@@ -41,13 +41,17 @@ object InferSchema {
     * output explodes into (field, type) rows feeding the same presence
     * aggregation. Only the non-parity structured mode pays the UDF cost.
     */
+  // one mapper per JVM (ObjectMapper is thread-safe for reads and expensive
+  // to construct — building it per record dominated the typed-inference scan)
+  @transient private lazy val sharedMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
   private val fieldJsonTypes = udf { (json: String) =>
     if (json == null) Map.empty[String, String]
     else {
-      import com.fasterxml.jackson.databind.ObjectMapper
       import scala.jdk.CollectionConverters._
       try {
-        val node = new ObjectMapper().readTree(json)
+        val node = sharedMapper.readTree(json)
         if (node == null || !node.isObject) Map.empty[String, String]
         else node.fields().asScala.map { e =>
           val v = e.getValue
@@ -74,21 +78,26 @@ object InferSchema {
     */
   def infer(records: DataFrame, jsonCol: String = "data",
             parityStringify: Boolean = true): Option[JsonSchema] = {
-    val total = records.count()
-    if (total == 0) return None
+    // The record total (the `required` denominator) rides the SAME job as
+    // the presence aggregation via observe() — a records.count() here would
+    // scan the batch twice (and in typed mode pay the Jackson parse twice).
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = records.observe(obs, count(lit(1)).as("total"))
 
     val presence =
       if (parityStringify) {
-        fieldPresence(records, jsonCol)
+        fieldPresence(observed, jsonCol)
           .withColumn("types", array(lit("string")))
       } else {
-        records
+        observed
           .select(explode(fieldJsonTypes(col(jsonCol))).as(Seq("field", "t")))
           .groupBy("field")
           .agg(count(lit(1)).as("n_present"), collect_set(col("t")).as("types"))
       }
 
     val rows = presence.collect() // tiny: one row per distinct field name
+    val total = obs.get("total").asInstanceOf[Long]
+    if (total == 0) return None
     val props = rows.map { r =>
       // Spark returns array columns as mutable.ArraySeq on Scala 2.13 —
       // request the cross-package supertype, then normalize.
@@ -113,12 +122,15 @@ object InferSchema {
     * construction; required = columns with zero nulls.
     */
   def inferStructured(df: DataFrame): Option[JsonSchema] = {
-    val total = df.count()
+    // total and per-column non-null counts in ONE aggregation job
+    val counts = df.select(
+      (count(lit(1)).as("__total") +:
+        df.columns.map(c => count(col(c)).as(c))).toSeq: _*).collect()(0)
+    val total = counts.getLong(0)
     if (total == 0) return None
-    val nonNullCounts = df.select(df.columns.map(c => count(col(c)).as(c)).toSeq: _*).collect()(0)
     val props = df.schema.fields.map { f => f.name -> "string" }.toMap
     val required = df.columns.zipWithIndex
-      .filter { case (_, i) => nonNullCounts.getLong(i) == total }
+      .filter { case (_, i) => counts.getLong(i + 1) == total }
       .map(_._1).toSeq.sorted
     Some(JsonSchema(props, required))
   }
