@@ -150,6 +150,19 @@ object Queries {
       "caf\u00e9 r\u00e9sum\u00e9 na\u00efve".getBytes(StandardCharsets.ISO_8859_1))
     writeBytes(dir.resolve("utf8.txt"),
       "h\u00e9llo \u00fctf8".getBytes(StandardCharsets.UTF_8))
+    // BOM'd UTF-16 both endiannesses (java "UTF-16" writes a BE BOM; LE
+    // bytes are hand-prefixed with FF FE), a BOM'd UTF-8 file, and a
+    // BOM-less UTF-16LE one for the NUL-parity heuristic
+    writeBytes(dir.resolve("utf16be.txt"),
+      "w\u00efde utf16be".getBytes(StandardCharsets.UTF_16))
+    writeBytes(dir.resolve("utf16le.txt"),
+      Array[Byte](0xff.toByte, 0xfe.toByte) ++
+        "w\u00efde utf16le".getBytes(StandardCharsets.UTF_16LE))
+    writeBytes(dir.resolve("utf8bom.txt"),
+      Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+        "b\u00f6m utf8".getBytes(StandardCharsets.UTF_8))
+    writeBytes(dir.resolve("utf16le_nobom.txt"),
+      "plain utf16le no bom".getBytes(StandardCharsets.UTF_16LE))
     dir.toString
   }
 
@@ -582,21 +595,26 @@ object Queries {
     // asserts its own contract instead of emitting the raw estimate: both
     // estimate and exact count are computed IN SPARK in one aggregate, and
     // the output is whether the relative error sits inside 3x the configured
-    // rsd (0.05 -> 15%) — trivially oracle-checkable as constants.
-    // q_distinct_exact above stays the oracle-anchored exact variant.
+    // rsd (0.05 -> 15%). The exact denominators are emitted alongside and
+    // recomputed INDEPENDENTLY by the DuckDB oracle, anchoring the row
+    // cross-engine (only the sketch estimate itself stays Spark-side).
     ("q_approx_distinct",
       (s: SparkSession, d: String) =>
         tbl(s, d, "lineitem").agg(
           approx_count_distinct(col("l_partkey"), 0.05).as("ap"),
-          countDistinct(col("l_partkey")).as("ep"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
           approx_count_distinct(col("l_orderkey"), 0.05).as("ao"),
-          countDistinct(col("l_orderkey")).as("eo"))
+          countDistinct(col("l_orderkey")).as("exact_orders"))
           .select(
-            (abs(col("ap") - col("ep")).cast("double") / col("ep") <= 0.15)
+            (abs(col("ap") - col("exact_parts")).cast("double") / col("exact_parts") <= 0.15)
               .as("parts_within_tol"),
-            (abs(col("ao") - col("eo")).cast("double") / col("eo") <= 0.15)
-              .as("orders_within_tol")),
-      Some("SELECT true AS parts_within_tol, true AS orders_within_tol")),
+            (abs(col("ao") - col("exact_orders")).cast("double") / col("exact_orders") <= 0.15)
+              .as("orders_within_tol"),
+            col("exact_parts"), col("exact_orders")),
+      Some("""SELECT true AS parts_within_tol, true AS orders_within_tol,
+             | count(DISTINCT l_partkey) AS exact_parts,
+             | count(DISTINCT l_orderkey) AS exact_orders
+             |FROM lineitem""".stripMargin)),
 
     ("q_events_agg",
       (s: SparkSession, d: String) =>
@@ -611,6 +629,31 @@ object Queries {
       Some("""SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value,
              | min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // The streaming windowed aggregation under the batch hash check: the
+    // SAME StreamingIngest.windowedCounts code (watermark + tumbling
+    // event-time window + count/sum) replayed over the batch events table —
+    // Catalyst's EliminateEventTimeWatermark makes the watermark a no-op in
+    // batch, so this pins exactly the aggregate a readStream would run.
+    ("q_windowed_counts",
+      (s: SparkSession, d: String) => {
+        val ev = tbl(s, d, "events")
+          .select(col("event_type"), col("value"),
+            // ts is raw nanos (nanosAsLong) -> µs -> timestamp
+            timestamp_micros(expr("ts div 1000")).as("ets"))
+        graft.streaming.StreamingIngest.windowedCounts(ev, "ets", "1 hour", "1 hour")
+          .select(
+            unix_micros(col("window.start")).as("w_start_us"),
+            unix_micros(col("window.end")).as("w_end_us"),
+            col("event_type"), col("n"),
+            Nums.round6(col("total_value")).as("total_value"))
+          .orderBy("w_start_us", "event_type")
+      },
+      Some(s"""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w_start_us,
+              | (epoch_us(ts) // 3600000000) * 3600000000 + 3600000000 AS w_end_us,
+              | event_type, count(*) AS n,
+              | ${Nums.dRound6("sum(value)")} AS total_value
+              |FROM events GROUP BY 1, 2, 3 ORDER BY w_start_us, event_type""".stripMargin)),
 
     // Pivot: one column per event_type, counts per user — groupBy().pivot()
     // with an explicit value list so the plan is a single aggregate (no
@@ -714,10 +757,14 @@ object Queries {
       },
       Some("""SELECT content FROM (
              | SELECT 'caf\u00e9 r\u00e9sum\u00e9 na\u00efve' AS content
-             | UNION ALL SELECT 'h\u00e9llo \u00fctf8') ORDER BY content"""
+             | UNION ALL SELECT 'h\u00e9llo \u00fctf8'
+             | UNION ALL SELECT 'w\u00efde utf16be'
+             | UNION ALL SELECT 'w\u00efde utf16le'
+             | UNION ALL SELECT 'b\u00f6m utf8'
+             | UNION ALL SELECT 'plain utf16le no bom') ORDER BY content"""
         .stripMargin
         .replace("\\u00e9", "\u00e9").replace("\\u00ef", "\u00ef")
-        .replace("\\u00fc", "\u00fc"))),
+        .replace("\\u00fc", "\u00fc").replace("\\u00f6", "\u00f6"))),
 
     // ------------------------------------------------ F1/F2 extraction
 
@@ -1327,6 +1374,66 @@ object Queries {
           .orderBy("cluster")
       },
       None),
+
+    // Engine-exact k-means (fixed-point Lloyd's): integer squared-Euclidean
+    // assignment + floor-div mean update over int8-quantized embeddings —
+    // every step exact, so the WHOLE 2-iteration training run + final
+    // assignment replays bit-identically in DuckDB (the production FP
+    // variant q_kmeans stays ScalaTest-pinned; FP summation order is
+    // engine-specific). Output: per-cluster member count + centroid
+    // component-sum fingerprint.
+    ("q_kmeans_exact",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val emb = tbl(s, d, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val (cents, asg) = Similarity.kmeansQuantized(emb, k = 4, iters = 2)
+        val centDf = cents.map { case (cid, civ) => (cid, civ.sum) }
+          .toDF("cluster", "c_sum")
+        asg.groupBy("cluster").agg(count(lit(1)).as("n"))
+          .join(centDf, "cluster")
+          .select(col("cluster"), col("n"), col("c_sum"))
+          .orderBy("cluster")
+      },
+      Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+             |m AS (SELECT id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v),
+             |qz AS (SELECT id, CASE WHEN mx = 0
+             |  THEN list_transform(e, x -> 0::BIGINT)
+             |  ELSE list_transform(e, x -> floor(x * 127 / mx + 0.5)::BIGINT) END AS iv
+             |  FROM m),
+             |c0 AS (SELECT id AS cid, iv AS civ FROM qz ORDER BY id LIMIT 4),
+             |a1 AS (SELECT id, iv, cid AS cluster FROM (
+             |  SELECT q.id, q.iv, c.cid, row_number() OVER (PARTITION BY q.id
+             |    ORDER BY list_sum(list_transform(range(1, len(q.iv) + 1),
+             |      i -> (q.iv[i] - c.civ[i]) * (q.iv[i] - c.civ[i])))::BIGINT, c.cid) AS rn
+             |  FROM qz q CROSS JOIN c0 c) WHERE rn = 1),
+             |u1 AS (SELECT cluster, pos,
+             |    floor(sum(comp)::DOUBLE / count(*))::BIGINT AS mcomp
+             |  FROM (SELECT cluster, generate_subscripts(iv, 1) AS pos,
+             |        unnest(iv) AS comp FROM a1) GROUP BY cluster, pos),
+             |c1 AS (SELECT c0.cid, coalesce(n.civ, c0.civ) AS civ FROM c0 LEFT JOIN
+             |  (SELECT cluster AS cid, list(mcomp ORDER BY pos) AS civ
+             |   FROM u1 GROUP BY cluster) n USING (cid)),
+             |a2 AS (SELECT id, iv, cid AS cluster FROM (
+             |  SELECT q.id, q.iv, c.cid, row_number() OVER (PARTITION BY q.id
+             |    ORDER BY list_sum(list_transform(range(1, len(q.iv) + 1),
+             |      i -> (q.iv[i] - c.civ[i]) * (q.iv[i] - c.civ[i])))::BIGINT, c.cid) AS rn
+             |  FROM qz q CROSS JOIN c1 c) WHERE rn = 1),
+             |u2 AS (SELECT cluster, pos,
+             |    floor(sum(comp)::DOUBLE / count(*))::BIGINT AS mcomp
+             |  FROM (SELECT cluster, generate_subscripts(iv, 1) AS pos,
+             |        unnest(iv) AS comp FROM a2) GROUP BY cluster, pos),
+             |c2 AS (SELECT c1.cid, coalesce(n.civ, c1.civ) AS civ FROM c1 LEFT JOIN
+             |  (SELECT cluster AS cid, list(mcomp ORDER BY pos) AS civ
+             |   FROM u2 GROUP BY cluster) n USING (cid)),
+             |a3 AS (SELECT id, cid AS cluster FROM (
+             |  SELECT q.id, c.cid, row_number() OVER (PARTITION BY q.id
+             |    ORDER BY list_sum(list_transform(range(1, len(q.iv) + 1),
+             |      i -> (q.iv[i] - c.civ[i]) * (q.iv[i] - c.civ[i])))::BIGINT, c.cid) AS rn
+             |  FROM qz q CROSS JOIN c2 c) WHERE rn = 1)
+             |SELECT a3.cluster, count(*) AS n, list_sum(any_value(c2.civ))::BIGINT AS c_sum
+             |FROM a3 JOIN c2 ON a3.cluster = c2.cid
+             |GROUP BY a3.cluster ORDER BY a3.cluster""".stripMargin)),
 
     ("q_ann_ivf",
       (s: SparkSession, d: String) => {

@@ -1,15 +1,18 @@
 package graft.functions
 
-/** Pure-JVM media codecs for the container formats that are plain byte
-  * layouts — no native or third-party codec libraries involved.
+/** Pure-JVM media codecs — no native or third-party codec libraries.
   *
-  *   - WAV: RIFF container, PCM 8-bit unsigned / 16-bit signed LE
-  *     (format spec: Microsoft/IBM RIFF WAVE, public since 1991)
-  *   - BMP: BITMAPINFOHEADER, 24-bit uncompressed, bottom-up rows
+  *   - WAV: RIFF container, PCM 8-bit unsigned / 16-bit signed LE, parsed
+  *     directly (format spec: Microsoft/IBM RIFF WAVE, public since 1991)
+  *   - BMP: BITMAPINFOHEADER, 24-bit uncompressed, bottom-up rows, parsed
+  *     directly
+  *   - PNG / JPEG / GIF: decoded through `javax.imageio` — compressed image
+  *     codecs that SHIP IN THE JDK, so "no external libraries" still holds
   *
-  * These make the multimodal decode path REAL for the formats a JVM can
-  * parse unaided; compressed codecs (JPEG/MP3/H.264...) stay behind the
-  * labeled stub because this container ships no codec libraries.
+  * These make the multimodal decode path REAL for audio-PCM and for all
+  * common image formats. Only compressed AUDIO/VIDEO codecs (MP3/H.264...)
+  * remain behind the labeled stub — the JDK genuinely has none; swapping
+  * the stub for a JNI/javacv decoder changes one function.
   *
   * Encoders exist so tests and fixtures can synthesize valid payloads
   * deterministically; decoders never throw on malformed input (None).
@@ -202,5 +205,73 @@ object MediaCodecs {
     }
     val n = width.toDouble * h
     Some(BmpInfo(width, h, bpp, sumR / n, sumG / n, sumB / n))
+  }
+
+  // --------------------------------------------- compressed images (JDK)
+
+  /** Magic-byte sniff for the compressed image formats the JDK's ImageIO
+    * decodes out of the box. Returns the MIME type, or None.
+    */
+  def imageFormat(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.length < 4) return None
+    def b(i: Int) = bytes(i) & 0xff
+    if (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') Some("image/png")
+    else if (b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff) Some("image/jpeg")
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') Some("image/gif")
+    else None
+  }
+
+  /** Decode a PNG/JPEG/GIF payload via `javax.imageio` (ships in the JDK —
+    * zero new dependencies) into the same dims + channel-means shape as
+    * [[decodeBmp]]. Returns (mimeType, info); None for non-image or
+    * malformed payloads (ImageIO returning null or throwing).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(String, BmpInfo)] =
+    imageFormat(bytes).flatMap { fmt =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sumR, sumG, sumB) = (0.0, 0.0, 0.0)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sumR += (p >> 16) & 0xff
+              sumG += (p >> 8) & 0xff
+              sumB += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toDouble * h
+          Some((fmt, BmpInfo(w, h, 24, sumR / n, sumG / n, sumB / n)))
+        }
+      } catch { case _: Exception => None }
+    }
+
+  /** Synthesize a PNG from RGB pixels (row-major) via the JDK encoder —
+    * lossless, so decoded channel means are exactly the source means:
+    * fixture generation for the oracle-checked compressed-decode path.
+    */
+  def encodePng(width: Int, height: Int, rgb: Array[(Byte, Byte, Byte)]): Array[Byte] = {
+    require(rgb.length == width * height, "pixel count must be width*height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = rgb(y * width + x)
+        img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 }

@@ -43,9 +43,10 @@ object Readers {
       .select(col("value").as("content"))
 
   /** S6 with charset fallback — reference `safe_read_text` (`app.py:34-56`)
-    * tries UTF-8 → chardet → ascii-ignore. Without chardet we use UTF-8 →
-    * ISO-8859-1 (which never fails and covers the reference corpus); the
-    * divergence for exotic encodings is documented in SURVEY §7.4.
+    * tries UTF-8 → chardet → ascii-ignore. Without chardet we run the
+    * [[decodeFallback]] ladder: BOM sniff → strict UTF-8 → BOM-less UTF-16
+    * heuristic → ISO-8859-1 (which never fails); the residual divergence for
+    * exotic legacy encodings is documented in SURVEY §7.4.
     * Per-file decode over binaryFile: non-splittable but parallel per file.
     */
   def txtWithCharsetFallback(spark: SparkSession, path: String): DataFrame = {
@@ -74,7 +75,32 @@ object Readers {
       .select(col("rec._1").as("content"), col("rec._2").as("_ingest_error"))
   }
 
+  /** Charset detection ladder (stands in for the reference's chardet,
+    * `app.py:34-56`): BOM sniff (UTF-8 / UTF-16 LE/BE) → strict UTF-8
+    * validity scan → a NUL-density heuristic for BOM-less UTF-16 (ASCII-range
+    * text in UTF-16 is ~half zero bytes; their parity gives the endianness)
+    * → ISO-8859-1, which never fails. Covers the reference corpus plus the
+    * common UTF-16 exports; exotic legacy encodings (Shift-JIS, ...) still
+    * fall through to Latin-1 — documented divergence, SURVEY §7.4.
+    */
   private[ingest] def decodeFallback(bytes: Array[Byte]): String = {
+    def b(i: Int): Int = bytes(i) & 0xff
+    // BOM sniff
+    if (bytes.length >= 3 && b(0) == 0xef && b(1) == 0xbb && b(2) == 0xbf)
+      return new String(bytes, 3, bytes.length - 3, StandardCharsets.UTF_8)
+    if (bytes.length >= 2 && ((b(0) == 0xff && b(1) == 0xfe) || (b(0) == 0xfe && b(1) == 0xff)))
+      return new String(bytes, StandardCharsets.UTF_16) // detects + strips BOM
+    // BOM-less UTF-16 heuristic BEFORE the UTF-8 scan: NUL is a *valid*
+    // UTF-8 byte, but no real text file contains it — mostly-ASCII UTF-16
+    // is ~50% NULs, and their parity gives the endianness
+    val zeros = bytes.count(_ == 0)
+    if (bytes.length >= 4 && zeros * 4 > bytes.length) {
+      val oddZeros = bytes.indices.count(i => bytes(i) == 0 && i % 2 == 1)
+      val cs = if (oddZeros * 2 >= zeros) StandardCharsets.UTF_16LE
+               else StandardCharsets.UTF_16BE
+      return new String(bytes, cs)
+    }
+    // strict UTF-8 validity scan
     val utf8 = StandardCharsets.UTF_8.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)

@@ -166,9 +166,11 @@ object Corpus {
     // driver-side file read instead of a max-agg scan over an append-only
     // corpus that only grows. Crash-safe under the corpus's single-writer
     // discipline: the pending marker is up for the whole append, and maxId
-    // falls back to the authoritative scan (and repairs the sidecar)
-    // whenever it finds one — so a crash anywhere in here can only cost a
-    // scan, never a duplicate id.
+    // falls back to the authoritative scan whenever it finds one — so a
+    // crash anywhere in here can only cost readers a scan, never a
+    // duplicate id. Repair is writer-only (maxId never mutates): the next
+    // append through here publishes an accurate sidecar and clears any
+    // stale marker along with its own.
     fs.create(pendingPath(corpusDir), true).close()
     val obs = new org.apache.spark.sql.Observation()
     stamped.observe(obs, max(col("id")).as("max_id"))
@@ -257,29 +259,30 @@ object Corpus {
     * Served from the high-water sidecar `append` maintains — an O(1) file
     * read, no job — so per-ingest id seeding stops scanning an append-only
     * corpus that only grows. Falls back to the authoritative max-agg scan
-    * (parquet min/max footer stats make it cheap-ish) and REPAIRS the
-    * sidecar when the sidecar is absent (pre-sidecar corpus) or a pending
-    * marker shows an append died between its data commit and its sidecar
-    * update.
+    * (parquet min/max footer stats make it cheap-ish) when the sidecar is
+    * absent (pre-sidecar corpus) or a pending marker shows an append died
+    * between its data commit and its sidecar update.
+    *
+    * SIDE-EFFECT FREE: a read API must not mutate shared corpus state — a
+    * reader repairing the sidecar concurrently with an in-flight append
+    * could scan a partially-committed corpus, overwrite the append's fresh
+    * sidecar with a stale lower high-water, and clear its pending marker,
+    * seeding duplicate ids on the next ingest. Repair belongs to the writer:
+    * the next successful `append` publishes an accurate sidecar and clears
+    * the marker under the corpus's single-writer discipline.
     */
   def maxId(spark: SparkSession, corpusDir: String): Long = {
     val fs = fsOf(spark, corpusDir)
     val p = new org.apache.hadoop.fs.Path(s"$corpusDir/records")
     if (!fs.exists(p)) return -1L
-    val pending = fs.exists(pendingPath(corpusDir))
-    if (!pending) {
+    if (!fs.exists(pendingPath(corpusDir))) {
       val hw = readHighWater(spark, corpusDir)
       if (hw >= 0) return hw
     }
-    val scanned = records(spark, corpusDir).agg(max(col("id"))).collect()(0) match {
+    records(spark, corpusDir).agg(max(col("id"))).collect()(0) match {
       case r if r.isNullAt(0) => -1L
       case r => r.getLong(0)
     }
-    if (scanned >= 0) {
-      writeHighWater(spark, corpusDir, scanned)
-      if (pending) fs.delete(pendingPath(corpusDir), false)
-    }
-    scanned
   }
 
   /** Q4 — latest-N records (reference `app.py:169-173`). Catalyst plans this

@@ -9,14 +9,15 @@ import org.apache.spark.sql.types._
   * struct, with decode / feature-extraction / resize / frame-sampling
   * operators shaped for distributed batch execution.
   *
-  * Decode is REAL for the formats a JVM parses unaided —
-  * WAV (RIFF/PCM) and BMP (24-bit uncompressed), via
-  * [[graft.functions.MediaCodecs]] — covering `decodeMedia` and the audio
-  * feature path end to end. Compressed codecs (JPEG/MP3/H.264...) remain
-  * behind the labeled `decodeStub` because this container ships no codec
-  * libraries; swapping the stub for a JNI/javacv decoder changes one
-  * function, and the batch iteration shape (mapPartitions, per-partition
-  * init, no per-row driver work) is shared with the real path.
+  * Decode is REAL for WAV (RIFF/PCM) and BMP (parsed directly) AND for the
+  * compressed image formats — PNG/JPEG/GIF — via the JDK's own
+  * `javax.imageio` (zero external dependencies), all through
+  * [[graft.functions.MediaCodecs]]. Only compressed AUDIO/VIDEO codecs
+  * (MP3/H.264...) remain behind the labeled `decodeStub` — the JDK
+  * genuinely ships none; swapping the stub for a JNI/javacv decoder changes
+  * one function, and the batch iteration shape (mapPartitions,
+  * per-partition init, no per-row driver work) is shared with the real
+  * path.
   */
 object Multimodal {
 
@@ -99,9 +100,14 @@ object Multimodal {
             case Some(b) =>
               Row(id, "image/bmp", null, null, null, null, null,
                 b.width, b.height, b.meanR, b.meanG, b.meanB)
-            case None =>
-              Row(id, "unknown", null, null, null, null, null,
-                null, null, null, null, null)
+            case None => MediaCodecs.decodeImage(bytes) match {
+              case Some((fmt, m)) =>
+                Row(id, fmt, null, null, null, null, null,
+                  m.width, m.height, m.meanR, m.meanG, m.meanB)
+              case None =>
+                Row(id, "unknown", null, null, null, null, null,
+                  null, null, null, null, null)
+            }
           }
         }
       }

@@ -218,6 +218,69 @@ object Similarity {
     centroids
   }
 
+  /** Nearest-centroid assignment for QUANTIZED vectors by squared Euclidean
+    * distance — pure integer arithmetic, so the choice is bit-identical in
+    * any engine (ties → smallest cid). Centroids are driver-side control
+    * plane (broadcast); this is the assignment step of [[kmeansQuantized]].
+    */
+  def assignQuantized(quantized: DataFrame,
+                      cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    val spark = quantized.sparkSession
+    import spark.implicits._
+    val c = broadcast(cents.toDF("cid", "civ"))
+    val dist = aggregate(
+      zip_with(col("iv"), col("civ"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("id")).orderBy(asc("dist"), asc("cid"))
+    quantized.crossJoin(c)
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("iv"), col("cid").as("cluster"))
+  }
+
+  /** Engine-exact Lloyd's k-means over int8-quantized vectors: integer
+    * squared-Euclidean assignment + component-wise floor-div mean update,
+    * seeded by the `k` lowest-id vectors. Every arithmetic step is exact
+    * integer (or an exactly-representable small-int double), so — unlike
+    * the production [[kmeans]] (FP summation order is engine-specific) —
+    * the full training run replays bit-identically in SQL and sits under
+    * the cross-engine hash check. Returns (final centroids, final
+    * assignment).
+    *
+    * Same distributed shape as [[kmeans]]: assignment is a broadcast join,
+    * the update is a (cluster, pos) hash-agg with map-side combine, and
+    * only k×dim integers cross to the driver per iteration.
+    */
+  def kmeansQuantized(corpus: DataFrame, k: Int,
+                      iters: Int): (Seq[(Long, Seq[Long])], DataFrame) = {
+    val q = corpus.select(col("id"),
+      quantizeInt(col("vec").cast("array<double>")).as("iv"))
+    var cents: Seq[(Long, Seq[Long])] = q.orderBy("id").limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Long]](1).toSeq))
+      .toSeq
+    for (_ <- 1 to iters) {
+      val means = assignQuantized(q, cents)
+        .select(col("cluster"), posexplode(col("iv")).as(Seq("pos", "comp")))
+        .groupBy("cluster", "pos")
+        // floor of the exact rational mean: sums are « 2^53, so the double
+        // division is exact and floor() agrees across engines (including
+        // negative sums, where integer `div` truncation would diverge)
+        .agg(floor(sum(col("comp")).cast("double") / count(lit(1)))
+          .cast("long").as("m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("civ"))
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Long]](1).toSeq))
+        .toMap
+      // empty clusters keep their previous centroid
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    (cents, assignQuantized(q, cents))
+  }
+
   /** IVF approximate top-k: queries probe only their `nprobe` nearest
     * clusters; candidates come from an equi-join on the cluster id — the
     * classic recall/fan-in dial. Plan: tiny centroid table broadcast twice

@@ -195,8 +195,17 @@ class PipelineSpec extends SparkSpec {
     new java.io.File(s"$dir/_maxid_pending").createNewFile()
     assert(Corpus.maxId(spark, dir) == trueMax,
       "pending marker must force the authoritative scan")
-    // ... and the scan repaired the sidecar + cleared the marker
-    assert(Corpus.readHighWater(spark, dir) == trueMax)
+    // maxId is a READ api: it must NOT have repaired the sidecar or cleared
+    // the marker (a reader mutating shared state races an in-flight append)
+    assert(Corpus.readHighWater(spark, dir) == -1L)
+    assert(new java.io.File(s"$dir/_maxid_pending").exists())
+    // repair belongs to the writer: the next append publishes an accurate
+    // sidecar and clears the stale marker
+    Pipeline.ingest(spark, Seq(("c", 3)).toDF("content", "n"), dir)
+    val repairedMax = Corpus.records(spark, dir).agg(max(col("id")))
+      .collect()(0).getLong(0)
+    assert(repairedMax > trueMax, "new batch must seed above the scanned max")
+    assert(Corpus.readHighWater(spark, dir) == repairedMax)
     assert(!new java.io.File(s"$dir/_maxid_pending").exists())
   }
 
