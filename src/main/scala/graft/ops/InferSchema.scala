@@ -96,7 +96,11 @@ object InferSchema {
       }
 
     val rows = presence.collect() // tiny: one row per distinct field name
-    val total = obs.get("total").asInstanceOf[Long]
+    // PropagateEmptyRelation can optimize the CollectMetrics node away
+    // entirely (empty batch -> empty LocalRelation), leaving the observation
+    // unfired; the count() fallback is free in exactly that case.
+    val total = scala.util.Try(obs.get("total").asInstanceOf[Long])
+      .getOrElse(records.count())
     if (total == 0) return None
     val props = rows.map { r =>
       // Spark returns array columns as mutable.ArraySeq on Scala 2.13 —
