@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArgmaxCosine, DotProduct, LongDotProduct, MinHashSignature, PyJsonRender, SimHash}
+import graft.functions.{ArgmaxCosine, ArgminSqDist, DotProduct, LongDotProduct, MinHashSignature, PyJsonRender, QuantizeVector, SimHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -50,6 +50,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_argmax_cos"),
       new ExpressionInfo(classOf[ArgmaxCosine].getName, "graft_argmax_cos"),
       (children: Seq[Expression]) => ArgmaxCosine(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_argmin_sq"),
+      new ExpressionInfo(classOf[ArgminSqDist].getName, "graft_argmin_sq"),
+      (children: Seq[Expression]) => ArgminSqDist(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_quant"),
+      new ExpressionInfo(classOf[QuantizeVector].getName, "graft_quant"),
+      (children: Seq[Expression]) => {
+        val levels = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_quant: levels must be an integer literal, got $other")
+        }
+        QuantizeVector(children.head, levels)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_pyjson"),
       new ExpressionInfo(classOf[PyJsonRender].getName, "graft_pyjson"),

@@ -128,6 +128,235 @@ case class LongDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native int8-style vector quantization: `graft_quant(vec, levels)` →
+  * per-vector scale of array<double> to integer [-levels, levels] via
+  * floor(x·levels/max|x| + 0.5); an all-zero (or empty) vector maps to
+  * zeros.
+  *
+  * Replaces the Column-HOF formulation `transform(vec, v ->
+  * floor(v·levels/array_max(transform(vec, abs)) + 0.5))`, whose `mx`
+  * subexpression is INLINED into the element lambda — the interpreted HOF
+  * re-scans the array per element, O(dim²) lambda evals per row (~0.6 s per
+  * materialization of 2000×64 at sf0.1, paid once per job in iterative
+  * quantized k-means). This kernel is one pass: max-scan, then scale,
+  * inside WholeStageCodegen.
+  *
+  * Arithmetic parity with the HOF (the DuckDB oracle replays it):
+  * `floor(v * levels / mx + 0.5)` evaluated left-to-right in double, then
+  * cast to long. Null element slots read as 0 (the `graft_dot`/`graft_doti`
+  * convention; the HOF propagated a null element — graft vectors are
+  * non-null by construction).
+  */
+case class QuantizeVector(child: Expression, levels: Int)
+    extends Expression {
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_quant expects array<double>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val vec = v.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(vec.getDouble(i))
+      if (a > mx) mx = a
+      i += 1
+    }
+    val out = new Array[Long](n)
+    if (mx != 0.0) {
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(vec.getDouble(i) * levels / mx + 0.5).toLong
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val n = ctx.freshName("qN")
+    val mx = ctx.freshName("qMx")
+    val a = ctx.freshName("qAbs")
+    val i = ctx.freshName("qI")
+    val arr = ctx.freshName("qArr")
+    val body =
+      s"""int $n = ${childGen.value}.numElements();
+         |double $mx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $a = Math.abs(${childGen.value}.getDouble($i));
+         |  if ($a > $mx) $mx = $a;
+         |}
+         |long[] $arr = new long[$n];
+         |if ($mx != 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $arr[$i] = (long) Math.floor(
+         |      ${childGen.value}.getDouble($i) * $levels / $mx + 0.5);
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($arr);""".stripMargin
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    if (nullable) {
+      ev.copy(code =
+        code"""
+             |${childGen.code}
+             |boolean ${ev.isNull} = ${childGen.isNull};
+             |ArrayData ${ev.value} = null;
+             |if (!${ev.isNull}) {
+             |  $body
+             |}
+           """.stripMargin)
+    } else {
+      ev.copy(code =
+        code"""
+             |${childGen.code}
+             |ArrayData ${ev.value} = null;
+             |$body
+           """.stripMargin, isNull = FalseLiteral)
+    }
+  }
+
+  override def prettyName: String = "graft_quant"
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** Native nearest-centroid argmin by integer squared Euclidean distance:
+  * `graft_argmin_sq(iv, matrix, cids)` → the `cids` entry whose row of
+  * `matrix` has the smallest Σ(iv[i]−civ[i])² (ties → the earliest entry;
+  * callers pass cids ascending, giving the "smallest centroid id" rule).
+  *
+  * The integer sibling of [[ArgmaxCosine]], and the assignment step of the
+  * engine-exact quantized k-means ([[graft.ops.Similarity.kmeansQuantized]]).
+  * The previous formulation was a crossJoin against the k-row centroid
+  * table + an interpreted `zip_with`+`aggregate` distance per candidate + a
+  * per-id `row_number` window — a corpus×k shuffle and a full sort, paid
+  * once per Lloyd's iteration. This kernel embeds the collected k×dim
+  * centroid control plane as plan reference objects and picks the winner in
+  * one map-side loop: zero Exchange, plan/codegen size O(1) in k.
+  *
+  * Arithmetic is exact integer (sums ≪ 2⁶³), so the choice is bit-identical
+  * in any engine — the DuckDB oracle replays the whole training run.
+  * Distance truncates to min(len(iv), len(civ)) and reads null slots as 0,
+  * matching the `graft_dot`/`graft_doti` convention.
+  */
+case class ArgminSqDist(children: Seq[Expression]) extends Expression {
+  private def vecChild = children(0)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = children.length == 3 &&
+      (vecChild.dataType match { case ArrayType(LongType, _) => true; case _ => false }) &&
+      (children(1).dataType match {
+        case ArrayType(ArrayType(LongType, _), _) => true; case _ => false
+      }) &&
+      (children(2).dataType match { case ArrayType(LongType, _) => true; case _ => false }) &&
+      children.drop(1).forall(_.foldable)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_argmin_sq expects (array<bigint>, " +
+        "foldable array<array<bigint>>, foldable array<bigint>)")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = vecChild.nullable
+
+  // the collected centroid control plane, evaluated once per plan
+  @transient private lazy val matrix: Array[Array[Long]] = {
+    val ad = children(1).eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toLongArray())
+  }
+  @transient private lazy val cids: Array[Long] =
+    children(2).eval(null).asInstanceOf[ArrayData].toLongArray()
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = vecChild.eval(input)
+    if (v == null) return null
+    val vec = v.asInstanceOf[ArrayData]
+    var bestDist = 0L
+    var bestCid = 0L
+    var c = 0
+    while (c < matrix.length) {
+      val cv = matrix(c)
+      val n = math.min(vec.numElements(), cv.length)
+      var s = 0L
+      var i = 0
+      while (i < n) { val d = vec.getLong(i) - cv(i); s += d * d; i += 1 }
+      if (c == 0 || s < bestDist) { bestDist = s; bestCid = cids(c) }
+      c += 1
+    }
+    bestCid
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vecGen = vecChild.genCode(ctx)
+    val mRef = ctx.addReferenceObj("argminMatrix", matrix, "long[][]")
+    val cRef = ctx.addReferenceObj("argminCids", cids, "long[]")
+    val bestDist = ctx.freshName("bestDist")
+    val bestCid = ctx.freshName("bestCid")
+    val cIdx = ctx.freshName("cIdx")
+    val cv = ctx.freshName("cv")
+    val n = ctx.freshName("n")
+    val s = ctx.freshName("s")
+    val i = ctx.freshName("i")
+    val d = ctx.freshName("d")
+    val loop =
+      s"""long $bestDist = 0L;
+         |long $bestCid = 0L;
+         |for (int $cIdx = 0; $cIdx < $mRef.length; $cIdx++) {
+         |  long[] $cv = $mRef[$cIdx];
+         |  int $n = Math.min(${vecGen.value}.numElements(), $cv.length);
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = ${vecGen.value}.getLong($i) - $cv[$i];
+         |    $s += $d * $d;
+         |  }
+         |  if ($cIdx == 0 || $s < $bestDist) {
+         |    $bestDist = $s; $bestCid = $cRef[$cIdx];
+         |  }
+         |}""".stripMargin
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    if (nullable) {
+      ev.copy(code =
+        code"""
+             |${vecGen.code}
+             |boolean ${ev.isNull} = ${vecGen.isNull};
+             |long ${ev.value} = 0L;
+             |if (!${ev.isNull}) {
+             |  $loop
+             |  ${ev.value} = $bestCid;
+             |}
+           """.stripMargin)
+    } else {
+      ev.copy(code =
+        code"""
+             |${vecGen.code}
+             |$loop
+             |long ${ev.value} = $bestCid;
+           """.stripMargin, isNull = FalseLiteral)
+    }
+  }
+
+  override def prettyName: String = "graft_argmin_sq"
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
 /** Native nearest-centroid argmax by cosine: `graft_argmax_cos(vec, nrm,
   * matrix, cnorms, cids)` → the `cids` entry whose row of `matrix` has the
   * highest cosine similarity to `vec` (ties → the earliest entry; callers

@@ -225,18 +225,24 @@ object Similarity {
     */
   def assignQuantized(quantized: DataFrame,
                       cents: Seq[(Long, Seq[Long])]): DataFrame = {
-    val spark = quantized.sparkSession
-    import spark.implicits._
-    val c = broadcast(cents.toDF("cid", "civ"))
-    val dist = aggregate(
-      zip_with(col("iv"), col("civ"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
-    val w = Window.partitionBy(col("id")).orderBy(asc("dist"), asc("cid"))
-    quantized.crossJoin(c)
-      .withColumn("dist", dist)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("iv"), col("cid").as("cluster"))
+    // Empty centroid set → empty assignment with the same schema (matches
+    // ivfAssign's convention instead of throwing).
+    if (cents.isEmpty)
+      return quantized.select(col("id"), col("iv"), lit(0L).as("cluster")).limit(0)
+    // Centroids are control plane (k×dim longs): inline them as ONE literal
+    // matrix inside the native `graft_argmin_sq` kernel
+    // ([[graft.functions.ArgminSqDist]]) — per-row argmin runs map-side with
+    // NO exchange. The previous crossJoin + interpreted zip_with/aggregate
+    // distance + per-id row_number window shuffled corpus×k rows and sorted
+    // them, once per Lloyd's iteration. Ascending cid order gives the
+    // kernel's earliest-wins tie rule the "smallest centroid id" semantics
+    // the oracle replays.
+    val sorted = cents.sortBy(_._1)
+    val cluster = call_function("graft_argmin_sq",
+      col("iv"),
+      typedLit(sorted.map(_._2)),
+      typedLit(sorted.map(_._1)))
+    quantized.select(col("id"), col("iv"), cluster.as("cluster"))
   }
 
   /** Engine-exact Lloyd's k-means over int8-quantized vectors: integer
@@ -318,12 +324,14 @@ object Similarity {
     * top-k is EXACTLY reproducible in SQL (unlike fp dot products, whose
     * summation order is engine-specific).
     */
-  def quantizeInt(vec: Column, levels: Int = 127): Column = {
-    val mx = array_max(transform(vec, v => abs(v)))
-    transform(vec, v =>
-      when(mx === lit(0.0), lit(0L))
-        .otherwise(floor(v * levels / mx + lit(0.5)).cast("long")))
-  }
+  def quantizeInt(vec: Column, levels: Int = 127): Column =
+    // Native one-pass kernel ([[graft.functions.QuantizeVector]]). The
+    // Column-HOF spelling (`transform(vec, v -> floor(v·levels/mx + 0.5))`
+    // with `mx = array_max(transform(vec, abs))`) inlines the max-scan into
+    // the element lambda — O(dim²) interpreted lambda evals per row, ~0.6 s
+    // per materialization at sf0.1, paid once per job in iterative
+    // quantized k-means. Same arithmetic, same oracle replay.
+    call_function("graft_quant", vec, lit(levels))
 
   /** Exact integer dot product of two quantized vectors — the codegen'd
     * `graft_doti` kernel ([[graft.functions.LongDotProduct]]); the

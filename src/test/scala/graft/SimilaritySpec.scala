@@ -134,6 +134,35 @@ class SimilaritySpec extends SparkSpec {
     assert(out(4L) == 10L, "zero vector: all sims 0, first (smallest) cid wins")
   }
 
+  test("graft_argmin_sq matches the crossJoin+window argmin formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val q = vecs.select(col("id"),
+      Similarity.quantizeInt(col("vec").cast("array<double>")).as("iv"))
+    val cents = Seq(
+      (10L, Seq(127L, 0L, 0L)), (11L, Seq(0L, 127L, 0L)),
+      (12L, Seq(127L, 0L, 0L))) // 12 duplicates 10 -> tie
+    val kernel = Similarity.assignQuantized(q, cents)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cluster")).toMap
+    // reference: the pre-kernel crossJoin + interpreted distance + window
+    val c = broadcast(cents.toDF("cid", "civ"))
+    val dist = aggregate(
+      zip_with(col("iv"), col("civ"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("id")).orderBy(asc("dist"), asc("cid"))
+    val ref = q.crossJoin(c).withColumn("dist", dist)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cid")).toMap
+    assert(kernel == ref, s"kernel $kernel vs window $ref")
+    assert(kernel(0L) == 10L, "tie must pick the smallest cid")
+    // empty centroid set -> empty assignment, schema preserved
+    val empty = Similarity.assignQuantized(q, Seq.empty)
+    assert(empty.count() == 0 &&
+      empty.columns.toSeq == Seq("id", "iv", "cluster"))
+    // NULL vector propagates
+    val nullRow = Seq((1L, Option.empty[Seq[Long]])).toDF("id", "iv")
+    assert(Similarity.assignQuantized(nullRow, cents).collect()(0).isNullAt(2))
+  }
+
   test("quantizeInt maps the max-magnitude component to ±127") {
     val out = Seq((1L, Seq(0.5, -1.0, 0.25), "x")).toDF("id", "vec", "pad")
       .select(Similarity.quantizeInt(col("vec")).as("iv"))
