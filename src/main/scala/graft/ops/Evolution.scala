@@ -25,6 +25,10 @@ class Evolution(spark: SparkSession, corpusDir: String) {
 
   private val historyPath = s"$corpusDir/schema_history"
   private val changesPath = s"$corpusDir/schema_changes"
+  private def statePath = new org.apache.hadoop.fs.Path(s"$corpusDir/_schema_state")
+  private def statePendingPath = new org.apache.hadoop.fs.Path(s"$corpusDir/_schema_pending")
+  private def fs = new org.apache.hadoop.fs.Path(corpusDir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def readOrEmpty(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -36,10 +40,89 @@ class Evolution(spark: SparkSession, corpusDir: String) {
   def schemaHistory: DataFrame = readOrEmpty(historyPath, CorpusModel.schemaHistorySchema)
   def schemaChanges: DataFrame = readOrEmpty(changesPath, CorpusModel.schemaChangesSchema)
 
-  /** Q1 — latest (version, schema) or None (reference `app.py:144-152`). */
-  def latest: Option[(Int, String)] =
+  /** Schema-state sidecar: `(version, change-log row count, schema json)` of
+    * the latest version — the O(1) driver-side read serving `latest` and the
+    * change-id seed, so the per-ingest state machine stops running Spark
+    * jobs over two tiny dimension tables (a read+sort+collect and a count
+    * per evolve — each a full plan/codegen/schedule round-trip that
+    * dominated warm ingest latency; the tables themselves stay the
+    * distributed source of truth for queries).
+    *
+    * Same crash discipline as the id high-water sidecar
+    * ([[Corpus.maxId]]): a pending marker is up for the whole multi-file
+    * publish, readers fall back to the authoritative parquet scan whenever
+    * they see one, and repair is WRITER-ONLY — the next version bump
+    * publishes a fresh sidecar and clears any stale marker along with its
+    * own. Format: one header line `version<TAB>changeCount`, then the schema
+    * JSON verbatim (it may legally contain newlines via field names).
+    */
+  private def readState(): Option[(Int, Long, String)] = {
+    if (fs.exists(statePendingPath) || !fs.exists(statePath)) return None
+    val in = fs.open(statePath)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val nl = txt.indexOf('\n')
+    if (nl < 0) return None
+    txt.substring(0, nl).split('\t') match {
+      case Array(v, c) => Some((v.toInt, c.toLong, txt.substring(nl + 1)))
+      case _ => None
+    }
+  }
+
+  private def writeState(version: Int, changeCount: Long, schemaJson: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$corpusDir/_schema_state_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$version\t$changeCount\n$schemaJson".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(statePath, false)
+    if (!fs.rename(tmp, statePath))
+      sys.error(s"writeState: cannot publish $tmp")
+  }
+
+  /** Driver-side 1-row parquet append to a dimension directory — the
+    * control-plane tables get one row per schema version bump, so spinning a
+    * Spark job (plan + codegen + schedule, ~0.13 s warm and a fresh Janino
+    * compile cold) per row is pure overhead. parquet-hadoop's Group writer
+    * produces standard 3-level-list parquet that Spark's vectorized reader
+    * consumes like any executor-written file.
+    */
+  private def writeRowFile(dir: String, parquetSchema: org.apache.parquet.schema.MessageType)
+                          (fill: org.apache.parquet.example.data.Group => Unit): Unit = {
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(dirPath)) fs.mkdirs(dirPath)
+    val file = new org.apache.hadoop.fs.Path(
+      s"$dir/part-${java.util.UUID.randomUUID().toString.take(13)}-driver.parquet")
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    GroupWriteSupport.setSchema(parquetSchema, conf)
+    val writer = ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+      .withConf(conf)
+      .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(parquetSchema)
+      fill(g)
+      writer.write(g)
+    } finally writer.close()
+  }
+
+  /** Authoritative latest (version, schema) from the parquet dimension
+    * (no-job short-circuit for a corpus with no history yet).
+    */
+  private def latestScan: Option[(Int, String)] = {
+    if (!fs.exists(new org.apache.hadoop.fs.Path(historyPath))) return None
     schemaHistory.orderBy(org.apache.spark.sql.functions.desc("version")).limit(1)
       .collect().headOption.map(r => (r.getInt(0), r.getString(1)))
+  }
+
+  /** Q1 — latest (version, schema) or None (reference `app.py:144-152`).
+    * Served from the schema-state sidecar when present (O(1) file read, no
+    * job); authoritative parquet scan otherwise. Side-effect free.
+    */
+  def latest: Option[(Int, String)] =
+    readState().map { case (v, _, s) => (v, s) }.orElse(latestScan)
 
   def latestVersion: Int = latest.map(_._1).getOrElse(0)
 
@@ -50,35 +133,76 @@ class Evolution(spark: SparkSession, corpusDir: String) {
   def evolve(newSchema: JsonSchema, newFieldNames: Set[String],
              now: Instant = Instant.now()): Int = {
     val ts = isoMicros(now)
-    val current = latest
+    val state = readState()
+    val current = state.map { case (v, _, s) => (v, s) }.orElse(latestScan)
     val currentVersion = current.map(_._1).getOrElse(0)
     val oldNames: Set[String] = current
       .map(c => fieldNamesOfStoredSchema(c._2)).getOrElse(Set.empty)
 
     if (current.isDefined && oldNames == newFieldNames) return currentVersion
 
+    // writer path: pending marker up for the whole multi-file publish;
+    // single-writer discipline (documented) makes the marker ours to clear.
+    fs.create(statePendingPath, true).close()
     val newVersion = currentVersion + 1
-    val historyRow = spark.createDataFrame(
-      java.util.List.of(Row(newVersion, newSchema.toJson, ts)),
-      CorpusModel.schemaHistorySchema)
-    historyRow.write.mode(SaveMode.Append).parquet(historyPath)
+    writeRowFile(historyPath, historyParquetType) { g =>
+      g.append("version", newVersion)
+      g.append("schema", newSchema.toJson)
+      g.append("created_at", ts)
+    }
 
+    var changeCount = state.map(_._2).getOrElse(schemaChanges.count())
     if (currentVersion > 0) {
       val added = (newFieldNames -- oldNames).toSeq.sorted
       val removed = (oldNames -- newFieldNames).toSeq.sorted
       if (added.nonEmpty || removed.nonEmpty) {
-        val nextId = schemaChanges.count() + 1
-        val changeRow = spark.createDataFrame(
-          java.util.List.of(Row(nextId, currentVersion, newVersion, added, removed, ts)),
-          CorpusModel.schemaChangesSchema)
-        changeRow.write.mode(SaveMode.Append).parquet(changesPath)
+        changeCount += 1
+        writeRowFile(changesPath, changesParquetType) { g =>
+          g.append("id", changeCount)
+          g.append("old_version", currentVersion)
+          g.append("new_version", newVersion)
+          val ag = g.addGroup("added_fields")
+          added.foreach(v => ag.addGroup("list").append("element", v))
+          val rg = g.addGroup("removed_fields")
+          removed.foreach(v => rg.addGroup("list").append("element", v))
+          g.append("created_at", ts)
+        }
       }
     }
+    writeState(newVersion, changeCount, newSchema.toJson)
+    fs.delete(statePendingPath, false)
     newVersion
   }
 }
 
 object Evolution {
+  /** Parquet message types matching [[CorpusModel.schemaHistorySchema]] /
+    * [[CorpusModel.schemaChangesSchema]] exactly (standard 3-level lists —
+    * what Spark itself writes and its vectorized reader expects).
+    */
+  private val historyParquetType: org.apache.parquet.schema.MessageType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message schema_history {
+        |  required int32 version;
+        |  required binary schema (STRING);
+        |  required binary created_at (STRING);
+        |}""".stripMargin)
+
+  private val changesParquetType: org.apache.parquet.schema.MessageType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message schema_changes {
+        |  required int64 id;
+        |  required int32 old_version;
+        |  required int32 new_version;
+        |  required group added_fields (LIST) {
+        |    repeated group list { required binary element (STRING); }
+        |  }
+        |  required group removed_fields (LIST) {
+        |    repeated group list { required binary element (STRING); }
+        |  }
+        |  required binary created_at (STRING);
+        |}""".stripMargin)
+
   private val isoFmt =
     DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS").withZone(ZoneOffset.UTC)
 
