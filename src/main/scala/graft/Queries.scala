@@ -1209,6 +1209,60 @@ object Queries {
               |   len(list_distinct(list_concat(a.s, b.s))) >= 0.9
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Pairs → clusters → canonical survivor: connected components over the
+    // verified MinHash pairs (min-label propagation; the DuckDB oracle
+    // replays the ENTIRE chain — tokens → shingle hashes → signatures →
+    // bands → verified pairs — then the component labels via a recursive
+    // CTE, so the cluster step sits under the same hash check as the pair
+    // step).
+    ("q_dedup_clusters",
+      (s: SparkSession, d: String) =>
+        Dedup.minhashClusters(tbl(s, d, "documents"), "doc_id", "text",
+          threshold = 0.9).orderBy("component"),
+      Some(s"""WITH RECURSIVE t AS (
+              |  SELECT doc_id, list_transform($dTokensCase,
+              |    t -> ('0x' || substr(md5(t), 1, 7))::BIGINT + 1) AS th
+              |  FROM documents),
+              |shh AS (
+              |  SELECT doc_id, CASE WHEN len(th) <= 5
+              |    THEN [list_reduce(list_prepend(7::BIGINT, th[1:len(th)]),
+              |      (a, b) -> (a * 31 + b) % 2147483647)]
+              |    ELSE list_transform(range(1, len(th) - 3),
+              |      i -> list_reduce(list_prepend(7::BIGINT, th[i:i+4]),
+              |        (a, b) -> (a * 31 + b) % 2147483647)) END AS sh
+              |  FROM t),
+              |sig AS (
+              |  SELECT doc_id, list_transform(${dMinhashCoeffs(16)},
+              |    a -> list_min(list_transform(sh, h -> (a * (h + 1)) % 2147483647))) AS sg
+              |  FROM shh),
+              |bands AS (
+              |  SELECT doc_id, unnest(list_transform(range(0, 4),
+              |    b -> md5(b || ':' || array_to_string(sg[b*4+1 : b*4+4], '|')))) AS bkey
+              |  FROM sig),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+              |sets AS (
+              |  SELECT doc_id, list_distinct(${dShingles(dTokensCase, 5)}) AS s
+              |  FROM documents),
+              |pairs AS (
+              |  SELECT c.id_a, c.id_b FROM cand c
+              |  JOIN sets a ON a.doc_id = c.id_a
+              |  JOIN sets b ON b.doc_id = c.id_b
+              |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+              |    len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+              |edges AS (
+              |  SELECT id_a AS s, id_b AS d FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |reach(id, lbl) AS (
+              |  SELECT DISTINCT s, s FROM edges
+              |  UNION
+              |  SELECT e.d, r.lbl FROM reach r JOIN edges e
+              |    ON e.s = r.id WHERE r.lbl < e.d),
+              |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+              |SELECT component, count(*) AS n_members, max(id) AS max_id
+              |FROM comp GROUP BY component ORDER BY component""".stripMargin)),
+
     ("q_dedup_simhash",
       (s: SparkSession, d: String) =>
         Dedup.simhashNearDuplicates(tbl(s, d, "documents"), "doc_id", "text",

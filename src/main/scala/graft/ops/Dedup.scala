@@ -203,6 +203,88 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Connected components over an undirected pair list — the CLUSTER step
+    * of near-dup dedup (pairs → clusters → one canonical survivor per
+    * cluster; the reference stops at ingest, this is the extension mandate's
+    * training-data curation surface).
+    *
+    * Min-label propagation: every vertex starts labeled with itself; each
+    * round a vertex takes the minimum label over its closed neighborhood;
+    * the fixpoint labels every vertex with the smallest id in its component
+    * (deterministic, engine-agnostic — a DuckDB recursive CTE replays it
+    * exactly). Rounds needed = graph diameter; similarity graphs are
+    * clique-ish, so a handful.
+    *
+    * Scale shape (the GraphX/GraphFrames pattern): one shuffle-join of the
+    * label table with the edge list + one min-aggregate per round — shuffle
+    * volume is O(edges), never materializing anything quadratic. Each round
+    * persists its label table and unpersists the previous (iterative
+    * lineage truncation, same discipline as k-means); convergence is a
+    * driver-side count on the round's single job.
+    *
+    * @param pairs undirected edges as two id columns (`id_a`, `id_b`).
+    * @return (id, component) for every vertex appearing in some pair,
+    *         component = min id in the vertex's connected component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id"), col("src").as("lbl"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // closed-neighborhood min: own label ∪ labels arriving over edges
+      val next = labels
+        .union(edges.join(labels, edges("src") === labels("id"))
+          .select(edges("dst").as("id"), col("lbl")))
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // one job: materializes `next` AND counts label changes (converged
+      // when no vertex improved — min propagation is monotone)
+      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+
+  /** Near-duplicate cluster summary over MinHash-verified pairs: one row per
+    * cluster (≥2 members) — canonical (min) id, member count, max id.
+    */
+  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, numHashes: Int = 16, bands: Int = 4,
+                      shingleSize: Int = 5): DataFrame = {
+    val pairs = minhashNearDuplicates(df, idCol, textCol, threshold,
+      numHashes, bands, shingleSize).select("id_a", "id_b")
+    connectedComponents(pairs)
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+  }
+
+  /** Materialized near-dup dedup: drop every cluster member except the
+    * canonical (min-id) one. Anti-join of the corpus against the non-
+    * canonical vertex set — the corpus-sized side is touched once, map-only
+    * plus one broadcast-able join (non-canonical ids ≪ corpus).
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, numHashes: Int = 16,
+                         bands: Int = 4, shingleSize: Int = 5): DataFrame = {
+    val pairs = minhashNearDuplicates(df, idCol, textCol, threshold,
+      numHashes, bands, shingleSize).select("id_a", "id_b")
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** N-gram (token shingle) Jaccard similarity for explicit pairs of rows —
     * the exact-verify primitive behind `minhashNearDuplicates`, exposed
     * standalone for pair-scoring use.

@@ -73,6 +73,29 @@ class DedupSpec extends SparkSpec {
     assert(j == Seq(1.0, 0.0))
   }
 
+  test("connectedComponents labels every vertex with its component min id") {
+    // chain 1-2-3-4 (diameter 3, needs >1 round), separate pair 10-11,
+    // triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // empty pair list -> empty labeling, no infinite loop
+    val empty = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(empty.count() == 0)
+  }
+
+  test("dropNearDuplicates keeps exactly one canonical member per cluster") {
+    // docs: 1 and 2 are exact duplicates (cluster {1,2}); others unique
+    val out = Dedup.dropNearDuplicates(docs, "id", "text", threshold = 0.9)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("id").collect().map(_.getLong(0)).toSet
+    assert(out == all - 2L, s"expected all but doc 2, got $out")
+  }
+
   test("shingles: shorter-than-k doc yields its single whole shingle") {
     val sh = docs.filter(col("id") === 5)
       .select(Dedup.shingles(col("text"), 5).as("sh")).collect()(0).getSeq[String](0)
