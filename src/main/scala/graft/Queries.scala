@@ -1614,6 +1614,59 @@ object Queries {
               |  ${Nums.dRound6("weight")} AS weight
               |FROM ranked WHERE rank <= 5 ORDER BY id, rank""".stripMargin)),
 
+    // BM25 retrieval scoring against a fixed query-term bag. Engine-exact by
+    // construction: rational idf (no ln), every constant written as the same
+    // computation on both sides (1.2 + 1.0, not 2.2 — double(1.2)+1 and
+    // double(2.2) need not be the same ulp), and the per-doc sum folds
+    // left-to-right over token-sorted weights (ordered list_reduce in SQL).
+    ("q_bm25",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.bm25(tbl(s, d, "documents"), "doc_id", "text",
+          Seq("spark", "query", "join"), topK = 10)
+          .orderBy("rank"),
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id AS id, $dTokens AS toks FROM documents),
+              |n AS (SELECT count(*)::DOUBLE AS n FROM docs),
+              |terms AS (SELECT id, unnest(toks) AS token,
+              |  len(toks)::DOUBLE AS dl FROM docs),
+              |tf AS (SELECT id, token, dl, count(*) AS tf FROM terms
+              |  GROUP BY id, token, dl),
+              |tot AS (SELECT count(*)::DOUBLE AS toktot,
+              |  count(DISTINCT id)::DOUBLE AS ndl FROM terms),
+              |qt AS (SELECT * FROM tf
+              |  WHERE token IN ('spark', 'query', 'join')),
+              |dfreq AS (SELECT token, count(*) AS df FROM qt GROUP BY token),
+              |matched AS (
+              |  SELECT qt.id, qt.token,
+              |    (qt.tf * (1.2 + 1.0) / (qt.tf + 1.2 * ((1.0 - 0.75) +
+              |      0.75 * qt.dl / ((SELECT toktot FROM tot) / (SELECT ndl FROM tot))))) *
+              |    (((SELECT n FROM n) - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS w
+              |  FROM qt JOIN dfreq USING (token)),
+              |scored AS (
+              |  SELECT id, list_reduce(list_prepend(0.0::DOUBLE,
+              |    list(w ORDER BY token)), (a, b) -> a + b) AS score
+              |  FROM matched GROUP BY id),
+              |ranked AS (SELECT id, score,
+              |  row_number() OVER (ORDER BY score DESC, id) AS rank FROM scored)
+              |SELECT rank::INT AS rank, id, ${Nums.dRound6("score")} AS score
+              |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin)),
+
+    // Deterministic stratified sample — N docs per language by md5(id)
+    // order, the balanced-training-mix curation primitive. Reproducible
+    // across engines (md5 hex compares identically).
+    ("q_sample_stratified",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.sampleStratified(tbl(s, d, "documents"), "doc_id", "lang",
+          perStratum = 5)
+          .select(col("lang"), col("doc_id"))
+          .orderBy("lang", "doc_id"),
+      Some("""WITH ranked AS (
+             |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+             |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+             |  FROM documents)
+             |SELECT lang, doc_id FROM ranked WHERE rn <= 5
+             |ORDER BY lang, doc_id""".stripMargin)),
+
     ("q_text_quality",
       (s: SparkSession, d: String) =>
         TextAnalysis.withQualityFeatures(

@@ -122,6 +122,81 @@ object TextAnalysis {
         col("tf"), col("df"), Nums.round6(col("weight")).as("weight"))
   }
 
+  /** BM25 relevance of every document against a fixed bag of query terms —
+    * the retrieval-scoring sibling of [[tfIdf]] (mining a 100 TB corpus for
+    * training data relevant to a topic). Same distributed shape: one
+    * (doc, token) hash aggregate, one vocabulary-sized doc-frequency
+    * aggregate broadcast back, map-only scoring, exact two-stage top-k —
+    * nothing is driver-bound and no stage holds more than a vocabulary.
+    *
+    * Engine-exactness (the DuckDB oracle replays scores bit-identically):
+    *   - `linearIdf = true` (default) uses idf = (N − df + 0.5)/(df + 0.5) —
+    *     single IEEE ops, no `ln`, same ulp everywhere (the classic
+    *     log-idf is available for production shape, like tfIdf's `ln`);
+    *   - the per-document sum over matched terms folds LEFT-TO-RIGHT over
+    *     tokens in sorted order (array_sort + aggregate here, an ordered
+    *     list_reduce in SQL) — never an unordered SUM whose FP association
+    *     differs by engine.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], topK: Int,
+           k1: Double = 1.2, b: Double = 0.75,
+           linearIdf: Boolean = true): DataFrame = {
+    val n = df.count().toDouble // driver-side scalar, like tfIdf
+    val docs = df.select(col(idCol).as("id"),
+      tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(col("toks")).as("token"),
+        size(col("toks")).cast("double").as("dl"))
+    val terms = docs.groupBy("id", "token", "dl").agg(count(lit(1)).as("tf"))
+    // avgdl from exact integer sums: one division, engine-exact
+    val totals = docs.groupBy().agg(count(lit(1)).cast("double").as("toktot"),
+      countDistinct(col("id")).cast("double").as("ndl")).collect()(0)
+    val avgdl = totals.getDouble(0) / totals.getDouble(1)
+    val docFreq = terms.filter(col("token").isin(queryTerms: _*))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val idf =
+      if (linearIdf) (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+      else log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val wTerm = (col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))) * idf
+    val matched = terms.filter(col("token").isin(queryTerms: _*))
+      .join(broadcast(docFreq), "token")
+      .select(col("id"), col("token"), wTerm.as("w"))
+    // deterministic per-doc sum: fold sorted (token, w) pairs left-to-right
+    val scored = matched.groupBy("id")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("token"), col("w")))),
+          s => s.getField("w")),
+        lit(0.0), (acc, v) => acc + v).as("score"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score"), asc("id"))
+    // corpus-wide top-k: per-partition local top-k first (exact two-stage,
+    // same shape as Similarity.bruteForceTopK), then the tiny global rank
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(spark_partition_id()).orderBy(desc("score"), asc("id"))
+    scored.withColumn("lrank", row_number().over(wLocal))
+      .filter(col("lrank") <= topK)
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("id"), Nums.round6(col("score")).as("score"))
+  }
+
+  /** Deterministic stratified sample: up to `perStratum` rows per stratum,
+    * chosen by md5(id) order — reproducible across runs and engines (the
+    * curation primitive for balanced training mixes: "N documents per
+    * language"). One shuffle on the stratum key; within-stratum rank is a
+    * streaming window, never a full sort of the corpus.
+    */
+  def sampleStratified(df: DataFrame, idCol: String, stratumCol: String,
+                       perStratum: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+
   /** Repetition signals for training-data filtering (the Gopher-rule family,
     * Rae et al. 2021 §A1.1): per document,
     *   - `dup_line_frac`  — fraction of non-empty trimmed lines that are

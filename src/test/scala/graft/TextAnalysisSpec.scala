@@ -83,4 +83,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2) == ((3L, 0.0, 0.0, 0.0)))
     assert(out(3) == ((4L, 0.0, 0.0, 0.0)))
   }
+
+  test("bm25: doc with more query-term hits and shorter length ranks first") {
+    val docs = Seq(
+      (1L, "spark query spark join fast"),         // 3 query-term hits, short
+      (2L, "spark table table table table table"), // 1 hit, diluted
+      (3L, "row scan filter hash merge batch"),    // 0 hits
+      (4L, "query join")                           // 2 hits, shortest
+    ).toDF("id", "text")
+    val out = TextAnalysis.bm25(docs, "id", "text",
+      Seq("spark", "query", "join"), topK = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // doc 3 never appears (no matched term)
+    assert(out.map(_._2).toSet == Set(1L, 2L, 4L))
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3), "ranks dense from 1")
+    // scores strictly ordered; 1 and 4 (multi-hit) beat the diluted doc 2
+    val byId = out.map(t => t._2 -> t._3).toMap
+    assert(byId(1L) > byId(2L) && byId(4L) > byId(2L), s"scores $byId")
+  }
+
+  test("sampleStratified: exactly min(n, perStratum) per stratum, deterministic") {
+    val rows = (0L until 20L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "s")
+    val once = TextAnalysis.sampleStratified(rows, "id", "s", 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val twice = TextAnalysis.sampleStratified(rows, "id", "s", 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(once == twice, "sample must be reproducible")
+    assert(once.count(_._2 == "a") == 4 && once.count(_._2 == "b") == 4)
+    // a stratum smaller than perStratum survives whole
+    val tiny = TextAnalysis.sampleStratified(rows.filter(col("id") < 2), "id", "s", 4)
+    assert(tiny.count() == 2)
+  }
 }
