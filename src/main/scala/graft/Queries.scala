@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.Readers
-import graft.ops.{Corpus, Dedup, InferSchema, Multimodal, Nums, Similarity, TextAnalysis, Validate}
+import graft.ops.{Corpus, Curate, Dedup, InferSchema, Multimodal, Nums, Similarity, TextAnalysis, Validate}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -1666,6 +1666,93 @@ object Queries {
              |  FROM documents)
              |SELECT lang, doc_id FROM ranked WHERE rn <= 5
              |ORDER BY lang, doc_id""".stripMargin)),
+
+    // The composite the curation operators exist for: quality gate →
+    // near-dup removal (MinHash + connected components) → per-language
+    // token budget → per-language summary. The oracle replays the ENTIRE
+    // chain — quality formula, shingle/signature/band pipeline, recursive
+    // component labels, running-sum cap — so the end-to-end training-set
+    // assembly sits under one hash check.
+    ("q_curate",
+      (s: SparkSession, d: String) =>
+        Curate.curationSummary(
+          Curate.curateCorpus(tbl(s, d, "documents"), "doc_id", "text",
+            "lang", minQuality = 0.65, dupThreshold = 0.9, tokenBudget = 1500L),
+          "lang")
+          .orderBy("lang"),
+      Some(s"""WITH RECURSIVE f AS (
+              |  SELECT doc_id, lang, text, $dTokens AS toks, length(text) AS nc
+              |  FROM documents),
+              |g AS (
+              |  SELECT doc_id, lang, text, len(toks)::INT AS nt,
+              |   CASE WHEN len(toks) = 0 THEN 0.0
+              |    ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) END AS mtl,
+              |   CASE WHEN nc = 0 THEN 0.0
+              |    ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / nc END AS pr,
+              |   CASE WHEN len(toks) = 0 THEN 0.0
+              |    ELSE len(list_filter(toks, t -> list_contains(
+              |      ['the','a','of','and','to','in','is','it','that','for'], t)))::DOUBLE / len(toks) END AS sr
+              |  FROM f),
+              |qdocs AS (
+              |  SELECT doc_id, lang, text, nt FROM g
+              |  WHERE ${Nums.dRound6("""greatest(0.0, least(1.0,
+              |    0.30 * least(nt / 64.0, 1.0)
+              |    + 0.25 * least(mtl / 6.0, 1.0)
+              |    + 0.25 * (1.0 - least(pr * 4.0, 1.0))
+              |    + 0.20 * least(sr * 3.0, 1.0)))""")} >= 0.65),
+              |t AS (
+              |  SELECT doc_id, list_transform($dTokensCase,
+              |    t -> ('0x' || substr(md5(t), 1, 7))::BIGINT + 1) AS th
+              |  FROM qdocs),
+              |shh AS (
+              |  SELECT doc_id, CASE WHEN len(th) <= 5
+              |    THEN [list_reduce(list_prepend(7::BIGINT, th[1:len(th)]),
+              |      (a, b) -> (a * 31 + b) % 2147483647)]
+              |    ELSE list_transform(range(1, len(th) - 3),
+              |      i -> list_reduce(list_prepend(7::BIGINT, th[i:i+4]),
+              |        (a, b) -> (a * 31 + b) % 2147483647)) END AS sh
+              |  FROM t),
+              |sig AS (
+              |  SELECT doc_id, list_transform(${dMinhashCoeffs(16)},
+              |    a -> list_min(list_transform(sh, h -> (a * (h + 1)) % 2147483647))) AS sg
+              |  FROM shh),
+              |bands AS (
+              |  SELECT doc_id, unnest(list_transform(range(0, 4),
+              |    b -> md5(b || ':' || array_to_string(sg[b*4+1 : b*4+4], '|')))) AS bkey
+              |  FROM sig),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+              |sets AS (
+              |  SELECT doc_id, list_distinct(${dShingles(dTokensCase, 5)}) AS s
+              |  FROM qdocs),
+              |pairs AS (
+              |  SELECT c.id_a, c.id_b FROM cand c
+              |  JOIN sets a ON a.doc_id = c.id_a
+              |  JOIN sets b ON b.doc_id = c.id_b
+              |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+              |    len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+              |edges AS (
+              |  SELECT id_a AS s, id_b AS d FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |reach(id, lbl) AS (
+              |  SELECT DISTINCT s, s FROM edges
+              |  UNION
+              |  SELECT e.d, r.lbl FROM reach r JOIN edges e
+              |    ON e.s = r.id WHERE r.lbl < e.d),
+              |losers AS (
+              |  SELECT id FROM (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+              |  WHERE id <> component),
+              |kept AS (
+              |  SELECT * FROM qdocs WHERE doc_id NOT IN (SELECT id FROM losers)),
+              |capped AS (
+              |  SELECT lang, doc_id, nt,
+              |    sum(nt::BIGINT) OVER (PARTITION BY lang
+              |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS cum
+              |  FROM kept)
+              |SELECT lang, count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens
+              |FROM capped WHERE cum <= 1500
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     ("q_text_quality",
       (s: SparkSession, d: String) =>

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-set assembly — the composite the individual curation
+  * operators exist FOR (extension mandate; the reference stops at ingest):
+  *
+  *   quality gate → near-dup removal → per-language token budget.
+  *
+  * Every stage is the already-proven distributed shape: the quality gate is
+  * map-only ([[TextAnalysis.withQualityFeatures]]); near-dup removal is
+  * MinHash banding + connected components + a broadcast-able anti-join
+  * ([[Dedup.dropNearDuplicates]]); the budget cap is one shuffle per
+  * language partition with a streaming running-sum window over md5(id)
+  * order (deterministic across engines, no full sort). Nothing is
+  * driver-bound and nothing is quadratic — the chain holds at corpus scale
+  * because each piece already does.
+  */
+object Curate {
+
+  /** The curated document set: rows of `df` that (1) score at least
+    * `minQuality`, (2) survive near-dup clustering as their cluster's
+    * canonical (min-id) member, and (3) fit the per-`langCol` running token
+    * budget in md5(id) order (cumulative count INCLUDING the candidate must
+    * stay ≤ `tokenBudget`). Adds `q_n_tokens`/`quality_score` (and the
+    * other q_* features) to the surviving rows.
+    */
+  def curateCorpus(df: DataFrame, idCol: String, textCol: String,
+                   langCol: String, minQuality: Double,
+                   dupThreshold: Double, tokenBudget: Long): DataFrame = {
+    val gated = TextAnalysis.withQualityFeatures(df, textCol)
+      .filter(col("quality_score") >= minQuality)
+    val deduped = Dedup.dropNearDuplicates(gated, idCol, textCol, dupThreshold)
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    deduped
+      .withColumn("__cum", sum(col("q_n_tokens").cast("long")).over(w))
+      .filter(col("__cum") <= tokenBudget)
+      .drop("__cum")
+  }
+
+  /** Per-language summary of a curated set: document and token counts. */
+  def curationSummary(curated: DataFrame, langCol: String): DataFrame =
+    curated.groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("q_n_tokens").cast("long")).as("n_tokens"))
+}
