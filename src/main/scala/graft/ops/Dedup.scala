@@ -227,13 +227,18 @@ object Dedup {
     *         component = min id in the vertex's connected component.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // localCheckpoint (not persist): each round's label table becomes a
+    // LogicalRDD, so every iteration's join plan has the SAME small shape —
+    // without it the plan (and its codegen) grows with the lineage chain,
+    // and each round pays a fresh, ever-larger Janino compile. This is the
+    // GraphFrames iterative-algorithm discipline.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id"), col("src").as("lbl"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -242,17 +247,14 @@ object Dedup {
         .union(edges.join(labels, edges("src") === labels("id"))
           .select(edges("dst").as("id"), col("lbl")))
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // one job: materializes `next` AND counts label changes (converged
-      // when no vertex improved — min propagation is monotone)
+        .localCheckpoint()
+      // converged when no vertex improved — min propagation is monotone
       val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
         .filter(col("lbl") =!= col("prev")).count()
-      labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist(blocking = false)
     labels.select(col("id"), col("lbl").as("component"))
   }
 
