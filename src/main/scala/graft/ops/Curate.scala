@@ -30,8 +30,14 @@ object Curate {
   def curateCorpus(df: DataFrame, idCol: String, textCol: String,
                    langCol: String, minQuality: Double,
                    dupThreshold: Double, tokenBudget: Long): DataFrame = {
+    // The gated working set feeds several consumers (the dedup chain's
+    // bucket scan and verify joins, the anti-join, the budget window);
+    // without persisting it, every consumer re-runs the regex-heavy quality
+    // features over the full corpus. MEMORY_AND_DISK spills at scale — the
+    // classic materialize-the-filtered-working-set pattern.
     val gated = TextAnalysis.withQualityFeatures(df, textCol)
       .filter(col("quality_score") >= minQuality)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deduped = Dedup.dropNearDuplicates(gated, idCol, textCol, dupThreshold)
     val w = Window.partitionBy(col(langCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
