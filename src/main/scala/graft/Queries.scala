@@ -1523,6 +1523,49 @@ object Queries {
               |SELECT qid, rank::INT AS rank, id, round(sim, 6) AS sim
               |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
+    // Product-quantization ANN: m=8 subspaces × k=16 seeded codewords over
+    // int8-quantized vectors; scoring is ‖q − recon(x)‖² (≡ the ADC LUT
+    // sum — same integers), so the WHOLE path — quantize → per-subspace
+    // argmin encode → reconstruct → score → rank — replays bit-identically
+    // in DuckDB.
+    ("q_ann_pq",
+      (s: SparkSession, d: String) => {
+        val emb = tbl(s, d, "embeddings")
+        val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.pqTopK(queries, corpus, topK = 5, m = 8, k = 16)
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+             |mm AS (SELECT id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v),
+             |qz AS (SELECT id, CASE WHEN mx = 0
+             |  THEN list_transform(e, x -> 0::BIGINT)
+             |  ELSE list_transform(e, x -> floor(x * 127 / mx + 0.5)::BIGINT) END AS iv
+             |  FROM mm),
+             |cbi AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, iv
+             |  FROM (SELECT id, iv FROM qz ORDER BY id LIMIT 16)),
+             |subs0 AS (SELECT id, unnest(range(0, 8)) AS s, iv FROM qz),
+             |subs AS (SELECT id, s, iv[s*8+1 : s*8+8] AS siv FROM subs0),
+             |cdist AS (SELECT subs.id, subs.s, cbi.cidx,
+             |  list_sum(list_transform(range(1, 9),
+             |    i -> (subs.siv[i] - cbi.iv[subs.s*8+i]) * (subs.siv[i] - cbi.iv[subs.s*8+i])))::BIGINT AS d
+             |  FROM subs CROSS JOIN cbi),
+             |code AS (SELECT id, s, cidx FROM (
+             |  SELECT id, s, cidx, row_number() OVER (PARTITION BY id, s
+             |    ORDER BY d, cidx) AS rn FROM cdist) WHERE rn = 1),
+             |recon AS (SELECT c.id, flatten(list(b.iv[c.s*8+1 : c.s*8+8] ORDER BY c.s)) AS r
+             |  FROM code c JOIN cbi b ON b.cidx = c.cidx GROUP BY c.id),
+             |q AS (SELECT id AS qid, iv AS qiv FROM qz WHERE id < 10),
+             |scored AS (SELECT q.qid, r.id,
+             |  list_sum(list_transform(range(1, len(q.qiv) + 1),
+             |    i -> (q.qiv[i] - r.r[i]) * (q.qiv[i] - r.r[i])))::BIGINT AS adist
+             |  FROM q CROSS JOIN recon r WHERE r.id <> q.qid),
+             |ranked AS (SELECT qid, id, adist, row_number() OVER (
+             |  PARTITION BY qid ORDER BY adist, id) AS rank FROM scored)
+             |SELECT qid, rank::INT AS rank, id, adist
+             |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
     ("q_embed_neardup",
       (s: SparkSession, d: String) =>
         Similarity.bruteForceNearDuplicates(

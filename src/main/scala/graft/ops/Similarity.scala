@@ -371,6 +371,80 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("score"))
   }
 
+  /** Product-quantization codes + reconstructions over int8-quantized
+    * vectors: the dim is split into `m` subspaces; each subspace has a
+    * codebook of `k` codewords (the sub-slices of the `k` lowest-id
+    * vectors — the deterministic seeding `seedCentroids` uses; a real
+    * deployment k-means-trains each sub-codebook, the plumbing is
+    * identical). A vector's code is its per-subspace nearest codeword by
+    * integer squared distance — `m` bytes instead of `dim` floats, the
+    * classic memory-compressed ANN serving layout (Jégou et al. 2011).
+    *
+    * Encoding is `m` `graft_argmin_sq` kernel calls on array slices —
+    * map-only, zero exchange, codebooks ride the plan as reference
+    * objects. The reconstruction (codeword concatenation) is emitted
+    * alongside the codes so asymmetric-distance scoring can run as ONE
+    * integer array op downstream (‖q − recon(x)‖² ≡ the per-subspace ADC
+    * LUT sum — same integers, so the DuckDB oracle replays it exactly).
+    *
+    * @return (id, code array<long> of m entries, recon array<long> of dim)
+    */
+  def pqEncode(corpus: DataFrame, m: Int, k: Int): DataFrame = {
+    val qz = corpus.select(col("id"),
+      quantizeInt(col("vec").cast("array<double>")).as("iv"))
+    val seeds: Array[Array[Long]] = qz.orderBy("id").limit(k).collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("iv").toArray)
+    require(seeds.nonEmpty, "pqEncode: empty corpus")
+    val dim = seeds(0).length
+    require(dim % m == 0, s"pqEncode: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // codebook: cb(s)(c) = codeword c of subspace s (sub longs)
+    val cb: Array[Array[Array[Long]]] =
+      Array.tabulate(m, k)((s, c) => seeds(c).slice(s * sub, (s + 1) * sub))
+    val cidx = (0L until k.toLong).toSeq
+    val codeCols = (0 until m).map { s =>
+      call_function("graft_argmin_sq",
+        slice(col("iv"), s * sub + 1, sub),
+        typedLit(cb(s).map(_.toSeq).toSeq),
+        typedLit(cidx)).cast("int")
+    }
+    val withCodes = qz.withColumn("code", array(codeCols: _*))
+    val recon = concat((0 until m).map { s =>
+      element_at(typedLit(cb(s).map(_.toSeq).toSeq),
+        element_at(col("code"), s + 1) + 1)
+    }: _*)
+    withCodes.select(col("id"), col("iv"), col("code"), recon.as("recon"))
+  }
+
+  /** PQ approximate top-k: queries score every corpus row against its
+    * reconstruction — one codegen'd integer kernel per pair via the
+    * expansion ‖q−r‖² = q·q − 2·q·r + r·r (exact in integers, so identical
+    * to the ADC LUT sum), with both self-dots precomputed map-side. Same
+    * broadcast + exact two-stage rank as every other top-k here. Ranking is
+    * by ascending approximate distance (ties → smallest id).
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, topK: Int,
+             m: Int = 8, k: Int = 16): DataFrame = {
+    val enc = pqEncode(corpus, m, k)
+      .withColumn("rr", dotQuantized(col("recon"), col("recon")))
+    val q = broadcast(queries.select(col("qid"),
+      quantizeInt(col("qvec").cast("array<double>")).as("qiv"))
+      .withColumn("qq", dotQuantized(col("qiv"), col("qiv"))))
+    val scored = enc.crossJoin(q)
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        (col("qq") - lit(2L) * dotQuantized(col("qiv"), col("recon")) + col("rr"))
+          .as("adist"),
+        spark_partition_id().as("part"))
+    val wLocal = Window.partitionBy(col("qid"), col("part")).orderBy(asc("adist"), asc("id"))
+    val local = scored.withColumn("lrank", row_number().over(wLocal))
+      .filter(col("lrank") <= topK)
+    val w = Window.partitionBy(col("qid")).orderBy(asc("adist"), asc("id"))
+    local.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("id"), col("adist"))
+  }
+
   /** Recall@k of an approximate top-k result against the exact one: the
     * fraction of each query's true top-k the approximation recovered, then
     * averaged over queries — the standard ANN quality dial (tune nprobe /

@@ -163,6 +163,41 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.assignQuantized(nullRow, cents).collect()(0).isNullAt(2))
   }
 
+  test("pqEncode: m codes, dim-length reconstruction, codebook rows reconstruct exactly") {
+    // 8 vectors of dim 4, m=2 subspaces, k=4 codewords
+    val rows = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 1.0, 0.0)), (3L, Seq(0.0, 0.0, 0.0, 1.0)),
+      (4L, Seq(1.0, 0.0, 0.0, 0.0)), (5L, Seq(0.9, 0.1, 0.05, 0.0))
+    ).toDF("id", "vec")
+    val enc = Similarity.pqEncode(rows, m = 2, k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[scala.collection.Seq[Int]]("code").toSeq,
+          r.getAs[scala.collection.Seq[Long]]("recon").toSeq)).toMap
+    assert(enc(0L)._1.length == 2 && enc(0L)._2.length == 4)
+    // a codebook seed vector reconstructs to exactly its own quantization
+    assert(enc(0L)._2 == Seq(127L, 0L, 0L, 0L))
+    // vector 4 duplicates seed 0 → identical code and reconstruction
+    assert(enc(4L) == enc(0L))
+    // ties pick the smallest codeword index: subspace 1 of ids 0 and 1
+    // quantizes to (0,0), matching codewords 0/2/3 in some subspace — all
+    // codes must be within [0, k)
+    enc.values.foreach { case (code, _) =>
+      assert(code.forall(c => c >= 0 && c < 4), s"code out of range: $code") }
+  }
+
+  test("pqTopK: exact duplicate of a query ranks first with adist 0") {
+    val corpus = vecs.select(col("id"), col("vec"))
+    val q = vecs.filter(col("id") === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val out = Similarity.pqTopK(q, corpus, topK = 3, m = 3, k = 4)
+      .orderBy("rank").collect()
+    // vecs: id 1 duplicates id 0 (same direction) → its reconstruction is
+    // identical to the query's own, so adist is 0 at rank 1
+    assert(out(0).getLong(2) == 1L && out(0).getLong(3) == 0L,
+      s"rank1: ${out.mkString(";")}")
+  }
+
   test("quantizeInt maps the max-magnitude component to ±127") {
     val out = Seq((1L, Seq(0.5, -1.0, 0.25), "x")).toDF("id", "vec", "pad")
       .select(Similarity.quantizeInt(col("vec")).as("iv"))
