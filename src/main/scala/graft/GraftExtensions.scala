@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArgmaxCosine, ArgminSqDist, DotProduct, LongDotProduct, MinHashSignature, PyJsonRender, QuantizeVector, SimHash}
+import graft.functions.{ArgmaxCosine, ArgminSqDist, DotProduct, LongDotProduct, LshBucket, MinHashSignature, PyJsonRender, QuantizeVector, SimHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_argmax_cos"),
       new ExpressionInfo(classOf[ArgmaxCosine].getName, "graft_argmax_cos"),
       (children: Seq[Expression]) => ArgmaxCosine(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
+      (children: Seq[Expression]) => LshBucket(children)))
     ext.injectFunction((
       new FunctionIdentifier("graft_argmin_sq"),
       new ExpressionInfo(classOf[ArgminSqDist].getName, "graft_argmin_sq"),

@@ -357,6 +357,114 @@ case class ArgminSqDist(children: Seq[Expression]) extends Expression {
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
+/** Native sign-bit LSH bucketing: `graft_lsh_bucket(vec, planes)` → the
+  * '0'/'1' bucket string of `vec` under the fixed hyperplane matrix `planes`
+  * (one char per plane, '1' iff the plane dot product is >= 0).
+  *
+  * `planes` must be foldable — it is the deterministic planes×dim hyperplane
+  * control plane ([[graft.ops.Similarity.planeWeights]]), evaluated once and
+  * embedded as a plan reference object, so plan size and codegen size stay
+  * O(1) in planes×dim. The previous formulation concatenated one
+  * `when(graft_dot(vec, array(lit…)) >= 0, …)` per plane, inlining
+  * planes×dim double literals into the plan — at realistic planes=32,
+  * dim=512 that is 16k literals and a codegen-split risk, the same
+  * plan-growth disease `graft_argmax_cos` cured for IVF assignment.
+  *
+  * Arithmetic parity (the DuckDB oracle replays it): per plane, the dot is
+  * the `graft_dot` left-to-right fold truncated to the shorter operand, and
+  * the sign test is `>= 0` — bit-identical to the `when` chain it replaces.
+  */
+case class LshBucket(children: Seq[Expression]) extends Expression {
+  private def vecChild = children(0)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = children.length == 2 &&
+      (vecChild.dataType match { case ArrayType(DoubleType, _) => true; case _ => false }) &&
+      (children(1).dataType match {
+        case ArrayType(ArrayType(DoubleType, _), _) => true; case _ => false
+      }) &&
+      children(1).foldable
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_lsh_bucket expects (array<double>, foldable array<array<double>>)")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = vecChild.nullable
+
+  // the hyperplane control plane, evaluated once per plan
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val ad = children(1).eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = vecChild.eval(input)
+    if (v == null) return null
+    val vec = v.asInstanceOf[ArrayData]
+    val buf = new Array[Byte](planes.length)
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      val n = math.min(vec.numElements(), pl.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += vec.getDouble(i) * pl(i); i += 1 }
+      buf(p) = if (s >= 0.0) '1'.toByte else '0'.toByte
+      p += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(buf)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vecGen = vecChild.genCode(ctx)
+    val pRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    val buf = ctx.freshName("lshBuf")
+    val pIdx = ctx.freshName("pIdx")
+    val pl = ctx.freshName("pl")
+    val n = ctx.freshName("n")
+    val s = ctx.freshName("s")
+    val i = ctx.freshName("i")
+    val loop =
+      s"""byte[] $buf = new byte[$pRef.length];
+         |for (int $pIdx = 0; $pIdx < $pRef.length; $pIdx++) {
+         |  double[] $pl = $pRef[$pIdx];
+         |  int $n = Math.min(${vecGen.value}.numElements(), $pl.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ${vecGen.value}.getDouble($i) * $pl[$i];
+         |  }
+         |  $buf[$pIdx] = ($s >= 0.0) ? (byte) '1' : (byte) '0';
+         |}""".stripMargin
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    if (nullable) {
+      ev.copy(code =
+        code"""
+             |${vecGen.code}
+             |boolean ${ev.isNull} = ${vecGen.isNull};
+             |UTF8String ${ev.value} = null;
+             |if (!${ev.isNull}) {
+             |  $loop
+             |  ${ev.value} = UTF8String.fromBytes($buf);
+             |}
+           """.stripMargin)
+    } else {
+      ev.copy(code =
+        code"""
+             |${vecGen.code}
+             |$loop
+             |UTF8String ${ev.value} = UTF8String.fromBytes($buf);
+           """.stripMargin, isNull = FalseLiteral)
+    }
+  }
+
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
 /** Native nearest-centroid argmax by cosine: `graft_argmax_cos(vec, nrm,
   * matrix, cnorms, cids)` → the `cids` entry whose row of `matrix` has the
   * highest cosine similarity to `vec` (ties → the earliest entry; callers

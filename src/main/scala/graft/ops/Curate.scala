@@ -38,7 +38,16 @@ object Curate {
     val gated = TextAnalysis.withQualityFeatures(df, textCol)
       .filter(col("quality_score") >= minQuality)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The dedup chain is already eager (the component loop runs jobs), so an
+    // eager localCheckpoint of its survivor set costs one extra anti-join
+    // job — and lets us RELEASE the gated cache before returning instead of
+    // leaking it for the session's lifetime (repeated curations would pile
+    // cached blocks up). The returned frame is backed by the checkpoint;
+    // its blocks are freed by the ContextCleaner once the frame is
+    // unreachable.
     val deduped = Dedup.dropNearDuplicates(gated, idCol, textCol, dupThreshold)
+      .localCheckpoint()
+    gated.unpersist(blocking = false)
     val w = Window.partitionBy(col(langCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     deduped

@@ -203,6 +203,23 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Best-effort release of the block-manager storage behind a checkpointed
+    * Dataset (the analyzed plan of a `checkpoint`/`localCheckpoint` result is
+    * a `LogicalRDD` wrapping the materialized RDD — reached reflectively
+    * because the node type is `private[sql]`). Safe to call only once the
+    * Dataset is no longer needed: localCheckpoint blocks ARE the data (no
+    * lineage remains to recompute them).
+    */
+  private def unpersistCheckpointed(df: DataFrame): Unit =
+    scala.util.Try {
+      val plan = df.queryExecution.analyzed
+      if (plan.getClass.getSimpleName == "LogicalRDD")
+        plan.getClass.getMethod("rdd").invoke(plan)
+          .asInstanceOf[org.apache.spark.rdd.RDD[_]].unpersist(blocking = false)
+    }
+
   /** Connected components over an undirected pair list — the CLUSTER step
     * of near-dup dedup (pairs → clusters → one canonical survivor per
     * cluster; the reference stops at ingest, this is the extension mandate's
@@ -215,46 +232,74 @@ object Dedup {
     * exactly). Rounds needed = graph diameter; similarity graphs are
     * clique-ish, so a handful.
     *
-    * Scale shape (the GraphX/GraphFrames pattern): one shuffle-join of the
-    * label table with the edge list + one min-aggregate per round — shuffle
-    * volume is O(edges), never materializing anything quadratic. Each round
-    * persists its label table and unpersists the previous (iterative
-    * lineage truncation, same discipline as k-means); convergence is a
-    * driver-side count on the round's single job.
+    * Scale shape (the GraphX/GraphFrames pattern): ONE shuffle-join + ONE
+    * min-aggregate job per round — shuffle volume is O(edges), never
+    * materializing anything quadratic. Each vertex's previous label rides
+    * the aggregation (`min` over a tagged own-row), so the convergence check
+    * is a trivial scan of the round's already-materialized checkpoint blocks
+    * instead of a second shuffle-join job. Each round's label table is
+    * checkpointed (lineage truncation — constant-size plans/codegen across
+    * rounds, the GraphFrames iterative discipline) and the previous round's
+    * blocks are freed once the new round materializes.
+    *
+    * If the loop hits `maxIters` before the fixpoint (diameter > maxIters),
+    * a WARNING is logged and the partially-propagated labels are returned —
+    * downstream dedup would then under-merge, so the log line is the signal
+    * to raise `maxIters`.
     *
     * @param pairs undirected edges as two id columns (`id_a`, `id_b`).
+    * @param checkpointDir when set, label tables use RELIABLE `checkpoint`
+    *        into this directory (survives executor loss — on a real cluster
+    *        `localCheckpoint` blocks live on executors and a lost executor
+    *        kills the job mid-iteration with no lineage to recompute); when
+    *        None (default), the faster executor-local `localCheckpoint`.
     * @return (id, component) for every vertex appearing in some pair,
     *         component = min id in the vertex's connected component.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // localCheckpoint (not persist): each round's label table becomes a
-    // LogicalRDD, so every iteration's join plan has the SAME small shape —
-    // without it the plan (and its codegen) grows with the lineage chain,
-    // and each round pays a fresh, ever-larger Janino compile. This is the
-    // GraphFrames iterative-algorithm discipline.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val sc = pairs.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    val edges = ckpt(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id"), col("src").as("lbl"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
+    val idType = edges.schema("src").dataType
+    // `current` is the round's checkpointed table (held for unpersist);
+    // `labels` the (id, lbl) view of it the next round joins against.
+    var current = ckpt(edges.select(col("src").as("id"), col("src").as("lbl"))
+      .distinct())
+    var labels = current
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      // closed-neighborhood min: own label ∪ labels arriving over edges
-      val next = labels
+      // closed-neighborhood min: own label ∪ labels arriving over edges.
+      // The own row carries its label twice — the `prev` copy survives the
+      // aggregate (min ignores the messages' nulls; ids are unique in
+      // `labels`), so the round's single job also materializes everything
+      // the convergence check needs.
+      val next = ckpt(labels
+        .select(col("id"), col("lbl"), col("lbl").as("prev"))
         .union(edges.join(labels, edges("src") === labels("id"))
-          .select(edges("dst").as("id"), col("lbl")))
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
-      // converged when no vertex improved — min propagation is monotone
-      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") =!= col("prev")).count()
-      labels = next
-      converged = changed == 0
+          .select(edges("dst").as("id"), col("lbl"), lit(null).cast(idType).as("prev")))
+        .groupBy("id").agg(min("lbl").as("lbl"), min("prev").as("prev")))
+      // min propagation is monotone: converged when no vertex improved.
+      // This scans the just-written checkpoint blocks — no recompute, no join.
+      converged = next.filter(col("lbl") =!= col("prev")).isEmpty
+      unpersistCheckpointed(current)
+      current = next
+      labels = next.select("id", "lbl")
       iter += 1
     }
+    if (!converged)
+      log.warn(s"connectedComponents: no fixpoint after $maxIters rounds — " +
+        "labels are partially propagated (graph diameter exceeds maxIters); " +
+        "downstream dedup will under-merge. Raise maxIters.")
+    unpersistCheckpointed(edges)
     labels.select(col("id"), col("lbl").as("component"))
   }
 

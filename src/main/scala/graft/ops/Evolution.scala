@@ -63,10 +63,12 @@ class Evolution(spark: SparkSession, corpusDir: String) {
     finally in.close()
     val nl = txt.indexOf('\n')
     if (nl < 0) return None
-    txt.substring(0, nl).split('\t') match {
+    // a corrupted sidecar must DEGRADE to the authoritative parquet scan,
+    // not break every latest()/evolve() with a NumberFormatException
+    scala.util.Try(txt.substring(0, nl).split('\t') match {
       case Array(v, c) => Some((v.toInt, c.toLong, txt.substring(nl + 1)))
       case _ => None
-    }
+    }).toOption.flatten
   }
 
   private def writeState(version: Int, changeCount: Long, schemaJson: String): Unit = {

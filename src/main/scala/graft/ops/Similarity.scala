@@ -88,14 +88,19 @@ object Similarity {
   }
 
   /** Sign-bit LSH bucket key of a vector column under `numPlanes` fixed
-    * hyperplanes — a bit string, one char per plane.
+    * hyperplanes — a bit string, one char per plane, via the native
+    * `graft_lsh_bucket` kernel ([[graft.functions.LshBucket]] — requires
+    * [[graft.GraftExtensions]]). The planes×dim hyperplane matrix rides the
+    * plan as ONE `typedLit` reference object, so plan/codegen size is O(1)
+    * in planes (the previous per-plane `when(graft_dot(vec, array(lit…)))`
+    * chain inlined planes×dim literals — 16k at planes=32, dim=512, a
+    * codegen-split risk). Bit-for-bit the same buckets: per-plane
+    * left-to-right dot fold, `>= 0` sign test.
     */
   def lshBucket(vec: Column, numPlanes: Int, dim: Int): Column = {
     val planes = planeWeights(numPlanes, dim)
-    concat((0 until numPlanes).map { p =>
-      val plane = array(planes(p).map(w => lit(w)).toSeq: _*)
-      when(dot(vec.cast("array<double>"), plane) >= 0, lit("1")).otherwise(lit("0"))
-    }: _*)
+    call_function("graft_lsh_bucket", vec.cast("array<double>"),
+      typedLit(planes.map(_.toSeq).toSeq))
   }
 
   /** LSH-bucketed approximate top-k: corpus bucketed map-only; each query
@@ -394,7 +399,8 @@ object Similarity {
       quantizeInt(col("vec").cast("array<double>")).as("iv"))
     val seeds: Array[Array[Long]] = qz.orderBy("id").limit(k).collect()
       .map(_.getAs[scala.collection.Seq[Long]]("iv").toArray)
-    require(seeds.nonEmpty, "pqEncode: empty corpus")
+    require(seeds.length >= k,
+      s"pqEncode: corpus has ${seeds.length} rows, need at least k=$k seed vectors")
     val dim = seeds(0).length
     require(dim % m == 0, s"pqEncode: dim $dim not divisible by m=$m")
     val sub = dim / m

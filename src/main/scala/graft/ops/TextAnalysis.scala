@@ -142,16 +142,23 @@ object TextAnalysis {
            queryTerms: Seq[String], topK: Int,
            k1: Double = 1.2, b: Double = 0.75,
            linearIdf: Boolean = true): DataFrame = {
-    val n = df.count().toDouble // driver-side scalar, like tfIdf
+    // ONE light map-side aggregate job computes both scalars the scoring
+    // plan needs as literals — doc count and total tokens (avgdl) — instead
+    // of the previous df.count() + explode-and-aggregate pair (three driver
+    // actions, two of them full corpus scans). tokens() never yields an
+    // empty array (split of "" is [""]), so every doc contributes ≥1 token
+    // and count(*) equals the old countDistinct(id) over exploded rows; the
+    // division is the same two exact integer sums, engine-exact.
+    val stats = df.agg(count(lit(1)).cast("double").as("n"),
+      sum(size(tokens(col(textCol))).cast("long")).cast("double").as("toktot"))
+      .collect()(0)
+    val n = stats.getDouble(0)
+    val avgdl = stats.getDouble(1) / n
     val docs = df.select(col(idCol).as("id"),
       tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(col("toks")).as("token"),
         size(col("toks")).cast("double").as("dl"))
     val terms = docs.groupBy("id", "token", "dl").agg(count(lit(1)).as("tf"))
-    // avgdl from exact integer sums: one division, engine-exact
-    val totals = docs.groupBy().agg(count(lit(1)).cast("double").as("toktot"),
-      countDistinct(col("id")).cast("double").as("ndl")).collect()(0)
-    val avgdl = totals.getDouble(0) / totals.getDouble(1)
     val docFreq = terms.filter(col("token").isin(queryTerms: _*))
       .groupBy("token").agg(count(lit(1)).as("df"))
     val idf =

@@ -88,6 +88,18 @@ class DedupSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("connectedComponents with a reliable checkpoint dir matches localCheckpoint") {
+    // the executor-loss-safe variant (checkpoint files instead of
+    // executor-local blocks) must label identically
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count() > 0,
+      "reliable checkpoint files should have been written under the given dir")
+  }
+
   test("dropNearDuplicates keeps exactly one canonical member per cluster") {
     // docs: 1 and 2 are exact duplicates (cluster {1,2}); others unique
     val out = Dedup.dropNearDuplicates(docs, "id", "text", threshold = 0.9)

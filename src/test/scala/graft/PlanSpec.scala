@@ -83,6 +83,33 @@ class PlanSpec extends SparkSpec {
     assert(assigned.select(countDistinct(col("cluster"))).head().getLong(0) > 1)
   }
 
+  test("lshBucket plan size is O(1) in planes (kernel, not literal arrays)") {
+    // the pre-r7 per-plane when(graft_dot(vec, array(lit…))) chain inlined
+    // planes×dim double literals into the plan (16k at planes=32/dim=512);
+    // the graft_lsh_bucket kernel carries the matrix as ONE reference
+    // object. Pin: at planes=32 over the real 64-dim embeddings the
+    // bucketing is a codegen-fused projection and the formatted plan stays
+    // small (a literal-array plan is hundreds of KB).
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val bucketed = emb.select(col("id"),
+      graft.ops.Similarity.lshBucket(col("vec"), numPlanes = 32, dim = 64).as("bucket"))
+    val plan = planOf(bucketed)
+    assert("""\*\(\d+\) Project \[.*graft_lsh_bucket""".r.findFirstIn(plan).isDefined,
+      s"expected codegen-fused graft_lsh_bucket projection:\n${plan.take(2000)}")
+    // ONE kernel call carrying the matrix as a single literal — not 32
+    // when(graft_dot(...) >= 0) branches (the plan string still renders the
+    // matrix VALUE; the disease was per-plane expression nodes and their
+    // generated code, so pin their absence)
+    assert(!plan.contains("graft_dot("), "no per-plane dot expressions expected")
+    assert(!plan.contains("CASE WHEN"), "no per-plane sign branches expected")
+    assert("graft_lsh_bucket".r.findAllIn(plan).length == 1)
+    // 32-char '0'/'1' keys, more than one bucket populated
+    val keys = bucketed.select(col("bucket")).distinct().collect().map(_.getString(0))
+    assert(keys.forall(k => k.length == 32 && k.forall(c => c == '0' || c == '1')))
+    assert(keys.length > 1)
+  }
+
   test("ivfAssign of an empty centroid table is an empty result, not an error") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
