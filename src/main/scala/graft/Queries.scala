@@ -163,8 +163,30 @@ object Queries {
         "b\u00f6m utf8".getBytes(StandardCharsets.UTF_8))
     writeBytes(dir.resolve("utf16le_nobom.txt"),
       "plain utf16le no bom".getBytes(StandardCharsets.UTF_16LE))
+    // Legacy-encoding divergence pins (the reference ships chardet and would
+    // DETECT these; our ladder has no statistical detector, so they fall
+    // through to the Latin-1 floor and decode as deterministic mojibake —
+    // every byte maps 1:1 to its U+00xx code point, nothing is lost, and the
+    // divergence is pinned here + documented in Readers.decodeFallback):
+    //   - Shift-JIS 日本語テキスト (multi-byte sequences are invalid UTF-8)
+    //   - windows-1252 with chars beyond ISO-8859-1 (€ and curly quotes land
+    //     in the C1 control range)
+    writeBytes(dir.resolve("sjis.txt"),
+      "日本語テキスト".getBytes(
+        java.nio.charset.Charset.forName("Shift_JIS")))
+    writeBytes(dir.resolve("cp1252.txt"),
+      "sm€rt “quotes” café".getBytes(
+        java.nio.charset.Charset.forName("windows-1252")))
     dir.toString
   }
+
+  /** What the fallback ladder ACTUALLY yields for the legacy-encoding pins:
+    * the raw bytes read through ISO-8859-1 (1:1 byte → U+00xx). */
+  private def latin1Mojibake(text: String, charset: String): String =
+    new String(text.getBytes(java.nio.charset.Charset.forName(charset)),
+      StandardCharsets.ISO_8859_1)
+
+  private def sqlStringLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   // ------------------------------------------------------- shared SQL pieces
 
@@ -755,16 +777,18 @@ object Queries {
         val path = encodedTxtFixture(d)
         Readers.txtWithCharsetFallback(s, path).orderBy("content")
       },
-      Some("""SELECT content FROM (
-             | SELECT 'caf\u00e9 r\u00e9sum\u00e9 na\u00efve' AS content
-             | UNION ALL SELECT 'h\u00e9llo \u00fctf8'
-             | UNION ALL SELECT 'w\u00efde utf16be'
-             | UNION ALL SELECT 'w\u00efde utf16le'
-             | UNION ALL SELECT 'b\u00f6m utf8'
-             | UNION ALL SELECT 'plain utf16le no bom') ORDER BY content"""
-        .stripMargin
-        .replace("\\u00e9", "\u00e9").replace("\\u00ef", "\u00ef")
-        .replace("\\u00fc", "\u00fc").replace("\\u00f6", "\u00f6"))),
+      Some(s"""SELECT content FROM (
+              | SELECT 'caf\u00e9 r\u00e9sum\u00e9 na\u00efve' AS content
+              | UNION ALL SELECT 'h\u00e9llo \u00fctf8'
+              | UNION ALL SELECT 'w\u00efde utf16be'
+              | UNION ALL SELECT 'w\u00efde utf16le'
+              | UNION ALL SELECT 'b\u00f6m utf8'
+              | UNION ALL SELECT 'plain utf16le no bom'
+              | UNION ALL SELECT ${sqlStringLit(
+                  latin1Mojibake("\u65e5\u672c\u8a9e\u30c6\u30ad\u30b9\u30c8", "Shift_JIS"))}
+              | UNION ALL SELECT ${sqlStringLit(
+                  latin1Mojibake("sm\u20acrt \u201cquotes\u201d caf\u00e9", "windows-1252"))}
+              |) ORDER BY content""".stripMargin)),
 
     // ------------------------------------------------ F1/F2 extraction
 
@@ -962,6 +986,13 @@ object Queries {
       (s: SparkSession, d: String) => {
         val corpusDir = Files.createTempDirectory("graft_corpus_").toString
         val r = Pipeline.ingest(s, tbl(s, d, "lineitem"), corpusDir)
+        // the result is the driver-side counters — nothing reads the corpus
+        // back, so drop it (repeat-run bench hygiene)
+        scala.util.Try {
+          import scala.jdk.CollectionConverters._
+          Files.walk(Paths.get(corpusDir)).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
         import s.implicits._
         Seq((r.recordCount, r.cleanCount, r.flaggedCount, r.version))
           .toDF("n_records", "n_clean", "n_flagged", "version")
@@ -1922,18 +1953,32 @@ object Queries {
              | md5(substr(text, f * flen + 1, flen)) AS frame_md5
              |FROM fr ORDER BY media_id, frame_no""".stripMargin)),
 
-    // float32 accumulation in the decode stub is not replicable in DuckDB's
-    // double-only list math -> rows-only; covered by MultimodalSpec.
+    // Windowed audio features over REAL WAV payloads, in exact integers:
+    // window w gets Σ(sample−128)² + its sample count (rms = sqrt(sum_sq/
+    // (128²·n)) is a post-hoc scalar). The WAV samples ARE the utf-8 bytes
+    // of the text, and the documents corpus is pure ASCII (max code point
+    // 121, checked at both sf), so DuckDB's per-CHARACTER ascii() replays
+    // the per-BYTE sample values exactly. The float32 RMS sibling
+    // (withFeatures) stays ScalaTest-pinned — float accumulation is not
+    // replicable in DuckDB's double-only list math.
     ("q_multimodal_features",
       (s: SparkSession, d: String) =>
-        Multimodal.withFeatures(s,
-          Multimodal.demoMediaTable(
-            tbl(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text"))
-          .select(col("media_id"), col("meta.width").as("width"),
-            col("meta.height").as("height"), col("meta.n_frames").as("n_frames"),
-            round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
-          .orderBy("media_id"),
-      None)
+        Multimodal.windowEnergy(s,
+          Multimodal.demoWavTable(
+            tbl(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text"),
+          k = 4)
+          .orderBy("media_id", "window"),
+      Some("""WITH s AS (
+             |  SELECT doc_id, list_transform(string_split(text, ''),
+             |    ch -> ascii(ch)) AS bs
+             |  FROM documents WHERE doc_id < 100),
+             |w AS (SELECT doc_id, bs, unnest(range(0, 4)) AS win FROM s)
+             |SELECT doc_id AS media_id, win::INT AS "window",
+             |  coalesce(list_sum(list_transform(
+             |    list_filter(range(0, len(bs)), i -> (i * 4) // len(bs) = win),
+             |    i -> ((bs[i+1] - 128) * (bs[i+1] - 128))::BIGINT)), 0)::BIGINT AS sum_sq,
+             |  len(list_filter(range(0, len(bs)), i -> (i * 4) // len(bs) = win))::BIGINT AS n_samples
+             |FROM w ORDER BY media_id, win""".stripMargin))
   )
 
   val queries: Map[String, Q] = battery.map(b => (b._1, b._2)).toMap

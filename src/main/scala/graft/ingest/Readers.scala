@@ -80,8 +80,14 @@ object Readers {
     * validity scan → a NUL-density heuristic for BOM-less UTF-16 (ASCII-range
     * text in UTF-16 is ~half zero bytes; their parity gives the endianness)
     * → ISO-8859-1, which never fails. Covers the reference corpus plus the
-    * common UTF-16 exports; exotic legacy encodings (Shift-JIS, ...) still
-    * fall through to Latin-1 — documented divergence, SURVEY §7.4.
+    * common UTF-16 exports; exotic legacy encodings still fall through to
+    * Latin-1 — a documented divergence from the reference's chardet
+    * (SURVEY §7.4): Shift-JIS multi-byte text and windows-1252 characters
+    * beyond ISO-8859-1 (€, curly quotes → C1 range) decode as deterministic
+    * 1:1 byte→U+00xx mojibake instead of being detected. Nothing is lost
+    * (the mapping is invertible), and the exact behavior is PINNED by the
+    * `q_ingest_txt_encodings` fixture, so any future detector upgrade shows
+    * up as a deliberate oracle change, not drift.
     */
   private[ingest] def decodeFallback(bytes: Array[Byte]): String = {
     def b(i: Int): Int = bytes(i) & 0xff

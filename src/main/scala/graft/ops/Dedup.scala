@@ -75,7 +75,17 @@ object Dedup {
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             numHashes: Int = 16, bands: Int = 4,
-                            shingleSize: Int = 5): DataFrame = {
+                            shingleSize: Int = 5): DataFrame =
+    minhashCandidatePairsH(df, idCol, textCol, numHashes, bands, shingleSize)._1
+
+  /** [[minhashCandidatePairs]] plus the persisted bucket-table handle, so
+    * eager composites can release the cache once their downstream
+    * materializes (the public lazy API leaves it cached by design — its
+    * consumers run later).
+    */
+  private def minhashCandidatePairsH(df: DataFrame, idCol: String, textCol: String,
+                                     numHashes: Int, bands: Int,
+                                     shingleSize: Int): (DataFrame, DataFrame) = {
     // The bucket table feeds BOTH sides of the self-join; without an explicit
     // materialization Spark recomputes the whole signature scan twice (alias
     // differences below the exchange defeat ReuseExchange). It is the small
@@ -83,12 +93,13 @@ object Dedup {
     // per doc, orders of magnitude under the corpus — so persist it.
     val banded = lshBuckets(df, idCol, textCol, numHashes, bands, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val pairs = banded.select(col("band"), col("bkey"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bkey"), col("id").as("id_b")),
         Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+    (pairs, banded)
   }
 
   /** Candidate pairs + exact shingle-set Jaccard, filtered at `threshold`.
@@ -101,16 +112,28 @@ object Dedup {
     */
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                             threshold: Double, numHashes: Int = 16,
-                            bands: Int = 4, shingleSize: Int = 5): DataFrame = {
+                            bands: Int = 4, shingleSize: Int = 5): DataFrame =
+    minhashNearDuplicatesH(df, idCol, textCol, threshold, numHashes, bands,
+      shingleSize)._1
+
+  /** [[minhashNearDuplicates]] plus the persisted intermediates (bucket and
+    * candidate-pair tables), for eager composites to release — see
+    * [[minhashCandidatePairsH]].
+    */
+  private def minhashNearDuplicatesH(df: DataFrame, idCol: String, textCol: String,
+                                     threshold: Double, numHashes: Int,
+                                     bands: Int, shingleSize: Int): (DataFrame, Seq[DataFrame]) = {
+    val (rawPairs, banded) =
+      minhashCandidatePairsH(df, idCol, textCol, numHashes, bands, shingleSize)
     // pairs feed three consumers (id collection + two verify joins)
-    val pairs = minhashCandidatePairs(df, idCol, textCol, numHashes, bands, shingleSize)
+    val pairs = rawPairs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val sets = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .join(candIds, Seq("id"), "leftsemi") // filter BEFORE shingling
       .select(col("id"),
         array_distinct(shingles(col("__text"), shingleSize)).as("sh"))
-    pairs
+    val verified = pairs
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard",
@@ -118,6 +141,7 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), Nums.round6(col("jaccard")).as("jaccard"))
+    (verified, Seq(banded, pairs))
   }
 
   /** SimHash fingerprint as a long (native `graft_simhash` kernel — requires
@@ -309,10 +333,13 @@ object Dedup {
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 16, bands: Int = 4,
                       shingleSize: Int = 5): DataFrame = {
-    val pairs = minhashNearDuplicates(df, idCol, textCol, threshold,
-      numHashes, bands, shingleSize).select("id_a", "id_b")
-    connectedComponents(pairs)
-      .groupBy("component")
+    val (verified, caches) = minhashNearDuplicatesH(df, idCol, textCol,
+      threshold, numHashes, bands, shingleSize)
+    val cc = connectedComponents(verified.select("id_a", "id_b"))
+    // the CC loop materialized (and checkpointed) everything derived from
+    // the pair chain — its caches are dead weight from here on
+    caches.foreach(_.unpersist(blocking = false))
+    cc.groupBy("component")
       .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
   }
 
@@ -324,11 +351,14 @@ object Dedup {
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double, numHashes: Int = 16,
                          bands: Int = 4, shingleSize: Int = 5): DataFrame = {
-    val pairs = minhashNearDuplicates(df, idCol, textCol, threshold,
-      numHashes, bands, shingleSize).select("id_a", "id_b")
-    val losers = connectedComponents(pairs)
+    val (verified, caches) = minhashNearDuplicatesH(df, idCol, textCol,
+      threshold, numHashes, bands, shingleSize)
+    val losers = connectedComponents(verified.select("id_a", "id_b"))
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
+    // the CC loop (eager, checkpointed) was the caches' last consumer — the
+    // anti-join below touches only df and the checkpointed labels
+    caches.foreach(_.unpersist(blocking = false))
     df.join(losers, Seq(idCol), "left_anti")
   }
 

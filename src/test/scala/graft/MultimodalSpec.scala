@@ -121,4 +121,58 @@ class MultimodalSpec extends SparkSpec {
       .select("features").collect()(0).getSeq[Float](0)
     assert(feats.toSeq == Seq(0.0f, 0.5f), s"got $feats")
   }
+
+  test("windowEnergy: exact integer sums consistent with the float RMS") {
+    // silence window: sum_sq 0; constant-192 window: 100 * 64^2 = 409600
+    val samples = Array.fill(100)(128.toByte) ++ Array.fill(100)(192.toByte)
+    val df = Seq((1L, MediaCodecs.encodeWav(samples, 8000))).toDF("media_id", "payload")
+    val rows = Multimodal.windowEnergy(spark, df, k = 2)
+      .orderBy("window").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq((0, 0L, 100L), (1, 409600L, 100L)), s"got $rows")
+    // rms_w = sqrt(sum_sq / (128^2 * n)) reproduces the float path
+    val rms = rows.map { case (_, sq, n) =>
+      math.sqrt(sq.toDouble / (128.0 * 128.0 * n)).toFloat }
+    assert(rms == Seq(0.0f, 0.5f))
+    // non-WAV payloads yield no rows
+    val junk = Seq((2L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    assert(Multimodal.windowEnergy(spark, junk, k = 2).count() == 0)
+  }
+
+  test("AVI round-trip: MJPEG frames decode with dims and near-exact means") {
+    // three solid-color frames; JPEG is lossy but a solid 16x16 decodes to
+    // a near-constant image (DC-only blocks), so means land within ±2
+    val colors = Seq((200, 30, 60), (10, 180, 90), (120, 120, 250))
+    val frames = colors.map { case (r, g, b) =>
+      MediaCodecs.encodeJpeg(16, 16,
+        Array.fill(256)((r.toByte, g.toByte, b.toByte)))
+    }.toArray
+    val avi = MediaCodecs.encodeAviMjpeg(16, 16, frames)
+    val decoded = MediaCodecs.decodeAviFrames(avi).get
+    assert(decoded.map(_._1) == Seq(0, 1, 2))
+    assert(decoded.forall { case (_, i) => i.width == 16 && i.height == 16 })
+    decoded.zip(colors).foreach { case ((_, i), (r, g, b)) =>
+      assert(math.abs(i.meanR - r) <= 2 && math.abs(i.meanG - g) <= 2 &&
+        math.abs(i.meanB - b) <= 2,
+        s"means (${i.meanR},${i.meanG},${i.meanB}) far from ($r,$g,$b)")
+    }
+    // non-AVI RIFF (a WAV) and junk are None, not errors
+    assert(MediaCodecs.decodeAviFrames(
+      MediaCodecs.encodeWav(Array[Byte](1, 2, 3, 4), 8000)).isEmpty)
+    assert(MediaCodecs.decodeAviFrames(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("videoFrames: one row per frame, deterministic frame count from text") {
+    val docs = Seq((1L, "abcdef"), (2L, "xy")).toDF("id", "text")
+    val media = Multimodal.demoAviTable(docs, "id", "text")
+    val rows = Multimodal.videoFrames(spark, media)
+      .orderBy("media_id", "frame_no").collect()
+    // n_frames = 2 + len % 4: "abcdef" -> 4, "xy" -> 4
+    val byMedia = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byMedia == Map(1L -> 4, 2L -> 4))
+    assert(rows.forall(r => r.getInt(2) == 16 && r.getInt(3) == 16))
+    // frame colors vary by (id, frame): distinct means across a media's frames
+    val m1 = rows.filter(_.getLong(0) == 1L).map(r => (r.getDouble(4), r.getDouble(5)))
+    assert(m1.distinct.length == m1.length)
+  }
 }
