@@ -163,14 +163,13 @@ object Queries {
         "b\u00f6m utf8".getBytes(StandardCharsets.UTF_8))
     writeBytes(dir.resolve("utf16le_nobom.txt"),
       "plain utf16le no bom".getBytes(StandardCharsets.UTF_16LE))
-    // Legacy-encoding divergence pins (the reference ships chardet and would
-    // DETECT these; our ladder has no statistical detector, so they fall
-    // through to the Latin-1 floor and decode as deterministic mojibake —
-    // every byte maps 1:1 to its U+00xx code point, nothing is lost, and the
-    // divergence is pinned here + documented in Readers.decodeFallback):
-    //   - Shift-JIS 日本語テキスト (multi-byte sequences are invalid UTF-8)
-    //   - windows-1252 with chars beyond ISO-8859-1 (€ and curly quotes land
-    //     in the C1 control range)
+    // Legacy-encoding pins for the chardet-lite ladder (the reference ships
+    // chardet; Readers.decodeLegacy catches its two most common cases and
+    // this fixture pins the behavior):
+    //   - Shift-JIS 日本語テキスト — C1-range lead bytes + clean strict
+    //     decode → detected, decoded as the original text
+    //   - windows-1252 "sm€rt ..." — € (0x80, invalid Shift-JIS) breaks the
+    //     SJIS attempt, clean cp1252 repertoire → decoded as the original
     writeBytes(dir.resolve("sjis.txt"),
       "日本語テキスト".getBytes(
         java.nio.charset.Charset.forName("Shift_JIS")))
@@ -179,14 +178,6 @@ object Queries {
         java.nio.charset.Charset.forName("windows-1252")))
     dir.toString
   }
-
-  /** What the fallback ladder ACTUALLY yields for the legacy-encoding pins:
-    * the raw bytes read through ISO-8859-1 (1:1 byte → U+00xx). */
-  private def latin1Mojibake(text: String, charset: String): String =
-    new String(text.getBytes(java.nio.charset.Charset.forName(charset)),
-      StandardCharsets.ISO_8859_1)
-
-  private def sqlStringLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   // ------------------------------------------------------- shared SQL pieces
 
@@ -784,10 +775,8 @@ object Queries {
               | UNION ALL SELECT 'w\u00efde utf16le'
               | UNION ALL SELECT 'b\u00f6m utf8'
               | UNION ALL SELECT 'plain utf16le no bom'
-              | UNION ALL SELECT ${sqlStringLit(
-                  latin1Mojibake("\u65e5\u672c\u8a9e\u30c6\u30ad\u30b9\u30c8", "Shift_JIS"))}
-              | UNION ALL SELECT ${sqlStringLit(
-                  latin1Mojibake("sm\u20acrt \u201cquotes\u201d caf\u00e9", "windows-1252"))}
+              | UNION ALL SELECT '\u65e5\u672c\u8a9e\u30c6\u30ad\u30b9\u30c8'
+              | UNION ALL SELECT 'sm\u20acrt \u201cquotes\u201d caf\u00e9'
               |) ORDER BY content""".stripMargin)),
 
     // ------------------------------------------------ F1/F2 extraction

@@ -79,14 +79,23 @@ object Readers {
     * `app.py:34-56`): BOM sniff (UTF-8 / UTF-16 LE/BE) → strict UTF-8
     * validity scan → a NUL-density heuristic for BOM-less UTF-16 (ASCII-range
     * text in UTF-16 is ~half zero bytes; their parity gives the endianness)
-    * → ISO-8859-1, which never fails. Covers the reference corpus plus the
-    * common UTF-16 exports; exotic legacy encodings still fall through to
-    * Latin-1 — a documented divergence from the reference's chardet
-    * (SURVEY §7.4): Shift-JIS multi-byte text and windows-1252 characters
-    * beyond ISO-8859-1 (€, curly quotes → C1 range) decode as deterministic
-    * 1:1 byte→U+00xx mojibake instead of being detected. Nothing is lost
-    * (the mapping is invertible), and the exact behavior is PINNED by the
-    * `q_ingest_txt_encodings` fixture, so any future detector upgrade shows
+    * → a chardet-lite legacy ladder → ISO-8859-1, which never fails.
+    *
+    * The chardet-lite step (stands in for the reference's statistical
+    * chardet on its two most common catches):
+    *   - Shift-JIS: tried only when the stream contains lead bytes in
+    *     0x81–0x9F (C1 controls — essentially absent from real Latin-1
+    *     text, mandatory in real JIS X 0208 text) AND the whole stream
+    *     strict-decodes as Shift_JIS;
+    *   - windows-1252: when the stream has bytes in 0x80–0x9F (where
+    *     cp1252 places €, curly quotes, dashes) and none of them is one of
+    *     cp1252's five undefined slots. For streams without 0x80–0x9F
+    *     bytes cp1252 and Latin-1 agree, so the Latin-1 floor is used.
+    *
+    * Residual divergence from chardet (SURVEY §7.4): other legacy families
+    * (Big5, GBK, KOI8-R, ...) fall through — Big5 can even strict-decode as
+    * Shift-JIS mojibake. All ladder behavior is PINNED by the
+    * `q_ingest_txt_encodings` fixture, so a future detector upgrade shows
     * up as a deliberate oracle change, not drift.
     */
   private[ingest] def decodeFallback(bytes: Array[Byte]): String = {
@@ -112,8 +121,35 @@ object Readers {
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
     try utf8.decode(java.nio.ByteBuffer.wrap(bytes)).toString
     catch { case _: java.nio.charset.CharacterCodingException =>
-      new String(bytes, StandardCharsets.ISO_8859_1)
+      decodeLegacy(bytes)
     }
+  }
+
+  /** The chardet-lite legacy ladder behind [[decodeFallback]] (invalid-UTF-8
+    * streams only): strict Shift-JIS behind its C1-lead-byte gate →
+    * windows-1252 when its 0x80–0x9F repertoire is used cleanly → the
+    * ISO-8859-1 floor (never fails; 1:1 byte → U+00xx).
+    */
+  private def decodeLegacy(bytes: Array[Byte]): String = {
+    def u(b: Byte): Int = b & 0xff
+    val hasC1Lead = bytes.exists(b => u(b) >= 0x81 && u(b) <= 0x9f)
+    if (hasC1Lead) {
+      val sjis = java.nio.charset.Charset.forName("Shift_JIS").newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      try return sjis.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      catch { case _: java.nio.charset.CharacterCodingException => () }
+    }
+    // cp1252 ≠ Latin-1 only on 0x80–0x9F; five of those slots are undefined
+    // (0x81 0x8d 0x8f 0x90 0x9d) — their presence means binary-ish data, not
+    // cp1252 text
+    val cp1252Specific = bytes.exists(b => u(b) >= 0x80 && u(b) <= 0x9f)
+    val cp1252Undefined = bytes.exists(b =>
+      u(b) == 0x81 || u(b) == 0x8d || u(b) == 0x8f || u(b) == 0x90 || u(b) == 0x9d)
+    if (cp1252Specific && !cp1252Undefined)
+      new String(bytes, java.nio.charset.Charset.forName("windows-1252"))
+    else
+      new String(bytes, StandardCharsets.ISO_8859_1)
   }
 
   /** S5 — XML: one record per direct child of the root; attributes become

@@ -24,6 +24,22 @@ class ReadersSpec extends SparkSpec {
     assert(rows.toSeq == Seq("café"))
   }
 
+  test("chardet-lite: Shift-JIS and windows-1252 are detected, junk floors to latin-1") {
+    val dir = tmpDir("enc_")
+    write(dir, "sjis.txt",
+      "日本語テキスト".getBytes(java.nio.charset.Charset.forName("Shift_JIS")))
+    write(dir, "cp1252.txt",
+      "sm€rt “quotes”".getBytes(java.nio.charset.Charset.forName("windows-1252")))
+    // 0x8d is undefined in cp1252 AND an SJIS lead with an invalid trail —
+    // floors to the 1:1 latin-1 mapping
+    write(dir, "junk.txt", Array[Byte]('j'.toByte, 0x8d.toByte, 0x20.toByte, 'k'.toByte))
+    val rows = Readers.txtWithCharsetFallback(spark, dir)
+      .collect().map(_.getString(0)).toSet
+    assert(rows.contains("日本語テキスト"), s"sjis not detected: $rows")
+    assert(rows.contains("sm€rt “quotes”"), s"cp1252 not detected: $rows")
+    assert(rows.contains("j k"), s"junk not floored to latin-1: $rows")
+  }
+
   test("txtSafe: good file has null _ingest_error; rows survive") {
     val dir = tmpDir("txt_")
     write(dir, "ok.txt", "hello\nworld\n".getBytes(StandardCharsets.UTF_8))
