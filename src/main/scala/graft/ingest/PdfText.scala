@@ -35,14 +35,18 @@ object PdfText {
     }
 
   /** Page-tree-ordered per-page texts, or None when the structure doesn't
-    * parse (encrypted, exotic xref, object streams...).
+    * parse (encrypted, exotic layouts...). Objects living inside PDF 1.5
+    * `/ObjStm` object streams are surfaced by [[objStmObjects]] first, so
+    * modern writers' compressed catalogs/page trees walk normally.
     * ISO-8859-1 is byte-bijective, so regex-captured object bodies convert
     * back to the exact original bytes for stream decoding.
     */
   private def pageTreeTexts(bytes: Array[Byte]): Option[Seq[String]] = {
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
     val objRe = """(?s)(\d+)\s+0\s+obj\b(.*?)\bendobj""".r
-    val objs: Map[Int, String] =
+    // direct object definitions win over object-stream copies (the spec
+    // forbids the conflict, but be deterministic about it)
+    val objs: Map[Int, String] = objStmObjects(bytes) ++
       objRe.findAllMatchIn(s).map(m => m.group(1).toInt -> m.group(2)).toMap
     if (objs.isEmpty) return None
     val refRe = """(\d+)\s+0\s+R""".r
@@ -86,10 +90,42 @@ object PdfText {
     })
   }
 
-  private case class Stream(data: Array[Byte], flate: Boolean)
+  private case class Stream(data: Array[Byte], flate: Boolean, dict: String)
 
-  /** Locate `stream ... endstream` blocks and whether the preceding dict
-    * mentions FlateDecode.
+  /** Objects stored INSIDE `/Type /ObjStm` compressed object streams
+    * (PDF 1.5+ — where modern writers put the catalog / page-tree dicts,
+    * which the top-level `N 0 obj` regex cannot see). Layout per spec
+    * (ISO 32000 §7.5.7): the decoded stream opens with `/N` pairs of
+    * `objnum offset`, then each object's body starts at `/First + offset`
+    * (no obj/endobj wrappers; ObjStm entries cannot themselves contain
+    * streams, so body slicing by the next offset is exact).
+    */
+  private def objStmObjects(bytes: Array[Byte]): Map[Int, String] =
+    findStreams(bytes).filter(_.dict.contains("/ObjStm")).flatMap { st =>
+      try {
+        val text = new String(if (st.flate) inflate(st.data) else st.data,
+          StandardCharsets.ISO_8859_1)
+        val nOpt = """/N\s+(\d+)""".r.findFirstMatchIn(st.dict).map(_.group(1).toInt)
+        val firstOpt = """/First\s+(\d+)""".r.findFirstMatchIn(st.dict).map(_.group(1).toInt)
+        (nOpt, firstOpt) match {
+          case (Some(n), Some(first)) if first <= text.length =>
+            val pairs = text.substring(0, first).trim.split("\\s+")
+              .filter(_.nonEmpty).grouped(2)
+              .collect { case Array(a, b) => (a.toInt, b.toInt) }
+              .toSeq.take(n)
+            pairs.zipWithIndex.map { case ((num, off), i) =>
+              val end =
+                if (i + 1 < pairs.length) first + pairs(i + 1)._2 else text.length
+              num -> text.substring(math.min(first + off, text.length),
+                math.min(math.max(end, first + off), text.length))
+            }
+          case _ => Seq.empty
+        }
+      } catch { case _: Exception => Seq.empty }
+    }.toMap
+
+  /** Locate `stream ... endstream` blocks, whether the preceding dict
+    * mentions FlateDecode, and the dict text itself.
     */
   private def findStreams(bytes: Array[Byte]): Seq[Stream] = {
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
@@ -104,7 +140,7 @@ object PdfText {
       val end = s.indexOf("endstream", dataStart)
       if (end < 0) return out.toSeq
       val data = bytes.slice(dataStart, end)
-      out += Stream(data, dict.contains("FlateDecode"))
+      out += Stream(data, dict.contains("FlateDecode"), dict)
       idx = s.indexOf("stream", end + 9)
     }
     out.toSeq

@@ -125,6 +125,37 @@ class ReadersSpec extends SparkSpec {
     assert(rows.toSeq == Seq("Compressed text "), s"got ${rows.toSeq}")
   }
 
+  test("pdf: PDF 1.5 object-stream page tree parses (catalog/pages inside ObjStm)") {
+    // two pages whose catalog / page-tree dicts live INSIDE a Flate ObjStm
+    // (the modern-writer layout); content streams stay top-level as the
+    // spec requires. Page order must come from the tree, not stream order.
+    val dir = tmpDir("pdfobjstm_")
+    val bodies = Seq(
+      "<</Type/Catalog/Pages 2 0 R>>",
+      "<</Type/Pages/Kids[3 0 R 4 0 R]/Count 2>>",
+      "<</Type/Page/Parent 2 0 R/Contents 6 0 R>>",
+      "<</Type/Page/Parent 2 0 R/Contents 5 0 R>>")
+    val offsets = bodies.scanLeft(0)(_ + _.length).init
+    val header = offsets.zipWithIndex.map { case (off, i) => s"${i + 1} $off" }.mkString(" ")
+    val first = header.length + 1
+    val objstm = (header + "\n" + bodies.mkString).getBytes(StandardCharsets.ISO_8859_1)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(objstm); deflater.finish()
+    val buf = new Array[Byte](1024)
+    val n = deflater.deflate(buf)
+    val bout = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bout.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w("5 0 obj\n<< /Length 24 >>\nstream\nBT (Second page) Tj ET\nendstream\nendobj\n")
+    w("6 0 obj\n<< /Length 23 >>\nstream\nBT (First page) Tj ET\nendstream\nendobj\n")
+    w(s"7 0 obj\n<< /Type /ObjStm /N 4 /First $first /Length $n /Filter /FlateDecode >>\nstream\n")
+    bout.write(buf, 0, n)
+    w("\nendstream\nendobj\n%%EOF\n")
+    write(dir, "objstm.pdf", bout.toByteArray)
+    val rows = Readers.pdf(spark, dir).collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("First page ", "Second page "), s"got ${rows.toSeq}")
+  }
+
   test("json: a malformed file flags _corrupt_record without failing the batch") {
     val dir = tmpDir("badjson_")
     write(dir, "good.json", "[{\"a\": 1}]".getBytes(StandardCharsets.UTF_8))
