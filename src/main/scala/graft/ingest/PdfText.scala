@@ -8,9 +8,12 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Handles the common case: page content streams stored raw or
   * FlateDecode-compressed, text shown with `Tj` / `TJ` / `'` operators using
-  * literal `(...)` or hex `<...>` strings, standard encodings. This matches
-  * the fidelity class of the reference's PyPDF2 extraction (`app.py:186-192`)
-  * — best-effort, garbage-in-garbage-out on scanned/CID-font PDFs.
+  * literal `(...)` or hex `<...>` strings, standard encodings; PDF 1.5
+  * object streams (`/ObjStm`) for the structural dicts; and embedded-font
+  * `/ToUnicode` CMaps (bfchar/bfrange), so CID/subset-font hex text maps to
+  * real characters. This matches the fidelity class of the reference's
+  * PyPDF2 extraction (`app.py:186-192`) — best-effort,
+  * garbage-in-garbage-out on scanned PDFs and fonts shipping no ToUnicode.
   *
   * Page splitting: the real page tree is walked — Catalog → /Pages →
   * /Kids (depth-first, the PDF page order) → each /Page's /Contents
@@ -81,14 +84,144 @@ object PdfText {
           .orElse("""/Contents\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(body)
             .map(m => Seq(m.group(1).toInt)))
           .getOrElse(Seq.empty)
+      val fonts = pageFonts(body, objs)
       val text = contentRefs.flatMap(objs.get).flatMap { cBody =>
         findStreams(cBody.getBytes(StandardCharsets.ISO_8859_1)).map { st =>
-          extractTextOps(if (st.flate) inflate(st.data) else st.data)
+          extractTextOps(if (st.flate) inflate(st.data) else st.data, fonts)
         }
       }.mkString
       if (text.trim.nonEmpty) Some(text) else None
     })
   }
+
+  // ------------------------------------------------- ToUnicode CMap support
+
+  /** A font's ToUnicode character map: source code width in bytes and the
+    * code → unicode-string mapping (targets are UTF-16BE per the CMap spec;
+    * multi-char targets — ligatures — are legal).
+    */
+  private case class UniMap(codeBytes: Int, map: Map[Int, String])
+
+  /** The page's font-name → ToUnicode map table, resolved through
+    * `/Resources → /Font → <name> → /ToUnicode` (dicts may be inline or
+    * refs). Fonts without a ToUnicode CMap (standard-encoding fonts) are
+    * absent — their strings pass through byte-wise, the pre-CMap behavior.
+    */
+  private def pageFonts(pageBody: String, objs: Map[Int, String]): Map[String, UniMap] = {
+    def deref(body: String, key: String): Option[String] =
+      (key + """\s+(\d+)\s+0\s+R""").r.findFirstMatchIn(body)
+        .flatMap(m => objs.get(m.group(1).toInt))
+        .orElse(balancedDictAfter(body, key))
+    (for {
+      res <- deref(pageBody, "/Resources").toSeq
+      fontDict <- deref(res, "/Font").toSeq
+      m <- """/(\w+)\s+(\d+)\s+0\s+R""".r.findAllMatchIn(fontDict)
+      fontBody <- objs.get(m.group(2).toInt)
+      tuRef <- """/ToUnicode\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(fontBody)
+      tuBody <- objs.get(tuRef.group(1).toInt)
+      st <- findStreams(tuBody.getBytes(StandardCharsets.ISO_8859_1)).headOption
+      cm <- parseToUnicode(new String(
+        if (st.flate) inflate(st.data) else st.data, StandardCharsets.ISO_8859_1))
+    } yield m.group(1) -> cm).toMap
+  }
+
+  /** The balanced `<< ... >>` dict right after `key`, handling nesting. */
+  private def balancedDictAfter(body: String, key: String): Option[String] = {
+    val k = body.indexOf(key)
+    if (k < 0) return None
+    val start = body.indexOf("<<", k + key.length)
+    if (start < 0) return None
+    var i = start
+    var depth = 0
+    while (i + 1 < body.length) {
+      if (body.startsWith("<<", i)) { depth += 1; i += 2 }
+      else if (body.startsWith(">>", i)) {
+        depth -= 1; i += 2
+        if (depth == 0) return Some(body.substring(start, i))
+      }
+      else i += 1
+    }
+    None
+  }
+
+  /** Parse a ToUnicode CMap's `beginbfchar`/`beginbfrange` sections.
+    * bfrange supports both the increment form (`<lo> <hi> <dstStart>`) and
+    * the array form (`<lo> <hi> [<d0> <d1> ...]`).
+    */
+  private def parseToUnicode(text: String): Option[UniMap] = {
+    val m = scala.collection.mutable.Map[Int, String]()
+    var codeBytes = 2
+    def utf16(hex: String): String =
+      try new String(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+        StandardCharsets.UTF_16BE)
+      catch { case _: Exception => "" }
+    val hexTok = """<([0-9A-Fa-f]+)>|\[|\]""".r
+    for (sec <- """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(text)) {
+      val toks = """<([0-9A-Fa-f]+)>""".r.findAllMatchIn(sec.group(1))
+        .map(_.group(1)).toSeq
+      toks.grouped(2).foreach {
+        case Seq(src, dst) =>
+          codeBytes = math.max(1, src.length / 2)
+          m(Integer.parseInt(src, 16)) = utf16(dst)
+        case _ => ()
+      }
+    }
+    for (sec <- """(?s)beginbfrange(.*?)endbfrange""".r.findAllMatchIn(text)) {
+      val toks = hexTok.findAllMatchIn(sec.group(1)).map(_.matched).toSeq
+      var i = 0
+      def hexAt(j: Int): Option[String] =
+        if (j < toks.length && toks(j).startsWith("<")) Some(toks(j).drop(1).dropRight(1))
+        else None
+      while (i < toks.length) {
+        (hexAt(i), hexAt(i + 1)) match {
+          case (Some(lo), Some(hi)) =>
+            codeBytes = math.max(1, lo.length / 2)
+            val (loI, hiI) = (Integer.parseInt(lo, 16), Integer.parseInt(hi, 16))
+            if (i + 2 < toks.length && toks(i + 2) == "[") {
+              // array form: one target per code
+              var j = i + 3
+              var code = loI
+              while (j < toks.length && toks(j) != "]") {
+                hexAt(j).foreach { d => m(code) = utf16(d); code += 1 }
+                j += 1
+              }
+              i = j + 1
+            } else {
+              // increment form: BMP targets step by one
+              hexAt(i + 2).foreach { d =>
+                val dstI = Integer.parseInt(d, 16)
+                if (d.length <= 4) {
+                  var c = loI
+                  while (c <= hiI) { m(c) = (dstI + (c - loI)).toChar.toString; c += 1 }
+                } else m(loI) = utf16(d) // rare multi-char start: map lo only
+              }
+              i += 3
+            }
+          case _ => i = toks.length
+        }
+      }
+    }
+    if (m.isEmpty) None else Some(UniMap(codeBytes, m.toMap))
+  }
+
+  /** Map a raw byte-wise string (each char = one source byte) through a
+    * font's ToUnicode table. 2-byte codes consume char pairs; unmapped
+    * 2-byte codes vanish (the PyPDF2-class convention), unmapped single
+    * bytes pass through.
+    */
+  private def applyUniMap(raw: String, cm: UniMap): String =
+    if (cm.codeBytes <= 1)
+      raw.map(c => cm.map.getOrElse(c.toInt, c.toString)).mkString
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i + 1 < raw.length) {
+        val code = ((raw.charAt(i) & 0xff) << 8) | (raw.charAt(i + 1) & 0xff)
+        cm.map.get(code).foreach(sb.append)
+        i += 2
+      }
+      sb.toString
+    }
 
   private case class Stream(data: Array[Byte], flate: Boolean, dict: String)
 
@@ -161,12 +294,23 @@ object PdfText {
     finally inf.end()
   }
 
-  /** Walk a content stream, collecting shown text from Tj / ' / TJ. */
-  private def extractTextOps(data: Array[Byte]): String = {
+  /** Walk a content stream, collecting shown text from Tj / ' / TJ.
+    * Tracks the current font via `/Name size Tf`; when the selected font
+    * has a ToUnicode CMap (`fonts`), shown strings are mapped through it —
+    * CID/subset-font hex codes come out as real text instead of garbage.
+    */
+  private def extractTextOps(data: Array[Byte],
+                             fonts: Map[String, UniMap] = Map.empty): String = {
     val s = new String(data, StandardCharsets.ISO_8859_1)
     val sb = new StringBuilder
     var i = 0
     var lastStrings = ArrayBuffer[String]() // strings since last operator
+    var current: Option[UniMap] = None
+    val tfRe = """/(\w+)\s+[\d.]+\s+Tf""".r
+    def show(): String = {
+      val raw = lastStrings.mkString
+      current.map(applyUniMap(raw, _)).getOrElse(raw)
+    }
     while (i < s.length) {
       s.charAt(i) match {
         case '(' =>
@@ -175,12 +319,19 @@ object PdfText {
         case '<' if i + 1 < s.length && s.charAt(i + 1) != '<' =>
           val (str, next) = readHex(s, i)
           lastStrings += str; i = next
+        case '/' if fonts.nonEmpty =>
+          // a font-select op fits well inside 64 chars — bound the probe so
+          // name-heavy streams stay O(n)
+          tfRe.findPrefixMatchOf(s.substring(i, math.min(i + 64, s.length))) match {
+            case Some(m) => current = fonts.get(m.group(1)); i += m.end
+            case None => i += 1
+          }
         case 'T' if i + 1 < s.length && (s.charAt(i + 1) == 'j' || s.charAt(i + 1) == 'J') =>
-          sb.append(lastStrings.mkString)
+          sb.append(show())
           if (s.charAt(i + 1) == 'J') sb.append(' ') else sb.append(' ')
           lastStrings.clear(); i += 2
         case '\'' =>
-          sb.append(lastStrings.mkString).append('\n'); lastStrings.clear(); i += 1
+          sb.append(show()).append('\n'); lastStrings.clear(); i += 1
         case 'B' if s.startsWith("BT", i) => lastStrings.clear(); i += 2
         case 'E' if s.startsWith("ET", i) => lastStrings.clear(); i += 2
         case _ => i += 1

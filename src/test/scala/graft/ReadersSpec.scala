@@ -156,6 +156,41 @@ class ReadersSpec extends SparkSpec {
     assert(rows.toSeq == Seq("First page ", "Second page "), s"got ${rows.toSeq}")
   }
 
+  test("pdf: ToUnicode CMap maps CID-font hex text to real characters") {
+    // subset font: code 0001->H 0002->e (bfchar), 0003..0005 -> l,m,n via
+    // the bfrange increment form; without the CMap the hex decodes to
+    // control-char garbage
+    val dir = tmpDir("pdfcid_")
+    val cmap =
+      """/CIDInit /ProcSet findresource begin begincmap
+        |2 beginbfchar
+        |<0001> <0048>
+        |<0002> <0065>
+        |endbfchar
+        |1 beginbfrange
+        |<0003> <0005> <006C>
+        |endbfrange
+        |endcmap end""".stripMargin
+    val pdf =
+      s"""%PDF-1.4
+         |1 0 obj <</Type/Catalog/Pages 2 0 R>> endobj
+         |2 0 obj <</Type/Pages/Kids[3 0 R]/Count 1>> endobj
+         |3 0 obj <</Type/Page/Parent 2 0 R/Contents 5 0 R/Resources<</Font<</F1 8 0 R>>>>>> endobj
+         |5 0 obj <</Length 44>> stream
+         |BT /F1 12 Tf <00010002000300030006> Tj ET
+         |endstream endobj
+         |8 0 obj <</Type/Font/Subtype/Type0/BaseFont/Fake/ToUnicode 9 0 R>> endobj
+         |9 0 obj <</Length ${cmap.length}>> stream
+         |$cmap
+         |endstream endobj
+         |%%EOF
+         |""".stripMargin
+    write(dir, "cid.pdf", pdf.getBytes(StandardCharsets.ISO_8859_1))
+    val rows = Readers.pdf(spark, dir).collect().map(_.getString(0))
+    // <0006> is unmapped -> vanishes (PyPDF2-class convention): "Hell "
+    assert(rows.toSeq == Seq("Hell "), s"got ${rows.toSeq}")
+  }
+
   test("json: a malformed file flags _corrupt_record without failing the batch") {
     val dir = tmpDir("badjson_")
     write(dir, "good.json", "[{\"a\": 1}]".getBytes(StandardCharsets.UTF_8))
