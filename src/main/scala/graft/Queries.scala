@@ -1730,6 +1730,46 @@ object Queries {
              |SELECT lang, doc_id FROM ranked WHERE rn <= 5
              |ORDER BY lang, doc_id""".stripMargin)),
 
+    // Training-sequence packing accounting (concat-and-chunk): per language,
+    // docs in md5(id) order, token stream cut every 512 tokens, doc belongs
+    // to the sequence its first token lands in. Exact integer arithmetic —
+    // the oracle replays the whole manifest.
+    ("q_pack_sequences",
+      (s: SparkSession, d: String) =>
+        Curate.packSequences(tbl(s, d, "documents"), "doc_id", "text",
+          "lang", seqLen = 512L)
+          .orderBy("stratum", "seq_no"),
+      Some(s"""WITH t AS (
+              |  SELECT lang AS stratum, doc_id AS id, len($dTokens)::BIGINT AS nt
+              |  FROM documents),
+              |c AS (
+              |  SELECT stratum, id, nt,
+              |    sum(nt) OVER (PARTITION BY stratum
+              |      ORDER BY md5(id::VARCHAR), id) - nt AS strt
+              |  FROM t)
+              |SELECT stratum, (strt // 512)::BIGINT AS seq_no,
+              |  count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens,
+              |  min(id) AS min_id, max(id) AS max_id
+              |FROM c GROUP BY stratum, seq_no
+              |ORDER BY stratum, seq_no""".stripMargin)),
+
+    // Deterministic weighted mixture sampling: keep a row iff the fraction
+    // encoded by md5(id)'s first 7 hex digits is below its source's weight
+    // — reproducible, map-only, nested across weight sweeps.
+    ("q_sample_mixture",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.sampleMixture(tbl(s, d, "documents"), "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs FROM documents
+             |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT
+             |    / 268435456.0
+             |  < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+             |    WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1 ELSE 0.0 END
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
     // The composite the curation operators exist for: quality gate →
     // near-dup removal (MinHash + connected components) → per-language
     // token budget → per-language summary. The oracle replays the ENTIRE

@@ -61,4 +61,30 @@ object Curate {
     curated.groupBy(col(langCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("q_n_tokens").cast("long")).as("n_tokens"))
+
+  /** Training-sequence packing accounting (concat-and-chunk, the standard
+    * LLM-pretraining layout): within each `partitionCol` stratum, documents
+    * are laid out in deterministic md5(id) order and the token stream is cut
+    * every `seqLen` tokens; a document belongs to the sequence its FIRST
+    * token lands in. Returns one row per sequence: doc count, token count,
+    * and first/last doc id — the shard manifest a packing job would emit.
+    *
+    * Shape: one shuffle on the stratum key, a streaming running-sum window
+    * (no full sort — rank within partitions), one hash aggregate. The
+    * stratum key bounds window parallelism exactly like `sampleStratified`;
+    * at 100 TB the stratum is (language × shard), never a global window.
+    * All arithmetic is exact integers — the DuckDB oracle replays it.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    partitionCol: String, seqLen: Long): DataFrame = {
+    val w = Window.partitionBy(col(partitionCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val nt = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    df.select(col(partitionCol), col(idCol), nt.as("nt"))
+      .withColumn("__start", sum(col("nt")).over(w) - col("nt")) // exclusive cumsum
+      .withColumn("seq_no", floor(col("__start") / lit(seqLen)).cast("long"))
+      .groupBy(col(partitionCol).as("stratum"), col("seq_no"))
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+  }
 }

@@ -204,6 +204,24 @@ object TextAnalysis {
       .drop("__rn")
   }
 
+  /** Deterministic weighted mixture sampling — "x % of source A, y % of
+    * source B" training-mix control: a row survives iff the fraction encoded
+    * by the first 7 hex digits of md5(id) is below its source's weight.
+    * Reproducible across runs, engines, and cluster layouts (no RNG state),
+    * map-only (codegen'd expression, no shuffle), and rescalable: raising a
+    * weight strictly grows the sample (nested samples, the property
+    * mixture-tuning sweeps rely on).
+    */
+  def sampleMixture(df: DataFrame, idCol: String, sourceCol: String,
+                    weights: Map[String, Double]): DataFrame = {
+    val frac = conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
+      .cast("double") / lit((1L << 28).toDouble) // 7 hex digits = 28 bits
+    val weight = weights.foldLeft(lit(0.0)) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src, lit(w)).otherwise(acc)
+    }
+    df.filter(frac < weight)
+  }
+
   /** Repetition signals for training-data filtering (the Gopher-rule family,
     * Rae et al. 2021 §A1.1): per document,
     *   - `dup_line_frac`  — fraction of non-empty trimmed lines that are

@@ -47,4 +47,25 @@ class CurateSpec extends SparkSpec {
     assert(byLang.getOrElse("fr", 0L) == 1L, s"got $byLang")
     assert(byLang.getOrElse("en", 0L) == 1L, s"got $byLang")
   }
+
+  test("packSequences: concat-and-chunk manifest, doc attributed to its start chunk") {
+    import spark.implicits._
+    // one stratum, 4 docs of 3 tokens each in known md5 order; seqLen=5:
+    // starts are 0,3,6,9 → seq_no 0,0,1,1
+    val df = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i"), (4L, "j k l"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val out = Curate.packSequences(df, "doc_id", "text", "lang", seqLen = 5L)
+      .orderBy("seq_no").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // 2 sequences, 2 docs and 6 tokens each, regardless of which ids md5
+    // puts first (starts depend only on the 3-token sizes)
+    assert(out == Seq((0L, 2L, 6L), (1L, 2L, 6L)), s"got $out")
+    // a doc longer than seqLen lands in ONE chunk (its start) and carries
+    // its full token count
+    val long = Seq((1L, ("x " * 12).trim)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val lout = Curate.packSequences(long, "doc_id", "text", "lang", seqLen = 5L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(lout == Seq((0L, 1L, 12L)), s"got $lout")
+  }
 }

@@ -114,4 +114,22 @@ class TextAnalysisSpec extends SparkSpec {
     val tiny = TextAnalysis.sampleStratified(rows.filter(col("id") < 2), "id", "s", 4)
     assert(tiny.count() == 2)
   }
+
+  test("sampleMixture: weight 1 keeps all, absent source keeps none, samples nest") {
+    val rows = (0L until 200L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val all = TextAnalysis.sampleMixture(rows, "id", "src", Map("src0" -> 1.0))
+      .collect().map(_.getLong(0)).toSet
+    assert(all == (0L until 200L by 4).toSet, "weight 1.0 keeps the whole source")
+    assert(!all.exists(_ % 4 != 0), "unweighted sources keep nothing")
+    val half = TextAnalysis.sampleMixture(rows, "id", "src", Map("src1" -> 0.5))
+      .collect().map(_.getLong(0)).toSet
+    val quarter = TextAnalysis.sampleMixture(rows, "id", "src", Map("src1" -> 0.25))
+      .collect().map(_.getLong(0)).toSet
+    assert(quarter.subsetOf(half), "raising a weight must strictly grow the sample")
+    assert(half.nonEmpty && half.size < 50, s"~half of 50 expected, got ${half.size}")
+    // reproducible
+    val again = TextAnalysis.sampleMixture(rows, "id", "src", Map("src1" -> 0.5))
+      .collect().map(_.getLong(0)).toSet
+    assert(again == half)
+  }
 }
