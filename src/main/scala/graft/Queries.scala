@@ -1317,6 +1317,69 @@ object Queries {
               |FROM pairs JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Line-level boilerplate removal (C4/RefinedWeb step): lines occurring
+    // in >10 distinct docs (the synthetic header/footer here, plus any
+    // heavily-duplicated body) are dropped and docs reassembled in original
+    // line order. Exact string keys — the whole operator replays in SQL.
+    ("q_drop_boilerplate",
+      (s: SparkSession, d: String) =>
+        Dedup.dropBoilerplateLines(
+          tbl(s, d, "documents").filter(col("doc_id") < 300)
+            .withColumn("text", concat(lit("subscribe now\n"), col("text"),
+              lit("\nall rights reserved"))),
+          "doc_id", "text", maxDocs = 10)
+          .orderBy("doc_id"),
+      Some("""WITH c AS (
+             |  SELECT doc_id, 'subscribe now' || chr(10) || text || chr(10) ||
+             |    'all rights reserved' AS content
+             |  FROM documents WHERE doc_id < 300),
+             |l AS (
+             |  SELECT doc_id, unnest(ls) AS line, unnest(range(0, len(ls))) AS pos
+             |  FROM (SELECT doc_id, string_split(content, chr(10)) AS ls FROM c)),
+             |b AS (SELECT line FROM l GROUP BY line
+             |  HAVING count(DISTINCT doc_id) > 10),
+             |k AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM b))
+             |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+             |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark decontamination: train docs (id >= 20) sharing at least one
+    // 5-token shingle with the "benchmark" (id < 20) — the overlap audit
+    // every pretraining pipeline runs. Broadcast eval shingles + equi-join.
+    ("q_decontaminate",
+      (s: SparkSession, d: String) => {
+        val docs = tbl(s, d, "documents")
+        Dedup.contaminatedIds(
+          docs.filter(col("doc_id") >= 20),
+          docs.filter(col("doc_id") < 20),
+          "doc_id", "text", n = 5)
+          .orderBy("id")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT DISTINCT unnest(list_distinct(${dShingles(dTokensCase, 5)})) AS sh
+              |  FROM documents WHERE doc_id < 20),
+              |tr AS (
+              |  SELECT doc_id, unnest(list_distinct(${dShingles(dTokensCase, 5)})) AS sh
+              |  FROM documents WHERE doc_id >= 20)
+              |SELECT doc_id AS id, count(*) AS n_shared
+              |FROM tr JOIN ev USING (sh)
+              |GROUP BY doc_id ORDER BY id""".stripMargin)),
+
+    // Corpus-commonness scoring (CCNet-family dial, engine-exact): per doc,
+    // the integer sum of its tokens' corpus frequencies + token count.
+    ("q_corpus_freq",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.withCorpusFrequency(tbl(s, d, "documents"), "doc_id", "text")
+          .orderBy("id"),
+      Some(s"""WITH freq AS (
+              |  SELECT token, count(*) AS freq FROM (
+              |    SELECT unnest($dTokens) AS token FROM documents)
+              |  GROUP BY token),
+              |tok AS (SELECT doc_id, unnest($dTokens) AS token FROM documents)
+              |SELECT doc_id AS id, sum(freq)::BIGINT AS sum_freq,
+              |  count(*) AS n_tokens
+              |FROM tok JOIN freq USING (token)
+              |GROUP BY doc_id ORDER BY id""".stripMargin)),
+
     // ------------------------------------------------ similarity search
 
     ("q_ann_topk",

@@ -362,6 +362,60 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Line-level boilerplate removal (the C4/RefinedWeb-family step): drop
+    * every LINE that occurs in more than `maxDocs` distinct documents
+    * (navigation chrome, cookie banners, boilerplate headers), then
+    * reassemble each document from its surviving lines in original order.
+    * Documents whose every line is boilerplate disappear entirely.
+    *
+    * Shape: explode lines with position → one (line → distinct-doc count)
+    * hash aggregate → anti-join (the boilerplate side is tiny — lines
+    * crossing the threshold — so it broadcasts) → per-doc reassembly via
+    * collect_list + array_sort (bounded by a document's own line count,
+    * never corpus-sized). Exact string keys, so the whole operator replays
+    * in SQL.
+    */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                           maxDocs: Int): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val boiler = lines.groupBy("line")
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") > maxDocs)
+      .select("line")
+    lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("text"))
+      .select(col("id").as(idCol), col("text").as(textCol))
+  }
+
+  /** Benchmark decontamination: training documents sharing at least one
+    * `n`-token shingle with any document of the (small) `eval` set — the
+    * overlap check every serious pretraining pipeline runs before
+    * training/eval splits are trusted. Returns (id, n_shared) with the
+    * count of distinct shared shingles.
+    *
+    * Shape: eval shingles are a tiny table (benchmarks are thousands of
+    * rows, not billions) — broadcast; the corpus side is one explode +
+    * equi-join on the shingle string + per-id count. Nothing quadratic,
+    * nothing driver-bound; the shingle join key is the same md5-portable
+    * machinery as the near-dup stack, so a DuckDB oracle replays it.
+    */
+  def contaminatedIds(train: DataFrame, eval_ : DataFrame, idCol: String,
+                      textCol: String, n: Int = 5): DataFrame = {
+    val evalSh = broadcast(eval_
+      .select(explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+      .distinct())
+    train
+      .select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+      .join(evalSh, "sh")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** N-gram (token shingle) Jaccard similarity for explicit pairs of rows —
     * the exact-verify primitive behind `minhashNearDuplicates`, exposed
     * standalone for pair-scoring use.

@@ -204,6 +204,29 @@ object TextAnalysis {
       .drop("__rn")
   }
 
+  /** Per-document corpus-commonness signal (the CCNet-family quality
+    * dial, kept engine-exact): for each document, the SUM of its tokens'
+    * corpus frequencies plus its token count — rare-vocabulary documents
+    * (gibberish, code soup, exotic boilerplate) score low mean frequency,
+    * common-prose documents score high; the caller thresholds either
+    * tail. Pure integer outputs (sum_freq, n_tokens), so — unlike a
+    * log-perplexity, whose `ln` differs by ulps across libm builds — a SQL
+    * oracle replays it bit-identically; mean = sum_freq / n_tokens is a
+    * post-hoc division.
+    *
+    * Shape: one vocabulary-sized term-frequency aggregate, joined back to
+    * the exploded corpus on the token (both sides shuffle on the token key;
+    * the vocabulary side is the small one), then a per-id sum. Nothing
+    * driver-bound; frequencies come from the corpus itself, one pass.
+    */
+  def withCorpusFrequency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+    val freq = termFrequencies(df, textCol) // (token, freq)
+    toks.join(freq, "token")
+      .groupBy("id")
+      .agg(sum(col("freq")).as("sum_freq"), count(lit(1)).as("n_tokens"))
+  }
+
   /** Deterministic weighted mixture sampling — "x % of source A, y % of
     * source B" training-mix control: a row survives iff the fraction encoded
     * by the first 7 hex digits of md5(id) is below its source's weight.

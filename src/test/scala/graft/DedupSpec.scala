@@ -108,6 +108,35 @@ class DedupSpec extends SparkSpec {
     assert(out == all - 2L, s"expected all but doc 2, got $out")
   }
 
+  test("dropBoilerplateLines: shared lines vanish, order survives, empty docs disappear") {
+    val df = Seq(
+      (1L, "HEADER\nalpha beta\nFOOTER"),
+      (2L, "HEADER\ngamma delta\nFOOTER"),
+      (3L, "HEADER\nepsilon\nFOOTER"),
+      (4L, "HEADER\nFOOTER") // nothing but boilerplate -> disappears
+    ).toDF("id", "text")
+    val out = Dedup.dropBoilerplateLines(df, "id", "text", maxDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(1L -> "alpha beta", 2L -> "gamma delta", 3L -> "epsilon"),
+      s"got $out")
+    // below the threshold nothing is dropped and line order is intact
+    val loose = Dedup.dropBoilerplateLines(df, "id", "text", maxDocs = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(loose(1L) == "HEADER\nalpha beta\nFOOTER")
+  }
+
+  test("contaminatedIds: shared shingles flag, disjoint docs don't") {
+    val eval_ = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val train = Seq(
+      (1L, "prefix words the quick brown fox jumps over something else"),
+      (2L, "completely unrelated text about spark physical plans here")
+    ).toDF("id", "text")
+    val out = Dedup.contaminatedIds(train, eval_, "id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.contains(1L) && out(1L) >= 1, s"doc 1 shares 5-gram: $out")
+    assert(!out.contains(2L), s"doc 2 is clean: $out")
+  }
+
   test("shingles: shorter-than-k doc yields its single whole shingle") {
     val sh = docs.filter(col("id") === 5)
       .select(Dedup.shingles(col("text"), 5).as("sh")).collect()(0).getSeq[String](0)

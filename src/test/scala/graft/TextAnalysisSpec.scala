@@ -115,6 +115,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tiny.count() == 2)
   }
 
+  test("withCorpusFrequency: common-vocab docs outscore rare-vocab docs") {
+    val docs = Seq(
+      (1L, "common common common"),
+      (2L, "common rare"),
+      (3L, "unique1 unique2")
+    ).toDF("doc_id", "t")
+    val rows = TextAnalysis.withCorpusFrequency(docs, "doc_id", "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 'common' freq 4, 'rare'/'unique*' freq 1
+    assert(rows(1L) == ((12L, 3L)), s"got ${rows(1L)}") // 3 tokens x freq 4
+    assert(rows(2L) == ((5L, 2L)), s"got ${rows(2L)}")  // 4 + 1
+    assert(rows(3L) == ((2L, 2L)), s"got ${rows(3L)}")  // 1 + 1
+    // mean frequency orders docs by commonness
+    def mean(p: (Long, Long)) = p._1.toDouble / p._2
+    assert(mean(rows(1L)) > mean(rows(2L)) && mean(rows(2L)) > mean(rows(3L)))
+  }
+
   test("sampleMixture: weight 1 keeps all, absent source keeps none, samples nest") {
     val rows = (0L until 200L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
     val all = TextAnalysis.sampleMixture(rows, "id", "src", Map("src0" -> 1.0))
