@@ -20,11 +20,16 @@ import org.apache.spark.sql.SparkSession
   * single-pass battery cannot tell a regression from noise, the r6 lesson).
   * Spread is measured over the WARM runs only (the first run always pays
   * plan + codegen compile, so including it would flag every query): with
-  * n=3 it is |run3 − run2|. The stdout line stays within the ~2 KB tail
-  * capture, so per-query spreads live in `graft_bench_full.json`; the line
-  * itself carries `n_runs`, the worst warm spread, and the names of
-  * queries whose warm spread exceeds max(25 % of median, 0.25 s) — the set
-  * whose medians deserve skepticism.
+  * n=3 it is |run3 − run2|.
+  *
+  * STDOUT BUDGET: the driver keeps only the LAST 2000 chars of output, and
+  * sbt appends ~80 chars ("[info] " prefix + the "[success] Total time"
+  * line) after ours — so the JSON line must stay ≤ ~1900 chars or its
+  * FRONT gets truncated. At 85 queries a %.3f map alone is ~2040, so the
+  * line carries per-query MEDIANS at %.2f plus `n_runs` only; full
+  * precision, per-query warm spreads, and the noisy set (warm spread >
+  * max(25 % of median, 0.25 s)) live in `graft_bench_full.json` and the
+  * committed BENCH_NOTES.md. Adding queries? Re-check the budget.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -68,23 +73,25 @@ object Bench {
     val noisy = results.collect {
       case (k, med, sp) if sp > math.max(0.25 * med, 0.25) => "\"" + k + "\""
     }
-    def line(fmt: Double => String, withSpread: Boolean): String = {
+    def line(fmt: Double => String, full: Boolean): String = {
       val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      val spread = if (withSpread)
+      val extra = if (full)
         results.map { case (k, _, s) => "\"" + k + "\":" + fmt(s) }
-          .mkString(""","spread":{""", ",", "}")
-      else // ≤8 names so the line stays inside the ~2 KB tail capture
-        s""","spread_max":${fmt(maxSpread)},"noisy":${noisy.take(8).mkString("[", ",", "]")}"""
+          .mkString(""","spread":{""", ",", "}") +
+          s""","spread_max":$maxSpread,"noisy":${noisy.mkString("[", ",", "]")}"""
+      else ""
+      val sf = if (full) sfDir
+        else java.nio.file.Paths.get(sfDir).getFileName.toString
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_runs":$repeat,""" +
-        s""""queries":$qs$spread,"sf":"$sfDir"}"""
+        s""""queries":$qs$extra,"sf":"$sf"}"""
     }
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("graft_bench_full.json"),
-        line(_.toString, withSpread = true).getBytes("UTF-8"))
+        line(_.toString, full = true).getBytes("UTF-8"))
     } catch { case _: Exception => () } // read-only cwd: stdout still has it
-    println(line(v => f"$v%.3f", withSpread = false))
+    println(line(v => f"$v%.2f", full = false))
     spark.stop()
   }
 }
