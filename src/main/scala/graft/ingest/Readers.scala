@@ -98,6 +98,10 @@ object Readers {
     * `q_ingest_txt_encodings` fixture, so a future detector upgrade shows
     * up as a deliberate oracle change, not drift.
     */
+  /** Test accessor for the decode ladder (PropertySpec lives in `graft`). */
+  private[graft] def decodeFallbackForTest(bytes: Array[Byte]): String =
+    decodeFallback(bytes)
+
   private[ingest] def decodeFallback(bytes: Array[Byte]): String = {
     def b(i: Int): Int = bytes(i) & 0xff
     // BOM sniff

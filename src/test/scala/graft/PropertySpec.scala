@@ -107,6 +107,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("lshBucket kernel equals the per-plane when-chain on generated vectors") {
+    // the r7 native kernel must reproduce the pre-r7 formulation bit-for-bit
+    import org.apache.spark.sql.functions.{array, call_function, concat, lit, when}
+    val vecCol = org.apache.spark.sql.functions.col("vec")
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1000, 1000).map(_ / 7.0))
+    val vecs = samples(vecGen, 60).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = vecs.toDF("id", "vec")
+    val planes = graft.ops.Similarity.planeWeights(8, 16)
+    val oldForm = concat((0 until 8).map { p =>
+      val plane = array(planes(p).map(w => lit(w)).toSeq: _*)
+      when(call_function("graft_dot", vecCol.cast("array<double>"), plane) >= 0,
+        lit("1")).otherwise(lit("0"))
+    }: _*)
+    val out = df.select(
+      graft.ops.Similarity.lshBucket(vecCol, 8, 16).as("kernel"),
+      oldForm.as("chain")).collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"kernel ${r.getString(0)} != chain ${r.getString(1)}"))
+  }
+
+  test("wavWindowEnergy is the exact integer form of wavWindowRms") {
+    import graft.functions.MediaCodecs
+    val bufGen = Gen.nonEmptyListOf(Gen.chooseNum(0, 255).map(_.toByte))
+    samples(bufGen, 40).foreach { buf =>
+      val wav = MediaCodecs.encodeWav(buf.toArray, 8000)
+      val k = 1 + buf.length % 4
+      val rms = MediaCodecs.wavWindowRms(wav, k)
+      val energy = MediaCodecs.wavWindowEnergy(wav, k).get
+      assert(energy.length == k && rms.length == k)
+      energy.zip(rms).foreach { case ((sq, n), r) =>
+        val recon =
+          if (n == 0) 0f else math.sqrt(sq.toDouble / (128.0 * 128.0 * n)).toFloat
+        assert(recon == r, s"sq=$sq n=$n recon=$recon rms=$r buf=${buf.take(8)}")
+      }
+      // total samples accounted for exactly once
+      assert(energy.map(_._2).sum == buf.length.toLong)
+    }
+  }
+
+  test("chardet-lite: UTF-8 text always survives; legacy decodes round-trip") {
+    val sjisText = Gen.nonEmptyListOf(Gen.oneOf(
+      "日", "本", "語", "テ", "キ", "ス", "ト", "漢", "字")).map(_.mkString)
+    samples(sjisText, 30).foreach { t =>
+      val bytes = t.getBytes(java.nio.charset.Charset.forName("Shift_JIS"))
+      assert(graft.ingest.Readers.decodeFallbackForTest(bytes) == t,
+        s"sjis round-trip failed for $t")
+    }
+    val asciiGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    samples(asciiGen, 30).foreach { t =>
+      assert(graft.ingest.Readers.decodeFallbackForTest(t.getBytes("UTF-8")) == t)
+    }
+  }
+
   test("WAV codec: encode/decode round-trips on generated sample buffers") {
     import graft.functions.MediaCodecs
     val bufGen = for {
