@@ -102,6 +102,12 @@ object Readers {
   private[graft] def decodeFallbackForTest(bytes: Array[Byte]): String =
     decodeFallback(bytes)
 
+  /** Fuzz accessor: the structured parsers must never throw on junk. */
+  private[graft] def parseForTest(bytes: Array[Byte]): Unit = {
+    parseXmlRecords(bytes)
+    parseDocxParagraphs(bytes)
+  }
+
   private[ingest] def decodeFallback(bytes: Array[Byte]): String = {
     def b(i: Int): Int = bytes(i) & 0xff
     // BOM sniff
@@ -168,7 +174,16 @@ object Readers {
       .select(explode(parse(col("content"))).as("fields"))
   }
 
-  private[ingest] def parseXmlRecords(bytes: Array[Byte]): Seq[Map[String, String]] = {
+  /** A malformed XML file yields zero records instead of throwing inside
+    * the UDF and failing the whole batch (the repo-wide never-fail-the-
+    * batch ingest contract — same ethos as PERMISSIVE json/csv and
+    * `txtSafe`).
+    */
+  private[ingest] def parseXmlRecords(bytes: Array[Byte]): Seq[Map[String, String]] =
+    try parseXmlRecordsStrict(bytes)
+    catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  private def parseXmlRecordsStrict(bytes: Array[Byte]): Seq[Map[String, String]] = {
     val dbf = DocumentBuilderFactory.newInstance()
     dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true) // no XXE
     val doc = dbf.newDocumentBuilder().parse(new ByteArrayInputStream(bytes))
@@ -216,7 +231,14 @@ object Readers {
       .select(explode(parse(col("content"))).as("content"))
   }
 
-  private[ingest] def parseDocxParagraphs(bytes: Array[Byte]): Seq[String] = {
+  /** A malformed DOCX (broken zip / invalid inner XML) yields zero
+    * paragraphs instead of failing the batch — see [[parseXmlRecords]].
+    */
+  private[ingest] def parseDocxParagraphs(bytes: Array[Byte]): Seq[String] =
+    try parseDocxParagraphsStrict(bytes)
+    catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  private def parseDocxParagraphsStrict(bytes: Array[Byte]): Seq[String] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     var entry = zin.getNextEntry
     var docXml: Array[Byte] = null

@@ -160,6 +160,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("no binary decoder throws on arbitrary bytes (fuzz)") {
+    import graft.functions.MediaCodecs
+    val blobGen = Gen.oneOf(
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)),
+      // adversarial: valid magic prefixes + junk tails
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+        .map(t => "RIFF".getBytes("ASCII").toList.map(b => b: Byte) ++ t),
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+        .map(t => "%PDF-1.4\n1 0 obj".getBytes("ASCII").toList.map(b => b: Byte) ++ t),
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+        .map(t => List[Byte]('B', 'M') ++ t))
+    samples(blobGen, 120).foreach { blob =>
+      val bytes = blob.toArray
+      // None/empty/garbage are all acceptable; an exception is not
+      MediaCodecs.decodeWav(bytes)
+      MediaCodecs.decodeBmp(bytes)
+      MediaCodecs.decodeImage(bytes)
+      MediaCodecs.decodeAviFrames(bytes)
+      MediaCodecs.wavWindowEnergy(bytes, 4)
+      MediaCodecs.wavWindowRms(bytes, 4)
+      graft.ingest.PdfText.extractPages(bytes)
+      graft.ingest.Readers.decodeFallbackForTest(bytes)
+      graft.ingest.Readers.parseForTest(bytes)
+    }
+  }
+
   test("WAV codec: encode/decode round-trips on generated sample buffers") {
     import graft.functions.MediaCodecs
     val bufGen = for {
