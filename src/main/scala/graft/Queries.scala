@@ -979,8 +979,10 @@ object Queries {
         // back, so drop it (repeat-run bench hygiene)
         scala.util.Try {
           import scala.jdk.CollectionConverters._
-          Files.walk(Paths.get(corpusDir)).iterator().asScala.toSeq.reverse
+          val walk = Files.walk(Paths.get(corpusDir))
+          try walk.iterator().asScala.toSeq.reverse
             .foreach(p => Files.deleteIfExists(p))
+          finally walk.close() // the stream holds directory fds
         }
         import s.implicits._
         Seq((r.recordCount, r.cleanCount, r.flaggedCount, r.version))
@@ -2060,10 +2062,12 @@ object Queries {
             tbl(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text"),
           k = 4)
           .orderBy("media_id", "window"),
+      // NB the 4s below are the Scala side's k=4; empty-text docs are
+      // filtered because windowEnergy emits no rows when nSamples == 0
       Some("""WITH s AS (
              |  SELECT doc_id, list_transform(string_split(text, ''),
              |    ch -> ascii(ch)) AS bs
-             |  FROM documents WHERE doc_id < 100),
+             |  FROM documents WHERE doc_id < 100 AND len(text) > 0),
              |w AS (SELECT doc_id, bs, unnest(range(0, 4)) AS win FROM s)
              |SELECT doc_id AS media_id, win::INT AS "window",
              |  coalesce(list_sum(list_transform(

@@ -115,7 +115,7 @@ object PdfText {
     (for {
       res <- deref(pageBody, "/Resources").toSeq
       fontDict <- deref(res, "/Font").toSeq
-      m <- """/(\w+)\s+(\d+)\s+0\s+R""".r.findAllMatchIn(fontDict)
+      m <- """/([^\s/<>\[\]()%]+)\s+(\d+)\s+0\s+R""".r.findAllMatchIn(fontDict)
       fontBody <- objs.get(m.group(2).toInt)
       tuRef <- """/ToUnicode\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(fontBody)
       tuBody <- objs.get(tuRef.group(1).toInt)
@@ -150,7 +150,12 @@ object PdfText {
     */
   private def parseToUnicode(text: String): Option[UniMap] = {
     val m = scala.collection.mutable.Map[Int, String]()
-    var codeBytes = 2
+    // the code width comes from the FIRST entry seen (a CMap's codespace
+    // is uniform in practice; last-wins would let a trailing 1-byte bfchar
+    // re-group every 2-byte code)
+    var codeBytes = -1
+    def setWidth(srcHex: String): Unit =
+      if (codeBytes < 0) codeBytes = math.max(1, srcHex.length / 2)
     def utf16(hex: String): String =
       try new String(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
         StandardCharsets.UTF_16BE)
@@ -161,7 +166,7 @@ object PdfText {
         .map(_.group(1)).toSeq
       toks.grouped(2).foreach {
         case Seq(src, dst) =>
-          codeBytes = math.max(1, src.length / 2)
+          setWidth(src)
           m(Integer.parseInt(src, 16)) = utf16(dst)
         case _ => ()
       }
@@ -175,7 +180,7 @@ object PdfText {
       while (i < toks.length) {
         (hexAt(i), hexAt(i + 1)) match {
           case (Some(lo), Some(hi)) =>
-            codeBytes = math.max(1, lo.length / 2)
+            setWidth(lo)
             val (loI, hiI) = (Integer.parseInt(lo, 16), Integer.parseInt(hi, 16))
             if (i + 2 < toks.length && toks(i + 2) == "[") {
               // array form: one target per code
@@ -187,13 +192,16 @@ object PdfText {
               }
               i = j + 1
             } else {
-              // increment form: BMP targets step by one
+              // increment form: BMP targets step by one (entries that would
+              // step past U+FFFF are skipped — toChar would wrap to
+              // unrelated characters; supplementary-plane ranges need the
+              // array form)
               hexAt(i + 2).foreach { d =>
                 val dstI = Integer.parseInt(d, 16)
-                if (d.length <= 4) {
+                if (d.length <= 4 && dstI + (hiI - loI) <= 0xffff) {
                   var c = loI
                   while (c <= hiI) { m(c) = (dstI + (c - loI)).toChar.toString; c += 1 }
-                } else m(loI) = utf16(d) // rare multi-char start: map lo only
+                } else if (d.length > 4) m(loI) = utf16(d) // multi-char start: lo only
               }
               i += 3
             }
@@ -201,7 +209,8 @@ object PdfText {
         }
       }
     }
-    if (m.isEmpty) None else Some(UniMap(codeBytes, m.toMap))
+    if (m.isEmpty) None
+    else Some(UniMap(if (codeBytes < 0) 2 else codeBytes, m.toMap))
   }
 
   /** Map a raw byte-wise string (each char = one source byte) through a
@@ -306,7 +315,10 @@ object PdfText {
     var i = 0
     var lastStrings = ArrayBuffer[String]() // strings since last operator
     var current: Option[UniMap] = None
-    val tfRe = """/(\w+)\s+[\d.]+\s+Tf""".r
+    // PDF name charset is any regular character — font names like
+    // '/TT1.0' or '/C2-0' (macOS Quartz style) must match, else a stale
+    // CMap would keep mangling the next font's strings
+    val tfRe = """/([^\s/<>\[\]()%]+)\s+[\d.]+\s+Tf""".r
     def show(): String = {
       val raw = lastStrings.mkString
       current.map(applyUniMap(raw, _)).getOrElse(raw)

@@ -85,8 +85,10 @@ object Readers {
     * chardet on its two most common catches):
     *   - Shift-JIS: tried only when the stream contains lead bytes in
     *     0x81–0x9F (C1 controls — essentially absent from real Latin-1
-    *     text, mandatory in real JIS X 0208 text) AND the whole stream
-    *     strict-decodes as Shift_JIS;
+    *     text, mandatory in real JIS X 0208 text), at least HALF the
+    *     stream sits in well-formed SJIS multi-byte pairs (so western
+    *     text with occasional cp1252 smart punctuation never trips it),
+    *     AND the whole stream strict-decodes as Shift_JIS;
     *   - windows-1252: when the stream has bytes in 0x80–0x9F (where
     *     cp1252 places €, curly quotes, dashes) and none of them is one of
     *     cp1252's five undefined slots. For streams without 0x80–0x9F
@@ -142,8 +144,14 @@ object Readers {
     */
   private def decodeLegacy(bytes: Array[Byte]): String = {
     def u(b: Byte): Int = b & 0xff
+    // Shift-JIS gate: C1-range lead bytes present AND at least half the
+    // stream sits in multi-byte SJIS pairs. The density test is what keeps
+    // mostly-ASCII cp1252 text safe: "it’s fine" (0x92 + 's') or "Jan–Mar"
+    // (0x96 + 'M') happen to form VALID SJIS pairs, and a
+    // strict-decode-success-only rule would turn them into kanji mojibake
+    // — real JIS X 0208 text is majority multi-byte, western text is not.
     val hasC1Lead = bytes.exists(b => u(b) >= 0x81 && u(b) <= 0x9f)
-    if (hasC1Lead) {
+    if (hasC1Lead && sjisMultibyteDensity(bytes) >= 0.5) {
       val sjis = java.nio.charset.Charset.forName("Shift_JIS").newDecoder()
         .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
         .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
@@ -160,6 +168,27 @@ object Readers {
       new String(bytes, java.nio.charset.Charset.forName("windows-1252"))
     else
       new String(bytes, StandardCharsets.ISO_8859_1)
+  }
+
+  /** Fraction of the stream belonging to well-formed Shift-JIS multi-byte
+    * pairs (lead 0x81–0x9F / 0xE0–0xFC, trail 0x40–0x7E / 0x80–0xFC).
+    */
+  private def sjisMultibyteDensity(bytes: Array[Byte]): Double = {
+    if (bytes.isEmpty) return 0.0
+    def u(i: Int): Int = bytes(i) & 0xff
+    var i = 0
+    var mb = 0
+    while (i < bytes.length) {
+      val b = u(i)
+      val lead = (b >= 0x81 && b <= 0x9f) || (b >= 0xe0 && b <= 0xfc)
+      if (lead && i + 1 < bytes.length) {
+        val t = u(i + 1)
+        if ((t >= 0x40 && t <= 0x7e) || (t >= 0x80 && t <= 0xfc)) {
+          mb += 2; i += 2
+        } else i += 1
+      } else i += 1
+    }
+    mb.toDouble / bytes.length
   }
 
   /** S5 — XML: one record per direct child of the root; attributes become

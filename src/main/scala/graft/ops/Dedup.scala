@@ -285,7 +285,14 @@ object Dedup {
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         val sc = pairs.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        // getCheckpointDir reports the UUID SUBdirectory Spark created, so
+        // test by prefix (Option.contains would compare whole strings and
+        // re-set — and thereby clobber — the session-global dir every call).
+        // Checkpoint FILES outlive the job unless
+        // spark.cleaner.referenceTracking.cleanCheckpoints=true; a
+        // long-running service should enable it or sweep `dir` itself.
+        if (!sc.getCheckpointDir.exists(_.contains(dir)))
+          sc.setCheckpointDir(dir)
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
     }

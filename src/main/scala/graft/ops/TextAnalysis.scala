@@ -142,18 +142,21 @@ object TextAnalysis {
            queryTerms: Seq[String], topK: Int,
            k1: Double = 1.2, b: Double = 0.75,
            linearIdf: Boolean = true): DataFrame = {
-    // ONE light map-side aggregate job computes both scalars the scoring
-    // plan needs as literals — doc count and total tokens (avgdl) — instead
-    // of the previous df.count() + explode-and-aggregate pair (three driver
-    // actions, two of them full corpus scans). tokens() never yields an
-    // empty array (split of "" is [""]), so every doc contributes ≥1 token
-    // and count(*) equals the old countDistinct(id) over exploded rows; the
-    // division is the same two exact integer sums, engine-exact.
+    // ONE light map-side aggregate job computes the scalars the scoring
+    // plan needs as literals — doc count (idf's N), non-null-text doc count
+    // (avgdl's denominator) and total tokens — instead of the previous
+    // df.count() + explode-and-aggregate pair (three driver actions, two of
+    // them full corpus scans). For non-null text, tokens() never yields an
+    // empty array (split of "" is [""]), so count(textCol) equals the old
+    // countDistinct(id) over exploded rows; NULL text contributes to N but
+    // not to avgdl, exactly like the exploded formulation. Exact integer
+    // sums, engine-exact division.
     val stats = df.agg(count(lit(1)).cast("double").as("n"),
+      count(col(textCol)).cast("double").as("ndl"),
       sum(size(tokens(col(textCol))).cast("long")).cast("double").as("toktot"))
       .collect()(0)
     val n = stats.getDouble(0)
-    val avgdl = stats.getDouble(1) / n
+    val avgdl = stats.getDouble(2) / stats.getDouble(1)
     val docs = df.select(col(idCol).as("id"),
       tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(col("toks")).as("token"),

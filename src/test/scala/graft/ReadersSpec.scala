@@ -37,6 +37,12 @@ class ReadersSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(rows.contains("日本語テキスト"), s"sjis not detected: $rows")
     assert(rows.contains("sm€rt “quotes”"), s"cp1252 not detected: $rows")
+    // mostly-ASCII cp1252 whose smart punctuation forms VALID SJIS pairs
+    // (0x92+'s', 0x96+'M') must NOT trip the Shift-JIS branch — the
+    // multi-byte density gate keeps it western
+    val westy = Readers.decodeFallbackForTest(
+      "it’s fine in Jan–Mar".getBytes(java.nio.charset.Charset.forName("windows-1252")))
+    assert(westy == "it’s fine in Jan–Mar", s"got $westy")
     assert(rows.contains("j k"), s"junk not floored to latin-1: $rows")
   }
 
