@@ -1319,6 +1319,101 @@ object Queries {
               |FROM pairs JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Keep-BEST near-dup dedup: survivor per cluster = highest n_chars,
+    // ties -> smallest id ("keep the highest-quality copy, not the
+    // first-crawled one"). Same pair/CC chain as q_dedup_clusters, one
+    // extra window rank.
+    ("q_dedup_keepbest",
+      (s: SparkSession, d: String) =>
+        Dedup.dropNearDuplicatesBy(tbl(s, d, "documents"), "doc_id", "text",
+          "n_chars", threshold = 0.9)
+          .select("doc_id").orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE t AS (
+              |  SELECT doc_id, list_transform($dTokensCase,
+              |    t -> ('0x' || substr(md5(t), 1, 7))::BIGINT + 1) AS th
+              |  FROM documents),
+              |shh AS (
+              |  SELECT doc_id, CASE WHEN len(th) <= 5
+              |    THEN [list_reduce(list_prepend(7::BIGINT, th[1:len(th)]),
+              |      (a, b) -> (a * 31 + b) % 2147483647)]
+              |    ELSE list_transform(range(1, len(th) - 3),
+              |      i -> list_reduce(list_prepend(7::BIGINT, th[i:i+4]),
+              |        (a, b) -> (a * 31 + b) % 2147483647)) END AS sh
+              |  FROM t),
+              |sig AS (
+              |  SELECT doc_id, list_transform(${dMinhashCoeffs(16)},
+              |    a -> list_min(list_transform(sh, h -> (a * (h + 1)) % 2147483647))) AS sg
+              |  FROM shh),
+              |bands AS (
+              |  SELECT doc_id, unnest(list_transform(range(0, 4),
+              |    b -> md5(b || ':' || array_to_string(sg[b*4+1 : b*4+4], '|')))) AS bkey
+              |  FROM sig),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+              |sets AS (
+              |  SELECT doc_id, list_distinct(${dShingles(dTokensCase, 5)}) AS s
+              |  FROM documents),
+              |pairs AS (
+              |  SELECT c.id_a, c.id_b FROM cand c
+              |  JOIN sets a ON a.doc_id = c.id_a
+              |  JOIN sets b ON b.doc_id = c.id_b
+              |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+              |    len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+              |edges AS (
+              |  SELECT id_a AS s, id_b AS d FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |reach(id, lbl) AS (
+              |  SELECT DISTINCT s, s FROM edges
+              |  UNION
+              |  SELECT e.d, r.lbl FROM reach r JOIN edges e
+              |    ON e.s = r.id WHERE r.lbl < e.d),
+              |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+              |losers AS (
+              |  SELECT id FROM (
+              |    SELECT c.id, row_number() OVER (PARTITION BY c.component
+              |      ORDER BY d.n_chars DESC, c.id) AS rk
+              |    FROM comp c JOIN documents d ON d.doc_id = c.id)
+              |  WHERE rk <> 1)
+              |SELECT doc_id FROM documents
+              |WHERE doc_id NOT IN (SELECT id FROM losers)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Fixed-point integer PageRank over the order→part bipartite graph —
+    // link-graph quality weighting, every step exact long arithmetic
+    // (floor-div variant), so 3 power iterations replay bit-identically as
+    // unrolled SQL.
+    ("q_pagerank",
+      (s: SparkSession, d: String) => {
+        val edges = tbl(s, d, "lineitem")
+          .select(col("l_orderkey").as("src"),
+            (col("l_partkey") + lit(1000000000L)).as("dst"))
+        graft.ops.Graph.pageRankInt(edges, iters = 3)
+          .orderBy("id")
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT l_orderkey AS src,
+             |    l_partkey + 1000000000 AS dst FROM lineitem),
+             |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+             |verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+             |r0 AS (SELECT id, 1000000::BIGINT AS rank FROM verts),
+             |r1 AS (SELECT v.id, 150000 + coalesce(s.c, 0) AS rank
+             |  FROM verts v LEFT JOIN (
+             |    SELECT e.dst AS id, sum((r.rank * 85) // (100 * od.od))::BIGINT AS c
+             |    FROM e JOIN r0 r ON r.id = e.src JOIN od ON od.src = e.src
+             |    GROUP BY e.dst) s ON s.id = v.id),
+             |r2 AS (SELECT v.id, 150000 + coalesce(s.c, 0) AS rank
+             |  FROM verts v LEFT JOIN (
+             |    SELECT e.dst AS id, sum((r.rank * 85) // (100 * od.od))::BIGINT AS c
+             |    FROM e JOIN r1 r ON r.id = e.src JOIN od ON od.src = e.src
+             |    GROUP BY e.dst) s ON s.id = v.id),
+             |r3 AS (SELECT v.id, 150000 + coalesce(s.c, 0) AS rank
+             |  FROM verts v LEFT JOIN (
+             |    SELECT e.dst AS id, sum((r.rank * 85) // (100 * od.od))::BIGINT AS c
+             |    FROM e JOIN r2 r ON r.id = e.src JOIN od ON od.src = e.src
+             |    GROUP BY e.dst) s ON s.id = v.id)
+             |SELECT id, rank::BIGINT AS rank FROM r3 ORDER BY id""".stripMargin)),
+
     // Line-level boilerplate removal (C4/RefinedWeb step): lines occurring
     // in >10 distinct docs (the synthetic header/footer here, plus any
     // heavily-duplicated body) are dropped and docs reassembled in original

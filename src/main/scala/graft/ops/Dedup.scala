@@ -236,7 +236,7 @@ object Dedup {
     * Dataset is no longer needed: localCheckpoint blocks ARE the data (no
     * lineage remains to recompute them).
     */
-  private def unpersistCheckpointed(df: DataFrame): Unit =
+  private[ops] def unpersistCheckpointed(df: DataFrame): Unit =
     scala.util.Try {
       val plan = df.queryExecution.analyzed
       if (plan.getClass.getSimpleName == "LogicalRDD")
@@ -421,6 +421,31 @@ object Dedup {
       .join(evalSh, "sh")
       .groupBy("id")
       .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Near-dup dedup keeping the BEST cluster member by `scoreCol` (ties →
+    * smallest id) instead of [[dropNearDuplicates]]' min-id canonical — the
+    * curation policy a real pipeline wants ("keep the highest-quality copy,
+    * not the first-crawled one"). Same machinery: verified pairs → CC →
+    * one window rank per cluster over cluster-sized groups → anti-join of
+    * the corpus against the non-survivors.
+    */
+  def dropNearDuplicatesBy(df: DataFrame, idCol: String, textCol: String,
+                           scoreCol: String, threshold: Double,
+                           numHashes: Int = 16, bands: Int = 4,
+                           shingleSize: Int = 5): DataFrame = {
+    val (verified, caches) = minhashNearDuplicatesH(df, idCol, textCol,
+      threshold, numHashes, bands, shingleSize)
+    val labels = connectedComponents(verified.select("id_a", "id_b"))
+    caches.foreach(_.unpersist(blocking = false))
+    val scored = labels.join(
+      df.select(col(idCol).as("id"), col(scoreCol).as("__score")), "id")
+    val w = Window.partitionBy(col("component"))
+      .orderBy(desc("__score"), asc("id"))
+    val losers = scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") =!= 1)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** N-gram (token shingle) Jaccard similarity for explicit pairs of rows —

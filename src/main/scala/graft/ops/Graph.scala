@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph centrality for corpus curation (extension mandate, SURVEY §2.3):
+  * link-graph quality weighting — the Common-Crawl-style signal where a
+  * page's (or domain's) rank feeds the keep/drop decision.
+  *
+  * The iteration is the classic distributed PageRank shape: per round, one
+  * equi-join of the rank table with the (pre-degreed, checkpointed) edge
+  * list and one hash aggregate on the destination — shuffle volume O(edges),
+  * nothing driver-bound, constant-size plans via per-round checkpointing
+  * (the same lineage discipline as [[Dedup.connectedComponents]]).
+  */
+object Graph {
+
+  /** Fixed-point integer PageRank — every arithmetic step is exact long
+    * math (scaled by `scale`, per-edge floor division), so the whole power
+    * iteration replays bit-identically in any SQL engine: no FP summation
+    * order, no libm. The variant is documented, deterministic PageRank:
+    *
+    *   rank⁰(v)   = scale
+    *   rank⁺(v)   = floor(scale·(dampDen−dampNum)/dampDen)
+    *                + Σ_{(u,v)∈E} floor(rank(u)·dampNum / (dampDen·outdeg(u)))
+    *
+    * (dangling mass is dropped, per-edge flooring loses ≤1 unit per edge —
+    * both standard simplifications; ranking order matches float PageRank on
+    * non-adversarial graphs at scale=10⁶.)
+    *
+    * @param edges directed edges (`src`, `dst`), multi-edges deduplicated.
+    * @return (id, rank) for every vertex, rank in `scale` fixed-point.
+    */
+  def pageRankInt(edges: DataFrame, iters: Int, scale: Long = 1000000L,
+                  dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val edged = e.join(deg, "src").localCheckpoint()
+    val verts = edged.select(col("src").as("id"))
+      .union(edged.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+    val base = scale * (dampDen - dampNum) / dampDen // exact for sane params
+    var ranks = verts.withColumn("rank", lit(scale))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val contribs = edged.join(ranks, edged("src") === ranks("id"))
+        .select(edged("dst").as("id"),
+          expr(s"CAST((rank * $dampNum) DIV (${dampDen} * od) AS BIGINT)").as("c"))
+        .groupBy("id").agg(sum("c").as("c"))
+      val next = verts.join(contribs, Seq("id"), "left")
+        .select(col("id"), (lit(base) + coalesce(col("c"), lit(0L))).as("rank"))
+        .localCheckpoint()
+      prev.foreach(Dedup.unpersistCheckpointed)
+      prev = Some(next)
+      ranks = next
+    }
+    Dedup.unpersistCheckpointed(edged)
+    // after ≥1 round the returned table is its own checkpoint; the vertex
+    // checkpoint only backs the iters=0 degenerate return
+    if (iters > 0) Dedup.unpersistCheckpointed(verts)
+    ranks
+  }
+}

@@ -125,6 +125,16 @@ class DedupSpec extends SparkSpec {
     assert(loose(1L) == "HEADER\nalpha beta\nFOOTER")
   }
 
+  test("dropNearDuplicatesBy keeps the highest-scoring cluster member") {
+    // docs 1 and 2 are exact duplicates; give 2 the higher score
+    val scored = docs.withColumn("score",
+      when(col("id") === 2, 10).otherwise(1))
+    val out = Dedup.dropNearDuplicatesBy(scored, "id", "text", "score",
+      threshold = 0.9).select("id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("id").collect().map(_.getLong(0)).toSet
+    assert(out == all - 1L, s"expected doc 2 (higher score) to survive, got $out")
+  }
+
   test("contaminatedIds: shared shingles flag, disjoint docs don't") {
     val eval_ = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
     val train = Seq(
