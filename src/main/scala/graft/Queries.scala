@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.Readers
-import graft.ops.{Corpus, Curate, Dedup, InferSchema, Multimodal, Nums, Similarity, TextAnalysis, Validate}
+import graft.ops.{Bloom, Chunking, Corpus, Curate, Dedup, InferSchema, Multimodal, Nums, Similarity, TextAnalysis, Validate, Warehouse}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -237,6 +237,49 @@ object Queries {
     dPlaneLiteral(numPlanes, dim).map(pl =>
       s"CASE WHEN list_sum(list_transform(list_zip($e, $pl), p -> p[1]*p[2])) >= 0 THEN '1' ELSE '0' END")
       .mkString("concat(", ", ", ")")
+
+  /** DuckDB: the engine-exact quantized k-means replay over `embeddings`
+    * (k=4, iters=2) — CTE chain `v` → `qz` (int8-quantized vectors) → seeds
+    * `c0` → assign/update ×2 → final assignment `a3` (id, cluster) with
+    * final centroids `c2`. Shared by q_kmeans_exact and q_semantic_dedup.
+    */
+  private val dKmeansCtes =
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+      |m AS (SELECT id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v),
+      |qz AS (SELECT id, CASE WHEN mx = 0
+      |  THEN list_transform(e, x -> 0::BIGINT)
+      |  ELSE list_transform(e, x -> floor(x * 127 / mx + 0.5)::BIGINT) END AS iv
+      |  FROM m),
+      |c0 AS (SELECT id AS cid, iv AS civ FROM qz ORDER BY id LIMIT 4),
+      |a1 AS (SELECT id, iv, cid AS cluster FROM (
+      |  SELECT q.id, q.iv, c.cid, row_number() OVER (PARTITION BY q.id
+      |    ORDER BY list_sum(list_transform(range(1, len(q.iv) + 1),
+      |      i -> (q.iv[i] - c.civ[i]) * (q.iv[i] - c.civ[i])))::BIGINT, c.cid) AS rn
+      |  FROM qz q CROSS JOIN c0 c) WHERE rn = 1),
+      |u1 AS (SELECT cluster, pos,
+      |    floor(sum(comp)::DOUBLE / count(*))::BIGINT AS mcomp
+      |  FROM (SELECT cluster, generate_subscripts(iv, 1) AS pos,
+      |        unnest(iv) AS comp FROM a1) GROUP BY cluster, pos),
+      |c1 AS (SELECT c0.cid, coalesce(n.civ, c0.civ) AS civ FROM c0 LEFT JOIN
+      |  (SELECT cluster AS cid, list(mcomp ORDER BY pos) AS civ
+      |   FROM u1 GROUP BY cluster) n USING (cid)),
+      |a2 AS (SELECT id, iv, cid AS cluster FROM (
+      |  SELECT q.id, q.iv, c.cid, row_number() OVER (PARTITION BY q.id
+      |    ORDER BY list_sum(list_transform(range(1, len(q.iv) + 1),
+      |      i -> (q.iv[i] - c.civ[i]) * (q.iv[i] - c.civ[i])))::BIGINT, c.cid) AS rn
+      |  FROM qz q CROSS JOIN c1 c) WHERE rn = 1),
+      |u2 AS (SELECT cluster, pos,
+      |    floor(sum(comp)::DOUBLE / count(*))::BIGINT AS mcomp
+      |  FROM (SELECT cluster, generate_subscripts(iv, 1) AS pos,
+      |        unnest(iv) AS comp FROM a2) GROUP BY cluster, pos),
+      |c2 AS (SELECT c1.cid, coalesce(n.civ, c1.civ) AS civ FROM c1 LEFT JOIN
+      |  (SELECT cluster AS cid, list(mcomp ORDER BY pos) AS civ
+      |   FROM u2 GROUP BY cluster) n USING (cid)),
+      |a3 AS (SELECT id, cid AS cluster FROM (
+      |  SELECT q.id, c.cid, row_number() OVER (PARTITION BY q.id
+      |    ORDER BY list_sum(list_transform(range(1, len(q.iv) + 1),
+      |      i -> (q.iv[i] - c.civ[i]) * (q.iv[i] - c.civ[i])))::BIGINT, c.cid) AS rn
+      |  FROM qz q CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
 
   /** Synthetic pattern-bearing content over documents — identical expression
     * both engines (word-soup text alone contains no extractable patterns).
@@ -1629,45 +1672,10 @@ object Queries {
           .select(col("cluster"), col("n"), col("c_sum"))
           .orderBy("cluster")
       },
-      Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
-             |m AS (SELECT id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v),
-             |qz AS (SELECT id, CASE WHEN mx = 0
-             |  THEN list_transform(e, x -> 0::BIGINT)
-             |  ELSE list_transform(e, x -> floor(x * 127 / mx + 0.5)::BIGINT) END AS iv
-             |  FROM m),
-             |c0 AS (SELECT id AS cid, iv AS civ FROM qz ORDER BY id LIMIT 4),
-             |a1 AS (SELECT id, iv, cid AS cluster FROM (
-             |  SELECT q.id, q.iv, c.cid, row_number() OVER (PARTITION BY q.id
-             |    ORDER BY list_sum(list_transform(range(1, len(q.iv) + 1),
-             |      i -> (q.iv[i] - c.civ[i]) * (q.iv[i] - c.civ[i])))::BIGINT, c.cid) AS rn
-             |  FROM qz q CROSS JOIN c0 c) WHERE rn = 1),
-             |u1 AS (SELECT cluster, pos,
-             |    floor(sum(comp)::DOUBLE / count(*))::BIGINT AS mcomp
-             |  FROM (SELECT cluster, generate_subscripts(iv, 1) AS pos,
-             |        unnest(iv) AS comp FROM a1) GROUP BY cluster, pos),
-             |c1 AS (SELECT c0.cid, coalesce(n.civ, c0.civ) AS civ FROM c0 LEFT JOIN
-             |  (SELECT cluster AS cid, list(mcomp ORDER BY pos) AS civ
-             |   FROM u1 GROUP BY cluster) n USING (cid)),
-             |a2 AS (SELECT id, iv, cid AS cluster FROM (
-             |  SELECT q.id, q.iv, c.cid, row_number() OVER (PARTITION BY q.id
-             |    ORDER BY list_sum(list_transform(range(1, len(q.iv) + 1),
-             |      i -> (q.iv[i] - c.civ[i]) * (q.iv[i] - c.civ[i])))::BIGINT, c.cid) AS rn
-             |  FROM qz q CROSS JOIN c1 c) WHERE rn = 1),
-             |u2 AS (SELECT cluster, pos,
-             |    floor(sum(comp)::DOUBLE / count(*))::BIGINT AS mcomp
-             |  FROM (SELECT cluster, generate_subscripts(iv, 1) AS pos,
-             |        unnest(iv) AS comp FROM a2) GROUP BY cluster, pos),
-             |c2 AS (SELECT c1.cid, coalesce(n.civ, c1.civ) AS civ FROM c1 LEFT JOIN
-             |  (SELECT cluster AS cid, list(mcomp ORDER BY pos) AS civ
-             |   FROM u2 GROUP BY cluster) n USING (cid)),
-             |a3 AS (SELECT id, cid AS cluster FROM (
-             |  SELECT q.id, c.cid, row_number() OVER (PARTITION BY q.id
-             |    ORDER BY list_sum(list_transform(range(1, len(q.iv) + 1),
-             |      i -> (q.iv[i] - c.civ[i]) * (q.iv[i] - c.civ[i])))::BIGINT, c.cid) AS rn
-             |  FROM qz q CROSS JOIN c2 c) WHERE rn = 1)
-             |SELECT a3.cluster, count(*) AS n, list_sum(any_value(c2.civ))::BIGINT AS c_sum
-             |FROM a3 JOIN c2 ON a3.cluster = c2.cid
-             |GROUP BY a3.cluster ORDER BY a3.cluster""".stripMargin)),
+      Some(s"""$dKmeansCtes
+              |SELECT a3.cluster, count(*) AS n, list_sum(any_value(c2.civ))::BIGINT AS c_sum
+              |FROM a3 JOIN c2 ON a3.cluster = c2.cid
+              |GROUP BY a3.cluster ORDER BY a3.cluster""".stripMargin)),
 
     ("q_ann_ivf",
       (s: SparkSession, d: String) => {
@@ -2169,7 +2177,180 @@ object Queries {
              |    list_filter(range(0, len(bs)), i -> (i * 4) // len(bs) = win),
              |    i -> ((bs[i+1] - 128) * (bs[i+1] - 128))::BIGINT)), 0)::BIGINT AS sum_sq,
              |  len(list_filter(range(0, len(bs)), i -> (i * 4) // len(bs) = win))::BIGINT AS n_samples
-             |FROM w ORDER BY media_id, win""".stripMargin))
+             |FROM w ORDER BY media_id, win""".stripMargin)),
+
+    // ------------------------------------------- r7 second tranche: RAG /
+    // warehouse-maintenance / graph / runtime-filter operators
+
+    // Overlapping token-window chunking (RAG / context packing): map-only
+    // explode, chunk i covers tokens [i*stride, i*stride+window).
+    ("q_chunk_overlap",
+      (s: SparkSession, d: String) =>
+        Chunking.chunkDocuments(
+          tbl(s, d, "documents").filter(col("doc_id") < 300), "doc_id", "text",
+          window = 64, stride = 48)
+          .orderBy("doc_id", "chunk_id"),
+      Some("""WITH dd AS (
+             |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+             |    ELSE string_split_regex(trim(text), '\s+') END AS toks
+             |  FROM documents WHERE doc_id < 300),
+             |e AS (SELECT doc_id, toks, len(toks) AS n FROM dd WHERE len(toks) > 0),
+             |st AS (SELECT doc_id, toks, n,
+             |  unnest(generate_series(0, n - 1, 48)) AS s FROM e)
+             |SELECT doc_id, (s // 48)::BIGINT AS chunk_id,
+             |  least(64, n - s)::BIGINT AS n_tokens,
+             |  array_to_string(toks[s+1 : s+64], ' ') AS chunk_text
+             |FROM st ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // RANGE-frame window: per-user sliding 1-hour sum over event time.
+    // Cents via floor(value*100) — identical IEEE double ops in both
+    // engines, no rounding-mode divergence; ts is raw int64 nanos.
+    ("q_window_range",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, 0L)
+        tbl(s, d, "events").filter(col("user_id") < 500)
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("ts_us"),
+            floor(col("value") * 100).cast("long").as("cents"))
+          .withColumn("hour_sum", sum("cents").over(w))
+          .select(col("user_id"), col("event_id"), col("ts_us"), col("hour_sum"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |    floor(value * 100)::BIGINT AS cents
+             |  FROM events WHERE user_id < 500)
+             |SELECT user_id, event_id, ts_us,
+             |  sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us
+             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hour_sum
+             |FROM e ORDER BY user_id, event_id""".stripMargin)),
+
+    // SCD type-2 history build: consecutive runs of each user's event_type
+    // collapse to validity intervals (micros — DuckDB truncates parquet ns
+    // timestamps to µs on read), event_id as the tiebreaker.
+    ("q_scd2",
+      (s: SparkSession, d: String) =>
+        Warehouse.scd2(
+          tbl(s, d, "events").filter(col("user_id") < 200)
+            .withColumn("ts_us", expr("ts div 1000")),
+          "user_id", "event_type", "ts_us", "event_id")
+          .select(col("user_id"), col("version"), col("attr"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+          .orderBy("user_id", "version"),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS tsn, event_id
+             |  FROM events WHERE user_id < 200),
+             |o AS (
+             |  SELECT user_id, event_type, tsn, event_id,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY tsn, event_id) AS prev
+             |  FROM e),
+             |ch AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type)
+             |SELECT user_id, row_number() OVER w AS version, event_type AS attr,
+             |  tsn AS valid_from, lead(tsn) OVER w AS valid_to,
+             |  lead(tsn) OVER w IS NULL AS is_current
+             |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+             |ORDER BY user_id, version""".stripMargin)),
+
+    // CDC latest-wins merge: version-0 base + version-1 updates (changed
+    // status for keys %7, brand-new keys for %13) → upsert by key; at equal
+    // versions an update beats a base row.
+    ("q_merge_upsert",
+      (s: SparkSession, d: String) => {
+        val base = tbl(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), lit(0L).as("version"))
+        val changed = base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderstatus", lit("R"))
+          .withColumn("version", lit(1L))
+        val inserts = base.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+          .withColumn("version", lit(1L))
+        Warehouse.mergeLatest(base, changed.unionByName(inserts),
+          Seq("o_orderkey"), "version")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |    0::BIGINT AS version, 0 AS src FROM orders),
+             |upd AS (
+             |  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+             |    o_totalprice, 1::BIGINT, 1 FROM orders WHERE o_orderkey % 7 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+             |    o_totalprice, 1::BIGINT, 1 FROM orders WHERE o_orderkey % 13 = 0),
+             |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             |  ORDER BY version DESC, src DESC) AS rn FROM u)
+             |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, version
+             |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin)),
+
+    // Exact triangle count of the co-purchase graph (parts sharing an
+    // order), via degree-oriented wedge join; the oracle counts canonical
+    // u<v<w triples directly — orientation must not change the answer.
+    ("q_triangles",
+      (s: SparkSession, d: String) => {
+        val li = tbl(s, d, "lineitem").filter(col("l_orderkey") < 7500)
+          .select(col("l_orderkey").as("k"), col("l_partkey"))
+        val a = li.select(col("k"), col("l_partkey").as("src"))
+        val b = li.select(col("k"), col("l_partkey").as("dst"))
+        val edges = a.join(b, "k").filter(col("src") < col("dst"))
+          .select("src", "dst")
+        graft.ops.Graph.triangleCount(edges)
+      },
+      Some("""WITH li AS (
+             |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey < 7500),
+             |e AS (
+             |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             |  FROM li a JOIN li b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+             |SELECT count(*)::BIGINT AS triangles
+             |FROM e e1 JOIN e e2 ON e2.u = e1.v
+             |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin)),
+
+    // Bloom-prefiltered semi-join (manual runtime filter): the Bloom stage
+    // prunes the fact scan map-side; the exact semi-join removes false
+    // positives, so the result IS the semi-join — which is the oracle.
+    ("q_bloom_join",
+      (s: SparkSession, d: String) =>
+        Bloom.semiJoinPrefiltered(
+          tbl(s, d, "orders"), "o_custkey",
+          tbl(s, d, "customer").filter(col("c_acctbal") > 9000), "c_custkey",
+          m = 1 << 14, k = 3)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_custkey IN (
+             |  SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // SemDeDup-style semantic dedup: engine-exact quantized k-means
+    // clusters as candidate buckets; within a cluster, drop any vector
+    // ≥ 0.9-cosine-similar to a lower id. The cosine test is pure integer
+    // (doti² · den² vs num² · norms), so the oracle replays the ENTIRE
+    // chain — quantize → 2 Lloyd's rounds → assignment → pair test — and
+    // the survivor set hashes identically.
+    ("q_semantic_dedup",
+      (s: SparkSession, d: String) =>
+        Similarity.semanticDedup(
+          tbl(s, d, "embeddings")
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          k = 4, iters = 2, simNum = 9L, simDen = 10L)
+          .orderBy("id"),
+      Some(s"""$dKmeansCtes,
+              |dots AS (
+              |  SELECT a.id AS id_a, b.id AS id_b,
+              |    list_sum(list_transform(range(1, len(qa.iv) + 1),
+              |      i -> qa.iv[i] * qb.iv[i]))::BIGINT AS d,
+              |    list_sum(list_transform(qa.iv, x -> x*x))::BIGINT AS na,
+              |    list_sum(list_transform(qb.iv, x -> x*x))::BIGINT AS nb
+              |  FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.id < b.id
+              |  JOIN qz qa ON qa.id = a.id JOIN qz qb ON qb.id = b.id),
+              |dups AS (SELECT DISTINCT id_b FROM dots
+              |  WHERE d > 0 AND d*d*100 >= 81*na*nb)
+              |SELECT id, cluster FROM a3
+              |WHERE id NOT IN (SELECT id_b FROM dups) ORDER BY id""".stripMargin))
   )
 
   val queries: Map[String, Q] = battery.map(b => (b._1, b._2)).toMap

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Manual runtime-filter / semi-join pushdown (extension mandate, SURVEY
+  * §2.3): build a Bloom filter over the small (dimension) side's join keys
+  * and pre-filter the fact side BEFORE its shuffle — the pattern Spark's
+  * own runtime row-group filtering uses, exposed as an operator so a
+  * pipeline can prune a 100 TB fact scan down to the ~matching rows while
+  * the data is still map-side.
+  *
+  * Scale shape: the bit array is control-plane (`m/8` bytes, default 8 KiB,
+  * collected once from a one-job distinct over the dim keys) and ships in
+  * the plan as ONE literal array-of-longs — O(1) plan size, the same
+  * typedLit-kernel discipline as `graft_argmax_cos`. The probe is pure
+  * codegen'd arithmetic (xxhash64 + shift + mask), no UDF. False positives
+  * are removed by the exact join that follows; false negatives are
+  * impossible by construction, so the composite result is EXACTLY the
+  * semi-join — the Bloom stage only changes how many fact rows reach the
+  * shuffle.
+  */
+object Bloom {
+
+  /** A built filter: `m` bits in packed little-endian longs, `k` probes. */
+  final case class BloomBits(m: Int, k: Int, words: Array[Long]) {
+    require(words.length == (m + 63) / 64, s"need ${(m + 63) / 64} words")
+  }
+
+  /** Probe positions: k independent hashes via seed-salted xxhash64 —
+    * identical expression on build and probe so the two always agree. */
+  private def positions(key: Column, m: Int, k: Int): Seq[Column] =
+    (0 until k).map(i => pmod(xxhash64(lit(i), key), lit(m.toLong)))
+
+  /** Build the filter from `df`'s `keyCol`. Hashing runs in the executors
+    * (one distinct-positions job); only the ≤ m distinct bit positions
+    * cross to the driver — control-plane, like k-means centroids. */
+  def build(df: DataFrame, keyCol: String, m: Int = 1 << 16,
+            k: Int = 3): BloomBits = {
+    require(m > 0, s"Bloom.build: m must be > 0, got $m")
+    require(k > 0, s"Bloom.build: k must be > 0, got $k")
+    val pos = df.select(explode(array(positions(col(keyCol), m, k): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long]((m + 63) / 64)
+    pos.foreach { p => words((p >>> 6).toInt) |= 1L << (p & 63).toInt }
+    BloomBits(m, k, words)
+  }
+
+  /** `true` iff `key` may be in the set (never false for a present key). */
+  def mightContain(bits: BloomBits, key: Column): Column = {
+    val wordsLit = typedLit(bits.words.toSeq)
+    positions(key, bits.m, bits.k).map { p =>
+      val word = element_at(wordsLit,
+        call_function("shiftright", p, lit(6)).cast("int") + 1)
+      call_function("shiftright", word, p.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) === 1L
+    }.reduce(_ && _)
+  }
+
+  /** `fact` rows whose `factKey` appears in `dim`.`dimKey` — exactly the
+    * left-semi join, computed as Bloom pre-filter (map-side, prunes the
+    * fact shuffle) followed by the exact semi-join (removes the Bloom's
+    * false positives). */
+  def semiJoinPrefiltered(fact: DataFrame, factKey: String,
+                          dim: DataFrame, dimKey: String,
+                          m: Int = 1 << 16, k: Int = 3): DataFrame = {
+    val bits = build(dim, dimKey, m, k)
+    fact.filter(mightContain(bits, col(factKey)))
+      .join(dim.select(col(dimKey)).distinct(),
+        col(factKey) === col(dimKey), "left_semi")
+  }
+}

@@ -504,4 +504,43 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus with the
+    * engine-exact quantized k-means ([[kmeansQuantized]]), then within each
+    * cluster drop every vector that is ≥ threshold-cosine-similar to a
+    * lower-id vector — clusters act as the candidate buckets, so the pair
+    * join is per-cluster, never corpus×corpus (the SemDeDup recipe: at
+    * real scale pick k ≈ n/1000 so mean bucket size stays ~10³ and the
+    * within-bucket quadratic term is bounded; cluster skew shows up as one
+    * hot bucket and is fixed by raising k, not by salting — membership is
+    * semantic).
+    *
+    * The similarity test is exact integer arithmetic end-to-end:
+    * `cos(a,b) ≥ num/den` is evaluated as
+    * `doti(a,b) > 0 ∧ doti(a,b)²·den² ≥ num²·doti(a,a)·doti(b,b)` over the
+    * int8-quantized vectors (max |term| ~1e16 < 2⁶³), so survivors replay
+    * bit-identically in any SQL engine — no FP cosine anywhere.
+    *
+    * @return surviving (`id`, `cluster`) rows, min-id representative kept
+    *         per near-dup relation (non-transitive: b is dropped iff some
+    *         kept-or-dropped a < b in b's cluster matches it).
+    */
+  def semanticDedup(corpus: DataFrame, k: Int, iters: Int,
+                    simNum: Long = 9L, simDen: Long = 10L): DataFrame = {
+    require(simDen > 0 && simNum >= 0, s"bad threshold $simNum/$simDen")
+    val (_, asg) = kmeansQuantized(corpus, k, iters)
+    val withNorm = asg.withColumn("nrm", dotQuantized(col("iv"), col("iv")))
+    val a = withNorm.select(col("cluster"), col("id").as("id_a"),
+      col("iv").as("iv_a"), col("nrm").as("na"))
+    val b = withNorm.select(col("cluster"), col("id").as("id_b"),
+      col("iv").as("iv_b"), col("nrm").as("nb"))
+    val d = dotQuantized(col("iv_a"), col("iv_b"))
+    val dupIds = a.join(b, "cluster")
+      .filter(col("id_a") < col("id_b"))
+      .filter(d > 0 &&
+        d * d * lit(simDen * simDen) >= lit(simNum * simNum) * col("na") * col("nb"))
+      .select(col("id_b").as("id")).distinct()
+    withNorm.join(dupIds, Seq("id"), "left_anti")
+      .select(col("id"), col("cluster"))
+  }
 }

@@ -23,6 +23,30 @@ class GraphSpec extends SparkSpec {
     assert(rd == r, s"multi-edge dedup broken: $rd vs $r")
   }
 
+  test("triangleCount: K4 has 4 triangles; orientation/duplicates don't matter") {
+    // complete graph on 4 vertices = C(4,3) = 4 triangles
+    val k4 = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b)).toDF("src", "dst") // both directions + no self-loops
+    assert(Graph.triangleCount(k4).collect()(0).getLong(0) == 4L)
+    // a 4-cycle has none; adding one chord makes exactly one
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(Graph.triangleCount(c4).collect()(0).getLong(0) == 0L)
+    val chord = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      ++ Seq((3L, 1L), (1L, 1L))).toDF("src", "dst") // + reverse dup + loop
+    assert(Graph.triangleCount(chord).collect()(0).getLong(0) == 2L)
+  }
+
+  test("triangleCount: skewed star + clique counts only the clique") {
+    // hub 0 connects to 50 leaves (no leaf-leaf edges) → star has no
+    // triangles; a disjoint K5 contributes C(5,3) = 10
+    val star = (1L to 50L).map(i => (0L, i))
+    val k5 = for { a <- 100L to 104L; b <- 100L to 104L if a < b } yield (a, b)
+    val n = Graph.triangleCount((star ++ k5).toDF("src", "dst"))
+      .collect()(0).getLong(0)
+    assert(n == 10L, s"expected 10 triangles, got $n")
+  }
+
   test("pageRankInt: rank mass flows toward sink vertices") {
     val edges = (1L to 20L).map(i => (i, 100L)).toDF("src", "dst")
     val r = Graph.pageRankInt(edges, iters = 3)

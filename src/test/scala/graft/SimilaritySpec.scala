@@ -230,4 +230,33 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned(2L) == assigned(7L) && assigned(7L) == assigned(8L))
     assert(Set(assigned(0L), assigned(1L), assigned(2L)).size == 3)
   }
+
+  test("semanticDedup drops within-cluster near-dups, keeps min id") {
+    // two direction clusters; 0/1/2 nearly parallel (dups of 0), 3/4
+    // parallel on the other axis (4 dup of 3), 5 diagonal-ish loner
+    val rows = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.01, 0.0, 0.0)),
+      (2L, Seq(0.99, 0.0, 0.01, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (4L, Seq(0.0, 0.01, 1.0, 0.0)),
+      (5L, Seq(0.6, 0.0, 0.8, 0.0))).toDF("id", "vec")
+    val kept = Similarity.semanticDedup(rows, k = 2, iters = 2,
+      simNum = 99L, simDen = 100L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept.contains(0L) && !kept.contains(1L) && !kept.contains(2L),
+      s"cluster A should collapse to id 0: $kept")
+    assert(kept.contains(3L) && !kept.contains(4L),
+      s"cluster B should collapse to id 3: $kept")
+  }
+
+  test("semanticDedup: threshold 1/1 keeps only exact quantized dups out") {
+    val rows = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(2.0, 0.0)), // same direction → same iv
+      (2L, Seq(0.0, 1.0))).toDF("id", "vec")
+    val kept = Similarity.semanticDedup(rows, k = 1, iters = 1,
+      simNum = 1L, simDen = 1L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 2L), s"got $kept")
+  }
 }
