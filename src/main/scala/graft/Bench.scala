@@ -27,10 +27,13 @@ import org.apache.spark.sql.SparkSession
   * line) after ours — so the JSON line must stay ≤ ~1900 chars or its
   * FRONT gets truncated. At 87 queries a %.3f map alone is ~2090, so the
   * line carries per-query MEDIANS rendered %.2f with trailing zeros
-  * stripped ("0.40"→"0.4", "1.00"→"1" — still valid JSON numbers); run
-  * count, full precision, per-query warm spreads, and the noisy set (warm
-  * spread > max(25 % of median, 0.25 s)) live in `graft_bench_full.json`
-  * and the committed BENCH_NOTES.md. Adding queries? Re-check the budget.
+  * stripped ("0.40"→"0.4", "1.00"→"1" — still valid JSON numbers), and —
+  * since 94 queries pushed even that to ~2050 — the stdout keys drop the
+  * constant "q_" prefix ("q1_agg" keeps its name; full keys live in the
+  * json file). Run count, full precision, per-query warm spreads, and the
+  * noisy set (warm spread > max(25 % of median, 0.25 s)) live in
+  * `graft_bench_full.json` and the committed BENCH_NOTES.md. Adding
+  * queries? Re-check the budget.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -75,7 +78,8 @@ object Bench {
       case (k, med, sp) if sp > math.max(0.25 * med, 0.25) => "\"" + k + "\""
     }
     def line(fmt: Double => String, full: Boolean): String = {
-      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+      def key(k: String) = if (full) k else k.stripPrefix("q_")
+      val qs = results.map { case (k, v, _) => "\"" + key(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val extra = if (full)
         results.map { case (k, _, s) => "\"" + k + "\":" + fmt(s) }
@@ -97,12 +101,17 @@ object Bench {
     } catch { case _: Exception => () } // read-only cwd: stdout still has it
     // sub-second medians keep 10 ms resolution; ≥1 s medians 100 ms (the
     // judge compares ×-factors, and full precision is in the json file)
-    def compact(v: Double): String = {
-      val s = if (v >= 0.995) f"$v%.1f" else f"$v%.2f"
+    def strip(s: String): String =
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
-    }
-    println(line(compact, full = false))
+    def compact(v: Double): String =
+      strip(if (v >= 0.995) f"$v%.1f" else f"$v%.2f")
+    // belt-and-braces for future query additions: if even the compact
+    // rendering outgrows the tail budget, coarsen sub-second values to one
+    // decimal (full precision is in graft_bench_full.json either way)
+    def coarse(v: Double): String = strip(f"$v%.1f")
+    val stdout = line(compact, full = false)
+    println(if (stdout.length <= 1880) stdout else line(coarse, full = false))
     spark.stop()
   }
 }

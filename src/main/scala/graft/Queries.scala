@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.Readers
-import graft.ops.{Bloom, Chunking, Corpus, Curate, Dedup, InferSchema, Multimodal, Nums, Similarity, TextAnalysis, Validate, Warehouse}
+import graft.ops.{Bloom, Chunking, Corpus, Curate, Dedup, InferSchema, Layout, Multimodal, Nums, Similarity, TextAnalysis, Validate, Warehouse}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -237,6 +237,17 @@ object Queries {
     dPlaneLiteral(numPlanes, dim).map(pl =>
       s"CASE WHEN list_sum(list_transform(list_zip($e, $pl), p -> p[1]*p[2])) >= 0 THEN '1' ELSE '0' END")
       .mkString("concat(", ", ", ")")
+
+  /** DuckDB: the Morton/Z-order bit interleave of `cols` (low `bits` bits
+    * each) — mirrors `Layout.zOrderKey`'s shift/mask expression tree. */
+  private def dZOrder(cols: Seq[String], bits: Int): String = {
+    val n = cols.length
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bits
+    } yield s"((($c >> $i) & 1) << ${i * n + j})"
+    terms.mkString("(", " | ", ")")
+  }
 
   /** DuckDB: the engine-exact quantized k-means replay over `embeddings`
     * (k=4, iters=2) — CTE chain `v` → `qz` (int8-quantized vectors) → seeds
@@ -2350,7 +2361,40 @@ object Queries {
               |dups AS (SELECT DISTINCT id_b FROM dots
               |  WHERE d > 0 AND d*d*100 >= 81*na*nb)
               |SELECT id, cluster FROM a3
-              |WHERE id NOT IN (SELECT id_b FROM dups) ORDER BY id""".stripMargin))
+              |WHERE id NOT IN (SELECT id_b FROM dups) ORDER BY id""".stripMargin)),
+
+    // Z-order (Morton) clustering key: the multi-dimensional sort key for
+    // zone-map pruning; pure shift/mask integer tree, replayed bit-for-bit.
+    ("q_zorder",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "lineitem").filter(col("l_orderkey") < 2000)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            Layout.zOrderKey(Seq(col("l_partkey"), col("l_suppkey")), bits = 10))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""SELECT l_orderkey, l_linenumber,
+              | ${dZOrder(Seq("l_partkey", "l_suppkey"), 10)} AS zkey
+              |FROM lineitem WHERE l_orderkey < 2000
+              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Approximate quantiles (the percentile sketch sibling of
+    // q_approx_distinct): tolerance booleans under the hash check, exact
+    // interpolated quantiles recomputed by the oracle as the denominators.
+    ("q_approx_quantile",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "lineitem").agg(
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").as("ap"),
+          expr("percentile(l_extendedprice, array(0.5, 0.9))").as("ex"))
+          .select(
+            (abs(element_at(col("ap"), 1) - element_at(col("ex"), 1))
+              / element_at(col("ex"), 1) <= 0.01).as("p50_within_tol"),
+            (abs(element_at(col("ap"), 2) - element_at(col("ex"), 2))
+              / element_at(col("ex"), 2) <= 0.01).as("p90_within_tol"),
+            Nums.round6(element_at(col("ex"), 1)).as("exact_p50"),
+            Nums.round6(element_at(col("ex"), 2)).as("exact_p90")),
+      Some(s"""SELECT true AS p50_within_tol, true AS p90_within_tol,
+              | ${Nums.dRound6("quantile_cont(l_extendedprice, 0.5)")} AS exact_p50,
+              | ${Nums.dRound6("quantile_cont(l_extendedprice, 0.9)")} AS exact_p90
+              |FROM lineitem""".stripMargin))
   )
 
   val queries: Map[String, Q] = battery.map(b => (b._1, b._2)).toMap

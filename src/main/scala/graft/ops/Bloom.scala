@@ -46,16 +46,13 @@ object Bloom {
     BloomBits(m, k, words)
   }
 
-  /** `true` iff `key` may be in the set (never false for a present key). */
-  def mightContain(bits: BloomBits, key: Column): Column = {
-    val wordsLit = typedLit(bits.words.toSeq)
-    positions(key, bits.m, bits.k).map { p =>
-      val word = element_at(wordsLit,
-        call_function("shiftright", p, lit(6)).cast("int") + 1)
-      call_function("shiftright", word, p.bitwiseAND(lit(63L)).cast("int"))
-        .bitwiseAND(lit(1L)) === 1L
-    }.reduce(_ && _)
-  }
+  /** `true` iff `key` may be in the set (never false for a present key).
+    * One `graft_bloom` kernel call: the packed words ride the plan as a
+    * single reference object (O(1) plan size in m and k) and the probe
+    * stays inside whole-stage codegen — PlanSpec-pinned. */
+  def mightContain(bits: BloomBits, key: Column): Column =
+    call_function("graft_bloom",
+      typedLit(bits.words.toSeq) +: positions(key, bits.m, bits.k): _*)
 
   /** `fact` rows whose `factKey` appears in `dim`.`dimKey` — exactly the
     * left-semi join, computed as Bloom pre-filter (map-side, prunes the

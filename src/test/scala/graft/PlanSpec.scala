@@ -181,4 +181,34 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ord_bkt")
     }
   }
+
+  test("chunking is a single map-only stage: no Exchange before the explode") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(
+      graft.ops.Chunking.chunkDocuments(docs, "doc_id", "text", 64, 48))
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+    assert(plan.contains("Generate explode"), s"expected explode generator:\n$plan")
+  }
+
+  test("bloom probe is a pushed/codegen'd filter with O(1) plan size") {
+    import spark.implicits._
+    val dim = (1L to 1000L).toDF("dk")
+    // realistic sizing: 64 KiB of bits = 1024 packed longs in ONE literal
+    val bits = graft.ops.Bloom.build(dim, "dk", m = 1 << 19, k = 3)
+    val fact = spark.read.parquet(s"$sf/orders.parquet")
+    val probed = fact.filter(graft.ops.Bloom.mightContain(bits, col("o_custkey")))
+    val plan = planOf(probed)
+    assert(!plan.contains("Exchange"), s"probe must stay map-side:\n$plan")
+    assert(plan.contains("*(1)"), s"probe must stay in whole-stage codegen:\n$plan")
+    // ONE kernel call carrying the packed words as a single literal — the
+    // element_at formulation it replaced rendered the words array once per
+    // probe hash. The plan string legitimately shows the Filter condition
+    // twice (Filter node + the scan's DataFilters echo), so pin 1..2 — a
+    // per-hash regression shows k×2 occurrences (or zero for a rewrite
+    // back to element_at, caught by the lower bound).
+    val occurrences = "graft_bloom".r.findAllIn(plan).length
+    assert(occurrences >= 1 && occurrences <= 2,
+      s"expected 1-2 graft_bloom renderings, got $occurrences:\n${plan.take(2000)}")
+    assert(probed.count() > 0) // and it must actually execute compiled
+  }
 }
