@@ -2394,7 +2394,28 @@ object Queries {
       Some(s"""SELECT true AS p50_within_tol, true AS p90_within_tol,
               | ${Nums.dRound6("quantile_cont(l_extendedprice, 0.5)")} AS exact_p50,
               | ${Nums.dRound6("quantile_cont(l_extendedprice, 0.9)")} AS exact_p90
-              |FROM lineitem""".stripMargin))
+              |FROM lineitem""".stripMargin)),
+
+    // Incremental-ingest dedup: the new batch (doc_id ≥ 200) against the
+    // already-ingested corpus (doc_id < 400) by content fingerprint —
+    // Bloom-negatives pass map-side, only Bloom-positives reach the exact
+    // anti-join. Result IS the anti-join, which is the oracle.
+    ("q_dedup_incremental",
+      (s: SparkSession, d: String) => {
+        val fp = md5(col("text"))
+        val corpus = tbl(s, d, "documents").filter(col("doc_id") < 400)
+          .select(fp.as("seen_fp"))
+        val batch = tbl(s, d, "documents").filter(col("doc_id") >= 200)
+          .select(col("doc_id"), fp.as("fp"))
+        Bloom.antiJoinPrefiltered(batch, "fp", corpus, "seen_fp",
+          m = 1 << 14, k = 3)
+          .select(col("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents WHERE doc_id >= 200
+             |AND md5(text) NOT IN (
+             |  SELECT md5(text) FROM documents WHERE doc_id < 400)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   val queries: Map[String, Q] = battery.map(b => (b._1, b._2)).toMap

@@ -66,4 +66,26 @@ object Bloom {
       .join(dim.select(col(dimKey)).distinct(),
         col(factKey) === col(dimKey), "left_semi")
   }
+
+  /** `batch` rows whose `batchKey` does NOT appear in `seen`.`seenKey` —
+    * exactly the left-anti join, computed the incremental-ingest way: a
+    * Bloom-negative row is DEFINITELY new (no false negatives) and passes
+    * map-side with no join at all; only Bloom-positive rows — the true
+    * duplicates plus the filter's ~fp-rate — are verified by the exact
+    * anti-join. Deduping a daily batch against a corpus-scale key set thus
+    * shuffles a few percent of the batch instead of all of it; the `seen`
+    * side ships as `m/8` control-plane bytes however big the corpus is
+    * (size m to the corpus key count for the fp-rate you want).
+    */
+  def antiJoinPrefiltered(batch: DataFrame, batchKey: String,
+                          seen: DataFrame, seenKey: String,
+                          m: Int = 1 << 16, k: Int = 3): DataFrame = {
+    val bits = build(seen, seenKey, m, k)
+    val probe = mightContain(bits, col(batchKey))
+    val definitelyNew = batch.filter(!probe)
+    val verified = batch.filter(probe)
+      .join(seen.select(col(seenKey)).distinct(),
+        col(batchKey) === col(seenKey), "left_anti")
+    definitelyNew.unionByName(verified)
+  }
 }

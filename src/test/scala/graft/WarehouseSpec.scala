@@ -105,6 +105,16 @@ class WarehouseSpec extends SparkSpec {
     assert(out.toSeq == (3L to 50L by 3L).toSeq)
   }
 
+  test("antiJoinPrefiltered = exact anti join (bloom-negatives skip the join)") {
+    val seen = (1L to 100L).filter(_ % 2 == 0).toDF("sk")
+    val batch = (50L to 150L).toDF("bk")
+    val out = Bloom.antiJoinPrefiltered(batch, "bk", seen, "sk",
+      m = 512, k = 3).collect().map(_.getLong(0)).sorted.toSeq
+    // expected: odds in 50..100 plus everything above 100
+    val expected = ((50L to 100L).filter(_ % 2 == 1) ++ (101L to 150L)).sorted
+    assert(out == expected, s"got $out")
+  }
+
   test("bloom probe prunes most non-members at sane sizing") {
     val dim = (1L to 100L).toDF("dk")
     val bits = Bloom.build(dim, "dk", m = 1 << 12, k = 3)
