@@ -229,5 +229,78 @@ class PropertySpec extends SparkSpec {
       .foreach(g => MediaCodecs.decodeBmp(g)) // must not throw
   }
 
+  test("chunking partition law: stride=window chunks reassemble every doc") {
+    val textGen = Gen.listOf(Gen.oneOf("alpha", "beta", "g", "dd", "ee1"))
+      .map(_.mkString(" "))
+    samples(Gen.listOfN(8, textGen), 10).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      for (w <- Seq(1, 3, 7)) {
+        val rows = graft.ops.Chunking.chunkDocuments(df, "id", "text", w, w)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+        val rebuilt = rows.groupBy(_._1).view.mapValues(
+          _.sortBy(_._2).map(_._3).mkString(" ")).toMap
+        texts.zipWithIndex.foreach { case (t, i) =>
+          val toks = t.trim.split("\\s+").filter(_ => t.trim.nonEmpty)
+          val expect = toks.mkString(" ")
+          assert(rebuilt.getOrElse(i.toLong, "") == expect,
+            s"doc $i with window=$w: '$t'")
+        }
+      }
+    }
+  }
+
+  test("zOrderKey is bijective and per-dimension monotone on generated grids") {
+    val pairGen = Gen.zip(Gen.choose(0L, 31L), Gen.choose(0L, 31L))
+    samples(Gen.listOfN(40, pairGen), 6).foreach { pts =>
+      val df = pts.distinct.toDF("x", "y")
+      val keyed = df.select(col("x"), col("y"),
+        graft.ops.Layout.zOrderKey(Seq(col("x"), col("y")), 5).as("z"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      // injective on distinct points
+      assert(keyed.map(_._2).distinct.length == keyed.length)
+      // fixing one coordinate, z is strictly monotone in the other
+      keyed.groupBy(_._1._2).values.foreach { row =>
+        val sorted = row.sortBy(_._1._1)
+        assert(sorted.map(_._2).toSeq == sorted.map(_._2).sorted.toSeq)
+      }
+      keyed.groupBy(_._1._1).values.foreach { colm =>
+        val sorted = colm.sortBy(_._1._2)
+        assert(sorted.map(_._2).toSeq == sorted.map(_._2).sorted.toSeq)
+      }
+    }
+  }
+
+  test("bloom has no false negatives on generated key sets") {
+    val keysGen = Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    samples(keysGen, 8).foreach { keys =>
+      val dim = keys.toDF("k")
+      val bits = graft.ops.Bloom.build(dim, "k", m = 1 << 10, k = 3)
+      val missed = dim.filter(!graft.ops.Bloom.mightContain(bits, col("k")))
+        .count()
+      assert(missed == 0, s"false negatives on $keys")
+    }
+  }
+
+  test("mergeLatest is idempotent: re-applying the same updates is a no-op") {
+    val rowGen = Gen.zip(Gen.choose(0L, 20L), Gen.alphaStr.map(_.take(4)),
+      Gen.choose(0L, 5L))
+    samples(Gen.zip(Gen.listOfN(30, rowGen), Gen.listOfN(10, rowGen)), 6)
+      .foreach { case (baseRows, updRaw) =>
+        // dedup (key, version) in updates — ties among updates themselves
+        // are out of contract (caller pre-compacts)
+        val updRows = updRaw.groupBy(r => (r._1, r._3)).values.map(_.head).toSeq
+        val base = baseRows.groupBy(r => (r._1, r._3)).values.map(_.head)
+          .toSeq.toDF("k", "v", "ver")
+        val upd = updRows.toDF("k", "v", "ver")
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+            .sortBy(t => (t._1, t._3, t._2)).toSeq
+        val once = graft.ops.Warehouse.mergeLatest(base, upd, Seq("k"), "ver")
+        val twice = graft.ops.Warehouse.mergeLatest(once, upd, Seq("k"), "ver")
+        assert(canon(twice) == canon(once))
+      }
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
