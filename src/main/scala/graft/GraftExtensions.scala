@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArgmaxCosine, ArgminSqDist, BloomContains, DotProduct, LongDotProduct, LshBucket, MinHashSignature, PyJsonRender, QuantizeVector, SimHash}
+import graft.functions.{ArgmaxCosine, ArgminSqDist, BloomContains, DotProduct, LongDotProduct, LshBucket, MinHashSignature, NfcNormalize, PyJsonRender, QuantizeVector, SimHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -73,6 +73,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bloom"),
       new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom"),
       (children: Seq[Expression]) => BloomContains(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_pyjson"),
       new ExpressionInfo(classOf[PyJsonRender].getName, "graft_pyjson"),

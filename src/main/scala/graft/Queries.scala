@@ -2415,7 +2415,30 @@ object Queries {
       Some("""SELECT doc_id FROM documents WHERE doc_id >= 200
              |AND md5(text) NOT IN (
              |  SELECT md5(text) FROM documents WHERE doc_id < 400)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Canonical text normalization: Unicode NFC (native graft_nfc kernel vs
+    // DuckDB's utf8proc nfc_normalize — same Unicode tables), simple
+    // lowercase, whitespace collapse. The suffix injects decomposed
+    // combining sequences (é, Å, ö), mixed case and a tab — the corpus
+    // itself is pure ASCII, so the fixture carries the i18n work.
+    ("q_normalize_text",
+      (s: SparkSession, d: String) =>
+        tbl(s, d, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            TextAnalysis.normalizeText(
+              concat(col("text"),
+                // the literal below holds DECOMPOSED sequences (e+U+0301,
+                // A+U+030A, o+U+0308) — NFC genuinely composes them
+                lit(" Café  Ångström\tN2")))
+              .as("norm_text"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             | trim(regexp_replace(lower(nfc_normalize(
+             |   text || ' Cafe' || chr(769) || '  A' || chr(778) ||
+             |   'ngstro' || chr(776) || 'm' || chr(9) || 'N2')),
+             |   '\s+', ' ', 'g')) AS norm_text
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
   )
 
   val queries: Map[String, Q] = battery.map(b => (b._1, b._2)).toMap

@@ -289,6 +289,18 @@ object TextAnalysis {
         Nums.round6(coalesce(col("top_bigram_frac"), lit(0.0))).as("top_bigram_frac"))
   }
 
+  /** Canonical text normalization (the step BEFORE fingerprinting/dedup so
+    * byte-different spellings of the same text collapse): Unicode NFC
+    * composition (native `graft_nfc` kernel), optional simple lowercase,
+    * whitespace runs collapsed to single spaces, ends trimmed. Map-only,
+    * codegen'd end to end.
+    */
+  def normalizeText(text: Column, casefold: Boolean = true): Column = {
+    val nfc = call_function("graft_nfc", text)
+    val folded = if (casefold) lower(nfc) else nfc
+    trim(regexp_replace(folded, "\\s+", " "))
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized lowercase text —
     * byte-stable across engines (oracle-checkable exact-dup key).
     */

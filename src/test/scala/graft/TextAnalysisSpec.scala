@@ -149,4 +149,30 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(again == half)
   }
+
+  test("normalizeText: NFC composes, casefolds, collapses whitespace") {
+    val rows = Seq(
+      (1L, "Café  du\tMonde"), // e + combining acute, run + tab
+      (2L, "Ångström"), // A + ring, o + diaeresis
+      (3L, "  plain ascii  "),
+      (4L, "")).toDF("id", "text")
+    val out = rows.select(col("id"),
+      TextAnalysis.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "café du monde", s"got '${out(1L)}'")
+    assert(out(2L) == "ångström", s"got '${out(2L)}'")
+    assert(out(3L) == "plain ascii")
+    assert(out(4L) == "")
+    // two byte-different spellings of the same text now fingerprint equal
+    val fp = Seq((1L, "Café"), (2L, "Café")).toDF("id", "text")
+      .select(TextAnalysis.fingerprintMd5(
+        TextAnalysis.normalizeText(col("text"))).as("f"))
+      .collect().map(_.getString(0)).distinct
+    assert(fp.length == 1, "NFC-normalized spellings must collapse")
+    // case preserved when casefold off
+    val keep = rows.filter(col("id") === 1)
+      .select(TextAnalysis.normalizeText(col("text"), casefold = false))
+      .collect()(0).getString(0)
+    assert(keep == "Café du Monde", s"got '$keep'")
+  }
 }
