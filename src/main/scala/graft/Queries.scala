@@ -238,6 +238,11 @@ object Queries {
       s"CASE WHEN list_sum(list_transform(list_zip($e, $pl), p -> p[1]*p[2])) >= 0 THEN '1' ELSE '0' END")
       .mkString("concat(", ", ", ")")
 
+  /** DuckDB: the CMS depth-row multipliers as VALUES rows — the same
+    * deterministic constants `Sketches.multipliers` uses. */
+  private val dCmsSeeds: String = graft.ops.Sketches.multipliers(3).zipWithIndex
+    .map { case (a, s) => s"($s::BIGINT, $a::BIGINT)" }.mkString(", ")
+
   /** DuckDB: the Morton/Z-order bit interleave of `cols` (low `bits` bits
     * each) — mirrors `Layout.zOrderKey`'s shift/mask expression tree. */
   private def dZOrder(cols: Seq[String], bits: Int): String = {
@@ -2438,7 +2443,33 @@ object Queries {
              |   text || ' Cafe' || chr(769) || '  A' || chr(778) ||
              |   'ngstro' || chr(776) || 'm' || chr(9) || 'N2')),
              |   '\s+', ' ', 'g')) AS norm_text
-             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    // Count-Min heavy hitters: polynomial hashing makes every sketch cell
+    // exact integer arithmetic, so the WHOLE sketch — build, probe, min —
+    // replays bit-identically in SQL (no tolerance bound needed).
+    ("q_heavy_hitters",
+      (s: SparkSession, d: String) => {
+        val li = tbl(s, d, "lineitem").select(col("l_suppkey"))
+        val sk = graft.ops.Sketches.countMin(li, "l_suppkey", depth = 3, width = 256)
+        graft.ops.Sketches.estimate(sk, li, "l_suppkey", depth = 3, width = 256)
+          .orderBy(desc("est"), asc("l_suppkey")).limit(20)
+      },
+      Some(s"""WITH src AS (SELECT l_suppkey AS key FROM lineitem),
+              |seeds(srow, a) AS (VALUES $dCmsSeeds),
+              |cells AS (
+              |  SELECT srow, (((key + 1) * a) % 2305843009213693951) % 256 AS pos,
+              |    count(*)::BIGINT AS cnt
+              |  FROM src CROSS JOIN seeds GROUP BY srow, pos),
+              |probes AS (
+              |  SELECT DISTINCT key, srow,
+              |    (((key + 1) * a) % 2305843009213693951) % 256 AS pos
+              |  FROM src CROSS JOIN seeds),
+              |est AS (
+              |  SELECT key, min(coalesce(cnt, 0))::BIGINT AS est
+              |  FROM probes LEFT JOIN cells USING (srow, pos) GROUP BY key)
+              |SELECT key AS l_suppkey, est FROM est
+              |ORDER BY est DESC, key LIMIT 20""".stripMargin))
   )
 
   val queries: Map[String, Q] = battery.map(b => (b._1, b._2)).toMap

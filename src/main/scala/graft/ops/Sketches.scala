@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch aggregation (extension mandate, SURVEY §2.3) — the
+  * fixed-size frequency summary for streaming/mergeable heavy-hitter
+  * detection, rounding out the sketch set (HLL distinct counts, quantile
+  * sketches, Bloom membership are already in the battery).
+  *
+  * Hashing is polynomial (`((key+1)·A_s) mod P mod width`, fixed odd
+  * multipliers, Mersenne-prime P) rather than an engine-specific hash, so
+  * every cell — and therefore every estimate — is exact integer arithmetic
+  * that replays bit-identically in SQL: the WHOLE sketch sits under the
+  * cross-engine hash check, not just a tolerance bound.
+  *
+  * Scale shape: building is one explode(depth) + hash-agg with map-side
+  * combine — shuffle volume ≤ depth×width rows however big the input —
+  * and the sketch table is depth×width cells (control-plane size).
+  * Estimates join candidates against the sketch per row of depth, then
+  * take the min — all broadcast-sized joins.
+  */
+object Sketches {
+
+  /** Mersenne prime 2⁶¹−1: big enough that `(key+1)·A` never collides the
+    * mod for realistic keys, and products stay within Long for A < 2³¹.
+    * Keys must stay below ~2³² so the product fits a long — pre-fold a
+    * larger/string domain down first (e.g. a fingerprint mod 2³²). */
+  private val P = 2305843009213693951L
+
+  /** Deterministic odd multipliers per depth row (same construction idea as
+    * the MinHash coefficient table: fixed, engine-neutral). */
+  private[graft] def multipliers(depth: Int): Seq[Long] =
+    (0 until depth).map(s => 2654435761L + 2L * s * 40503L + 1L)
+
+  /** The CMS cell coordinates of `key` (long column) for row `s`. */
+  private def pos(key: Column, a: Long, width: Int): Column =
+    pmod(pmod((key + 1L) * a, lit(P)), lit(width.toLong))
+
+  /** Build the sketch: (`row`, `pos`, `cnt`) cells — at most depth×width
+    * rows, zero cells omitted. `weightCol` optionally adds per-row weights
+    * (defaults to 1 per row). */
+  def countMin(df: DataFrame, keyCol: String, depth: Int, width: Int,
+               weightCol: Option[String] = None): DataFrame = {
+    require(depth > 0 && width > 0, s"bad CMS shape $depth x $width")
+    val as = multipliers(depth)
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val cells = as.zipWithIndex.map { case (a, s) =>
+      struct(lit(s).cast("long").as("row"),
+        pos(col(keyCol).cast("long"), a, width).as("pos"), w.as("w"))
+    }
+    df.select(explode(array(cells: _*)).as("c"))
+      .groupBy(col("c.row").as("row"), col("c.pos").as("pos"))
+      .agg(sum(col("c.w")).as("cnt"))
+  }
+
+  /** Point-estimate the frequency of every key in `candidates`: the min
+    * over depth rows of that key's cell — the classic CMS upper bound
+    * (never under-estimates; over-estimates by collision mass only). */
+  def estimate(sketch: DataFrame, candidates: DataFrame, keyCol: String,
+               depth: Int, width: Int): DataFrame = {
+    val as = multipliers(depth)
+    val k = candidates.select(col(keyCol)).distinct()
+    val probes = as.zipWithIndex.map { case (a, s) =>
+      k.select(col(keyCol), lit(s).cast("long").as("row"),
+        pos(col(keyCol).cast("long"), a, width).as("pos"))
+    }.reduce(_ unionByName _)
+    probes.join(sketch, Seq("row", "pos"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.ops.Sketches
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CMS never underestimates; exact when width dwarfs the key set") {
+    // 3 keys with known frequencies, width 1024 → no collisions in practice
+    val rows = (Seq.fill(50)(1L) ++ Seq.fill(30)(2L) ++ Seq.fill(5)(3L))
+      .toDF("k")
+    val sk = Sketches.countMin(rows, "k", depth = 3, width = 1024)
+    val est = Sketches.estimate(sk, rows, "k", depth = 3, width = 1024)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est == Map(1L -> 50L, 2L -> 30L, 3L -> 5L), s"got $est")
+  }
+
+  test("CMS estimates upper-bound exact counts under forced collisions") {
+    // width 4 forces heavy collisions among 64 keys; the CMS guarantee
+    // (est >= exact, always) must still hold for every key
+    val rows = (1L to 64L).flatMap(k => Seq.fill((k % 7 + 1).toInt)(k)).toDF("k")
+    val exact = rows.groupBy("k").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sk = Sketches.countMin(rows, "k", depth = 3, width = 4)
+    val est = Sketches.estimate(sk, rows, "k", depth = 3, width = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"CMS underestimated key $k: ${est(k)} < $c")
+    }
+  }
+
+  test("CMS sketch size is bounded by depth x width regardless of input") {
+    val rows = (1L to 10000L).toDF("k")
+    val cells = Sketches.countMin(rows, "k", depth = 3, width = 64).count()
+    assert(cells <= 3L * 64L, s"sketch must stay bounded, got $cells cells")
+  }
+
+  test("weighted CMS sums weights, not rows") {
+    val rows = Seq((1L, 10L), (1L, 5L), (2L, 7L)).toDF("k", "w")
+    val sk = Sketches.countMin(rows, "k", depth = 3, width = 1024,
+      weightCol = Some("w"))
+    val est = Sketches.estimate(sk, rows, "k", depth = 3, width = 1024)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est == Map(1L -> 15L, 2L -> 7L), s"got $est")
+  }
+}
