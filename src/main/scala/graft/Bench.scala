@@ -77,10 +77,17 @@ object Bench {
     val noisy = results.collect {
       case (k, med, sp) if sp > math.max(0.25 * med, 0.25) => "\"" + k + "\""
     }
-    def line(fmt: Double => String, full: Boolean): String = {
+    def line(fmt: Double => String, full: Boolean,
+             omitZeros: Boolean = false): String = {
       def key(k: String) = if (full) k else k.stripPrefix("q_")
-      val qs = results.map { case (k, v, _) => "\"" + key(k) + "\":" + fmt(v) }
+      val rendered = results.map { case (k, v, _) => (key(k), fmt(v)) }
+      val (zeros, kept) =
+        if (omitZeros) rendered.partition(_._2 == "0")
+        else (Nil, rendered)
+      val qs = kept.map { case (k, s) => "\"" + k + "\":" + s }
         .mkString("{", ",", "}")
+      val omitted = if (zeros.nonEmpty)
+        s""","sub150ms_omitted":${zeros.length}""" else ""
       val extra = if (full)
         results.map { case (k, _, s) => "\"" + k + "\":" + fmt(s) }
           .mkString(""","spread":{""", ",", "}") +
@@ -92,7 +99,7 @@ object Bench {
       // contract; every value is seconds) to stay inside the tail budget
       val head = if (full) s""""unit":"sec","n_runs":$repeat,""" else ""
       s"""{"metric":"total","value":${fmt(total)},$head""" +
-        s""""queries":$qs$extra,"sf":"$sf"}"""
+        s""""queries":$qs$extra$omitted,"sf":"$sf"}"""
     }
     try {
       java.nio.file.Files.write(
@@ -106,12 +113,22 @@ object Bench {
       else s
     def compact(v: Double): String =
       strip(if (v >= 0.995) f"$v%.1f" else f"$v%.2f")
-    // belt-and-braces for future query additions: if even the compact
-    // rendering outgrows the tail budget, coarsen sub-second values to one
-    // decimal (full precision is in graft_bench_full.json either way)
+    // belt-and-braces for future query additions, three tiers: (1) the
+    // compact line; if that outgrows the tail budget (driver keeps the
+    // LAST 2000 stdout chars; "[info] " prefix + sbt's success line eat
+    // ~80), (2) coarsen sub-second values to one decimal; if STILL over,
+    // (3) render sub-150ms entries as 0 and drop them from the map,
+    // reporting how many ("sub150ms_omitted"). Full precision is in
+    // graft_bench_full.json at every tier.
     def coarse(v: Double): String = strip(f"$v%.1f")
-    val stdout = line(compact, full = false)
-    println(if (stdout.length <= 1880) stdout else line(coarse, full = false))
+    def floor150(v: Double): String = if (v < 0.15) "0" else coarse(v)
+    val budget = 1910
+    val tiers = Iterator(
+      line(compact, full = false),
+      line(coarse, full = false),
+      line(floor150, full = false, omitZeros = true))
+    println(tiers.find(_.length <= budget)
+      .getOrElse(line(floor150, full = false, omitZeros = true)))
     spark.stop()
   }
 }

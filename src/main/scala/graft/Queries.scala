@@ -2469,7 +2469,31 @@ object Queries {
               |  SELECT key, min(coalesce(cnt, 0))::BIGINT AS est
               |  FROM probes LEFT JOIN cells USING (srow, pos) GROUP BY key)
               |SELECT key AS l_suppkey, est FROM est
-              |ORDER BY est DESC, key LIMIT 20""".stripMargin))
+              |ORDER BY est DESC, key LIMIT 20""".stripMargin)),
+
+    // Per-group IQR outlier gate: grouped percentile agg + broadcast of the
+    // tiny bounds table back onto the unshuffled fact side.
+    ("q_outliers_iqr",
+      (s: SparkSession, d: String) =>
+        graft.ops.Outliers.flagIqr(tbl(s, d, "orders"),
+          // k=0.5: the synthetic totalprice distribution is tail-less, so
+          // the textbook 1.5 fence flags nothing — tighten for a
+          // content-bearing check (operator default stays 1.5)
+          "o_orderpriority", "o_totalprice", k = 0.5)
+          .filter(col("is_outlier"))
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+          .orderBy("o_orderkey"),
+      Some("""WITH b AS (
+             |  SELECT o_orderpriority,
+             |    quantile_cont(o_totalprice, 0.25) AS q1,
+             |    quantile_cont(o_totalprice, 0.75) AS q3
+             |  FROM orders GROUP BY o_orderpriority),
+             |f AS (SELECT o_orderpriority, q1 - (q3 - q1) * 0.5 AS lo,
+             |  q3 + (q3 - q1) * 0.5 AS hi FROM b)
+             |SELECT o_orderkey, o_orderpriority, o_totalprice
+             |FROM orders JOIN f USING (o_orderpriority)
+             |WHERE o_totalprice < lo OR o_totalprice > hi
+             |ORDER BY o_orderkey""".stripMargin))
   )
 
   val queries: Map[String, Q] = battery.map(b => (b._1, b._2)).toMap
