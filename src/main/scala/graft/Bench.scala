@@ -123,12 +123,13 @@ object Bench {
     def coarse(v: Double): String = strip(f"$v%.1f")
     def floor150(v: Double): String = if (v < 0.15) "0" else coarse(v)
     val budget = 1910
-    val tiers = Iterator(
-      line(compact, full = false),
-      line(coarse, full = false),
-      line(floor150, full = false, omitZeros = true))
-    println(tiers.find(_.length <= budget)
-      .getOrElse(line(floor150, full = false, omitZeros = true)))
+    val t1 = line(compact, full = false)
+    lazy val t2 = line(coarse, full = false)
+    lazy val t3 = line(floor150, full = false, omitZeros = true)
+    println(
+      if (t1.length <= budget) t1
+      else if (t2.length <= budget) t2
+      else t3)
     spark.stop()
   }
 }

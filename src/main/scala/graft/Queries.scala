@@ -2330,10 +2330,12 @@ object Queries {
     // positives, so the result IS the semi-join — which is the oracle.
     ("q_bloom_join",
       (s: SparkSession, d: String) =>
+        // m=2^17: ~13.7k dim keys at sf1 × k=3 needs ≥2^17 bits to keep
+        // the fp rate ~1% — at 2^14 the filter saturates and prunes little
         Bloom.semiJoinPrefiltered(
           tbl(s, d, "orders"), "o_custkey",
           tbl(s, d, "customer").filter(col("c_acctbal") > 9000), "c_custkey",
-          m = 1 << 14, k = 3)
+          m = 1 << 17, k = 3)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
           .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders

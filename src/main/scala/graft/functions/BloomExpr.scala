@@ -49,7 +49,9 @@ case class BloomContains(children: Seq[Expression]) extends Expression {
 
   private def bitSet(p: Long): Boolean = {
     val w = (p >>> 6).toInt
-    w < words.length && ((words(w) >>> (p & 63).toInt) & 1L) == 1L
+    // w can go negative via int truncation for p ≥ 2^37 — both bounds
+    // matter for the documented never-throw contract
+    w >= 0 && w < words.length && ((words(w) >>> (p & 63).toInt) & 1L) == 1L
   }
 
   override def eval(input: InternalRow): Any = {
@@ -73,7 +75,7 @@ case class BloomContains(children: Seq[Expression]) extends Expression {
          |  if (${g.isNull}) { ${ev.isNull} = true; }
          |  else {
          |    int $wIdx = (int) (${g.value} >>> 6);
-         |    if ($wIdx >= $wRef.length ||
+         |    if ($wIdx < 0 || $wIdx >= $wRef.length ||
          |        ((($wRef[$wIdx]) >>> (${g.value} & 63L)) & 1L) != 1L) {
          |      ${ev.value} = false;
          |    }

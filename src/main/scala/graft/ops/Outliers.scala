@@ -23,10 +23,15 @@ object Outliers {
     val bounds = df.groupBy(groupCol).agg(
       expr(s"percentile($valueCol, 0.25)").as("__q1"),
       expr(s"percentile($valueCol, 0.75)").as("__q3"))
-      .select(col(groupCol),
+      .select(col(groupCol).as("__g"),
         (col("__q1") - (col("__q3") - col("__q1")) * k).as("lo"),
         (col("__q3") + (col("__q3") - col("__q1")) * k).as("hi"))
-    df.join(broadcast(bounds), groupCol)
-      .withColumn("is_outlier", col(valueCol) < col("lo") || col(valueCol) > col("hi"))
+    // null-safe join: groupBy emits a bounds row for the null group, and a
+    // plain equi-join would silently DROP those input rows — exactly the
+    // rows a data-quality gate must keep
+    df.join(broadcast(bounds), col(groupCol) <=> col("__g"), "left")
+      .drop("__g")
+      .withColumn("is_outlier", coalesce(
+        col(valueCol) < col("lo") || col(valueCol) > col("hi"), lit(false)))
   }
 }

@@ -29,9 +29,12 @@ object Sketches {
   private val P = 2305843009213693951L
 
   /** Deterministic odd multipliers per depth row (same construction idea as
-    * the MinHash coefficient table: fixed, engine-neutral). */
+    * the MinHash coefficient table: fixed, engine-neutral). Oddness is
+    * load-bearing: an even multiplier shares a power-of-two factor with the
+    * usual power-of-two widths and strands whole residue classes of cells
+    * (`| 1L` exactly as the MinHash coeffs do). */
   private[graft] def multipliers(depth: Int): Seq[Long] =
-    (0 until depth).map(s => 2654435761L + 2L * s * 40503L + 1L)
+    (0 until depth).map(s => (2654435761L + 2L * s * 40503L) | 1L)
 
   /** The CMS cell coordinates of `key` (long column) for row `s`. */
   private def pos(key: Column, a: Long, width: Int): Column =

@@ -30,9 +30,14 @@ object Warehouse {
   def scd2(df: DataFrame, keyCol: String, attrCol: String,
            tsCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    // Null attributes are ordinary values: wrap the lag in a struct so a
+    // null __prev means "no previous row" (not "previous attr was null"),
+    // and compare null-safely — a→null IS a change, null→null is NOT.
     val changes = df
-      .withColumn("__prev", lag(col(attrCol), 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .withColumn("__prev",
+        lag(struct(col(attrCol).as("a")), 1).over(w))
+      .filter(col("__prev").isNull ||
+        !(col("__prev.a") <=> col(attrCol)))
     // The second window runs over the change rows only (far smaller than
     // the input); same partitioning key, so AQE coalesces the two shuffles
     // into one stage boundary on `keyCol`.

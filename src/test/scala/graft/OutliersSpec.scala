@@ -25,4 +25,16 @@ class OutliersSpec extends SparkSpec {
     assert(out.count() == 3)
     assert(out.columns.toSeq == Seq("g", "v", "lo", "hi", "is_outlier"))
   }
+
+  test("flagIqr keeps null-group rows and flags within the null group") {
+    val rows = (Seq.fill(9)(1.0).zipWithIndex.map { case (v, i) =>
+      (None: Option[String], v + i)
+    } :+ (None -> 100.0)) ++ Seq(Some("x") -> 5.0)
+    val df = rows.map { case (g, v) => (g.orNull, v) }.toDF("g", "v")
+    val out = Outliers.flagIqr(df, "g", "v").collect()
+    assert(out.length == 11, "null-group rows must survive the bounds join")
+    val nullRows = out.filter(_.isNullAt(0))
+    assert(nullRows.length == 10)
+    assert(nullRows.count(_.getBoolean(4)) == 1, "the 100.0 must flag")
+  }
 }

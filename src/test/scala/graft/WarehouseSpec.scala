@@ -59,6 +59,22 @@ class WarehouseSpec extends SparkSpec {
     assert(out.filter(_.getBoolean(5)).length == 2) // one current per key
   }
 
+  test("scd2 treats null attrs as values: a→null is a change, nulls collapse") {
+    val rows = Seq(
+      (1L, Some("a"), 10L, 1L),
+      (1L, None, 20L, 2L), // change to null
+      (1L, None, 30L, 3L), // same (null) → collapses
+      (1L, Some("b"), 40L, 4L)
+    ).toDF("k", "a", "ts", "tie")
+    val out = Warehouse.scd2(rows, "k", "a", "ts", "tie")
+      .orderBy("version").collect()
+    assert(out.length == 3, s"expected a→null→b, got ${out.length} versions")
+    assert(out.map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("a"), None, Some("b")))
+    assert(out.map(_.getLong(2)).toSeq == Seq(10L, 20L, 40L)) // valid_from
+    assert(out.filter(_.getBoolean(5)).map(_.getString(1)).toSeq == Seq("b"))
+  }
+
   test("scd2 orders equal timestamps by the tiebreaker deterministically") {
     val tie = Seq((1L, "x", 10L, 2L), (1L, "y", 10L, 1L)).toDF("k", "a", "ts", "tie")
     val out = Warehouse.scd2(tie, "k", "a", "ts", "tie").orderBy("version").collect()
