@@ -237,4 +237,29 @@ class StreamingSpec extends SparkSpec {
         s"one event at 00:07 must hit the 00:00 and 00:05 windows, got ${starts.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming CMS: micro-batch cells converge to the batch sketch (mergeable)") {
+    // CMS cells merge by plain summation, so the same countMin plan runs
+    // unchanged as a streaming stateful aggregation — complete mode's
+    // state IS the sketch
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val sk = graft.ops.Sketches.countMin(
+      mem.toDF().toDF("k"), "k", depth = 3, width = 64)
+    val q = sk.writeStream.format("memory").queryName("cms")
+      .outputMode("complete").start()
+    try {
+      mem.addData(1L, 2L, 2L, 3L)
+      q.processAllAvailable()
+      mem.addData(3L, 3L, 4L)
+      q.processAllAvailable()
+      val streamed = spark.table("cms").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      val batch = graft.ops.Sketches.countMin(
+        Seq(1L, 2L, 2L, 3L, 3L, 3L, 4L).toDF("k"), "k", depth = 3, width = 64)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(streamed == batch,
+        s"streamed cells must equal the batch sketch: $streamed vs $batch")
+    } finally q.stop()
+  }
 }
