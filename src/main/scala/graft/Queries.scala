@@ -2495,7 +2495,25 @@ object Queries {
              |SELECT o_orderkey, o_orderpriority, o_totalprice
              |FROM orders JOIN f USING (o_orderpriority)
              |WHERE o_totalprice < lo OR o_totalprice > hi
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Edit-distance fuzzy self-join (entity resolution): customer names
+    // differ only in their digit block, so dist≤1 pairs are ids one digit
+    // apart. The length-band blocking is COMPLETE for dist ≤ maxDist, so
+    // the oracle replays the NAIVE all-pairs join — hash-equality also
+    // proves the blocking missed nothing.
+    ("q_fuzzy_join",
+      (s: SparkSession, d: String) =>
+        graft.ops.FuzzyJoin.selfJoin(
+          tbl(s, d, "customer").filter(col("c_custkey") < 500),
+          "c_custkey", "c_name", maxDist = 1)
+          .orderBy("id_a", "id_b"),
+      Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             |  levenshtein(a.c_name, b.c_name)::INT AS dist
+             |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+             |WHERE a.c_custkey < 500 AND b.c_custkey < 500
+             |  AND levenshtein(a.c_name, b.c_name) <= 1
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 
   val queries: Map[String, Q] = battery.map(b => (b._1, b._2)).toMap
