@@ -2513,7 +2513,68 @@ object Queries {
              |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
              |WHERE a.c_custkey < 500 AND b.c_custkey < 500
              |  AND levenshtein(a.c_name, b.c_name) <= 1
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Column profiling: per-column row/null/distinct counts and min/max.
+    ("q_profile",
+      (s: SparkSession, d: String) =>
+        graft.ops.Profile.profile(tbl(s, d, "orders"),
+          Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
+          .orderBy("col_name"),
+      Some("""SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+             |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+             |  count(DISTINCT o_orderkey) AS n_distinct,
+             |  min(o_orderkey)::VARCHAR AS min_value,
+             |  max(o_orderkey)::VARCHAR AS max_value FROM orders
+             |UNION ALL
+             |SELECT 'o_orderstatus', count(*),
+             |  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             |  count(DISTINCT o_orderstatus),
+             |  min(o_orderstatus), max(o_orderstatus) FROM orders
+             |UNION ALL
+             |SELECT 'o_orderpriority', count(*),
+             |  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             |  count(DISTINCT o_orderpriority),
+             |  min(o_orderpriority), max(o_orderpriority) FROM orders
+             |ORDER BY col_name""".stripMargin)),
+
+    // Incremental aggregate maintenance: base partials (orderkey < 30000)
+    // merged with the delta batch's partials MUST equal the full
+    // aggregation — which is the oracle.
+    ("q_incremental_agg",
+      (s: SparkSession, d: String) => {
+        def partial(f: DataFrame) = f.groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("qty"))
+        val li = tbl(s, d, "lineitem")
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_quantity"))
+        Warehouse.mergeAggregates(
+          partial(li.filter(col("l_orderkey") < 30000)),
+          partial(li.filter(col("l_orderkey") >= 30000)),
+          Seq("l_suppkey"), Seq("n", "qty"))
+          .orderBy("l_suppkey")
+      },
+      Some("""SELECT l_suppkey, count(*) AS n,
+             |  sum(l_quantity::BIGINT)::BIGINT AS qty
+             |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
+    // Anti-entropy reconciliation: fingerprint sets of two overlapping
+    // corpus slices — keys on exactly one side, tagged.
+    ("q_reconcile",
+      (s: SparkSession, d: String) => {
+        val fp = md5(col("text")).as("fp")
+        Warehouse.reconcile(
+          tbl(s, d, "documents").filter(col("doc_id") < 350).select(fp),
+          tbl(s, d, "documents").filter(col("doc_id") >= 150).select(fp),
+          "fp")
+          .orderBy("side", "fp")
+      },
+      Some("""WITH a AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 350),
+             |b AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id >= 150)
+             |SELECT fp, 'a_only' AS side FROM a WHERE fp NOT IN (SELECT fp FROM b)
+             |UNION ALL
+             |SELECT fp, 'b_only' FROM b WHERE fp NOT IN (SELECT fp FROM a)
+             |ORDER BY side, fp""".stripMargin))
   )
 
   val queries: Map[String, Q] = battery.map(b => (b._1, b._2)).toMap

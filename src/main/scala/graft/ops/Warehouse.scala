@@ -50,6 +50,37 @@ object Warehouse {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Incremental aggregate maintenance: merge a `delta` batch's partial
+    * aggregates into a `base` aggregate table without rescanning base —
+    * the materialized-view update pattern. Works for any
+    * commutative-monoid aggregates (counts and sums here): union the two
+    * partial tables and re-reduce on the key. One shuffle over
+    * |base|+|delta| AGGREGATE rows (≪ raw facts); bucket both sides on
+    * the key and the exchange disappears.
+    */
+  def mergeAggregates(base: DataFrame, delta: DataFrame, keyCols: Seq[String],
+                      sumCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "mergeAggregates: need at least one key column")
+    require(sumCols.nonEmpty, "mergeAggregates: need at least one sum column")
+    base.unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(sumCols.head).as(sumCols.head),
+        sumCols.tail.map(c => sum(c).as(c)): _*)
+  }
+
+  /** Anti-entropy reconciliation of two datasets by `keyCol`: keys present
+    * on exactly one side, tagged `a_only` / `b_only` — two anti-joins and
+    * a union, nothing quadratic. Run it between corpus replicas (or a
+    * corpus and its index) to find drift.
+    */
+  def reconcile(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    val ka = a.select(col(keyCol)).distinct()
+    val kb = b.select(col(keyCol)).distinct()
+    ka.join(kb, Seq(keyCol), "left_anti").withColumn("side", lit("a_only"))
+      .unionByName(
+        kb.join(ka, Seq(keyCol), "left_anti").withColumn("side", lit("b_only")))
+  }
+
   /** CDC latest-wins merge: apply `updates` over `base` by `keyCols`,
     * keeping for each key the row with the highest `versionCol`; at equal
     * versions an update beats a base row. Keys present only in `updates`

@@ -108,6 +108,28 @@ class WarehouseSpec extends SparkSpec {
       Warehouse.mergeLatest(base, base, Seq.empty, "ver"))
   }
 
+  test("mergeAggregates: base + delta partials equal the full aggregate") {
+    val facts = (1L to 100L).map(i => (i % 7, i)).toDF("k", "v")
+    def partial(f: org.apache.spark.sql.DataFrame) =
+      f.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val merged = Warehouse.mergeAggregates(
+      partial(facts.filter(col("v") <= 60)),
+      partial(facts.filter(col("v") > 60)),
+      Seq("k"), Seq("n", "s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = partial(facts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == full)
+  }
+
+  test("reconcile tags one-sided keys and ignores the intersection") {
+    val a = Seq(1L, 2L, 3L).toDF("k")
+    val b = Seq(2L, 3L, 4L, 4L).toDF("k") // dup key must not double-report
+    val out = Warehouse.reconcile(a, b, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "a_only"), (4L, "b_only")))
+  }
+
   // ---------------------------------------------------------------- bloom
 
   test("bloom: no false negatives ever; filter + exact join = semi join") {
