@@ -2569,11 +2569,14 @@ object Queries {
           "fp")
           .orderBy("side", "fp")
       },
+      // ANTI JOIN, not NOT IN: a NULL key would nullify a NOT IN subquery
+      // (dropping a whole side's diff) while Spark's left_anti keeps
+      // null-keyed rows — ANTI JOIN matches Spark's semantics exactly
       Some("""WITH a AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 350),
              |b AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id >= 150)
-             |SELECT fp, 'a_only' AS side FROM a WHERE fp NOT IN (SELECT fp FROM b)
+             |SELECT fp, 'a_only' AS side FROM a ANTI JOIN b USING (fp)
              |UNION ALL
-             |SELECT fp, 'b_only' FROM b WHERE fp NOT IN (SELECT fp FROM a)
+             |SELECT fp, 'b_only' FROM b ANTI JOIN a USING (fp)
              |ORDER BY side, fp""".stripMargin))
   )
 

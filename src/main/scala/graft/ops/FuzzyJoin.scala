@@ -37,9 +37,14 @@ object FuzzyJoin {
     val b = keyed.select(col("__b"), col("__id").as("id_b"), col("__s").as("s_b"))
     a.join(b, "__b")
       .filter(col("id_a") < col("id_b"))
+      // same-band pairs meet in TWO blocks (both emit b and b+1), and
+      // adjacent-band pairs can be up to 2·maxDist+1 apart in length —
+      // dedup and length-prefilter BEFORE the O(len²) levenshtein so each
+      // surviving pair pays the DP exactly once
+      .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      .select("id_a", "id_b", "s_a", "s_b").distinct()
       .select(col("id_a"), col("id_b"),
         levenshtein(col("s_a"), col("s_b")).as("dist"))
       .filter(col("dist") <= maxDist)
-      .distinct()
   }
 }

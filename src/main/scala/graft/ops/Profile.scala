@@ -5,34 +5,44 @@ import org.apache.spark.sql.functions._
 
 /** Column profiling (extension mandate, SURVEY §2.3): the one-glance data
   * summary every ingest pipeline runs first — per column: row count, null
-  * count, exact distinct count, min/max. One aggregation job per column
-  * over a shared scan (Spark unions the per-column plans; each is a
-  * hash-agg with map-side partials), results stacked into a tidy
-  * (col_name, …) table.
+  * count, exact distinct count, min/max.
   *
-  * `n_distinct` is exact (`countDistinct` — one shuffle per column); at
-  * corpus scale swap `approx_count_distinct` in via `exact = false`, the
-  * same dial the distinct-estimation queries expose.
+  * ONE scan: all columns' aggregates run in a single aggregation job (the
+  * multiple DISTINCT aggregates plan as one pass with an Expand — same IO,
+  * ×cols CPU on the expanded rows, the standard profiling trade). The
+  * single result row is control-plane and is stacked driver-side into the
+  * tidy (col_name, …) table — guaranteeing the input really is read once,
+  * which a union of per-column aggregate plans would not.
+  *
+  * `n_distinct` is exact by default; at corpus scale flip `exact = false`
+  * for HLL (`approx_count_distinct`), the same dial the
+  * distinct-estimation queries expose.
   */
 object Profile {
 
   /** Per-column stats of `cols`; min/max are aggregated in the column's
-    * native type, then rendered as strings so the profile stacks. */
+    * native type, then rendered as strings so the profile stacks. Null
+    * counts are `count(when(isNull))` — 0 on empty input, never null. */
   def profile(df: DataFrame, cols: Seq[String],
               exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile: need at least one column")
-    cols.map { c =>
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = cols.flatMap { c =>
       val distinctAgg =
-        if (exact) countDistinct(col(c))
-        else approx_count_distinct(col(c))
-      df.agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
-        distinctAgg.as("n_distinct"),
-        min(col(c)).cast("string").as("min_value"),
-        max(col(c)).cast("string").as("max_value"))
-        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
-          col("n_distinct"), col("min_value"), col("max_value"))
-    }.reduce(_ unionByName _)
+        if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+      Seq(
+        count(when(col(c).isNull, 1)).as(s"__nn_$c"),
+        distinctAgg.as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val r = df.agg(count(lit(1)).as("__n"), aggs: _*).collect()(0)
+    cols.map { c =>
+      (c, r.getAs[Long]("__n"), r.getAs[Long](s"__nn_$c"),
+        r.getAs[Long](s"__nd_$c"),
+        r.getAs[String](s"__mn_$c"), r.getAs[String](s"__mx_$c"))
+    }.toDF("col_name", "n_rows", "n_nulls", "n_distinct",
+      "min_value", "max_value")
   }
 }

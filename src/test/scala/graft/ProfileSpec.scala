@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Profile
+import org.apache.spark.sql.functions.col
 
 class ProfileSpec extends SparkSpec {
   import spark.implicits._
@@ -17,6 +18,13 @@ class ProfileSpec extends SparkSpec {
         r.getString(4), r.getString(5)))
     assert(out(0) == ("num", 4L, 1L, 2L, "1", "2"))
     assert(out(1) == ("str", 4L, 1L, 2L, "a", "b"))
+  }
+
+  test("profile of an empty frame: zeros, not nulls, null min/max") {
+    val out = Profile.profile(df.filter(col("num") > 100), Seq("num"))
+      .collect()(0)
+    assert(out.getLong(1) == 0L && out.getLong(2) == 0L && out.getLong(3) == 0L)
+    assert(out.isNullAt(4) && out.isNullAt(5))
   }
 
   test("profile approx mode stays within HLL tolerance") {
