@@ -79,6 +79,15 @@ object Queries {
     dir.toString
   }
 
+  private def orcFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = fixtureDir(sfDir).resolve("supplier_orc")
+    if (!Files.exists(dir.resolve("_SUCCESS"))) {
+      tbl(spark, sfDir, "supplier").orderBy("s_suppkey").coalesce(1)
+        .write.mode("overwrite").orc(dir.toString)
+    }
+    dir.toString
+  }
+
   private def jsonFixture(spark: SparkSession, sfDir: String): String =
     cached(fixtureDir(sfDir).resolve("docs.json")) {
       val rows = tbl(spark, sfDir, "documents").filter(col("doc_id") < 100)
@@ -2577,7 +2586,21 @@ object Queries {
              |SELECT fp, 'a_only' AS side FROM a ANTI JOIN b USING (fp)
              |UNION ALL
              |SELECT fp, 'b_only' FROM b ANTI JOIN a USING (fp)
-             |ORDER BY side, fp""".stripMargin))
+             |ORDER BY side, fp""".stripMargin)),
+
+    // ORC source/sink: the columnar sibling of the parquet path — write
+    // the supplier dim to ORC once (cached fixture), read it back through
+    // the native vectorized ORC reader; the oracle is the original table.
+    ("q_ingest_orc",
+      (s: SparkSession, d: String) => {
+        val path = orcFixture(s, d)
+        s.read.orc(path)
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            col("s_acctbal"))
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+             |FROM supplier ORDER BY s_suppkey""".stripMargin))
   )
 
   val queries: Map[String, Q] = battery.map(b => (b._1, b._2)).toMap
