@@ -281,7 +281,8 @@ object Dedup {
     *         component = min id in the vertex's connected component.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          driverCutoff: Long = 2000000L): DataFrame = {
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         val sc = pairs.sparkSession.sparkContext
@@ -300,6 +301,54 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct())
     val idType = edges.schema("src").dataType
+    // Adaptive small-graph path: verified near-dup pair graphs are usually
+    // a tiny fraction of the corpus, and each distributed round costs two
+    // fixed job overheads regardless of size. Below the cutoff (directed
+    // deduplicated edge rows; 2M longs ≈ 32 MB — control-plane grade, like
+    // centroid or Bloom collection) a driver-side union-find computes the
+    // IDENTICAL min-id labels in one collect. Above it, the distributed
+    // loop below runs. Pass driverCutoff = 0 to force the loop.
+    val edgeCount = edges.count() // cheap scan of the checkpoint blocks
+    if (edgeCount > 0 && edgeCount <= driverCutoff) {
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val (a, b) = (row.get(0), row.get(1))
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(ra, rb)
+      }
+      import scala.jdk.CollectionConverters._
+      val minOfRoot = new java.util.HashMap[Any, Any]()
+      val ids = parent.keySet().asScala.toSeq
+      def lt(x: Any, y: Any): Boolean = (x, y) match {
+        case (a: Long, b: Long) => a < b
+        case (a: Int, b: Int) => a < b
+        case (a: String, b: String) => a < b
+        case _ => x.toString < y.toString
+      }
+      ids.foreach { id =>
+        val r = find(id)
+        val cur = minOfRoot.get(r)
+        if (cur == null || lt(id, cur)) minOfRoot.put(r, id)
+      }
+      val spark = pairs.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+        org.apache.spark.sql.types.StructField("component", idType, nullable = false)))
+      val rows = ids.map(id =>
+        org.apache.spark.sql.Row(id, minOfRoot.get(find(id))))
+      unpersistCheckpointed(edges)
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    }
     // `current` is the round's checkpointed table (held for unpersist);
     // `labels` the (id, lbl) view of it the next round joins against.
     var current = ckpt(edges.select(col("src").as("id"), col("src").as("lbl"))

@@ -88,6 +88,21 @@ class DedupSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("connectedComponents: driver union-find path equals the distributed loop") {
+    // pseudo-random graph with chains, cliques and singleton-free isolates;
+    // driverCutoff=0 forces the distributed loop, default takes union-find
+    val rnd = new scala.util.Random(42)
+    val pairs = (1 to 300).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    def run(cutoff: Long) =
+      Dedup.connectedComponents(pairs, driverCutoff = cutoff)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = run(2000000L)
+    val distributed = run(0L)
+    assert(fast == distributed,
+      s"paths disagree: ${fast.toSeq.sorted.take(10)}... vs ${distributed.toSeq.sorted.take(10)}...")
+  }
+
   test("connectedComponents with a reliable checkpoint dir matches localCheckpoint") {
     // the executor-loss-safe variant (checkpoint files instead of
     // executor-local blocks) must label identically
