@@ -490,7 +490,7 @@ object Queries {
           .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
           .orderBy("o_custkey", "rn")
       },
-      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      Some("""SELECT o_custkey, rn::INT AS rn, o_orderkey, o_totalprice FROM (
              | SELECT o_custkey, o_orderkey, o_totalprice,
              |  row_number() OVER (PARTITION BY o_custkey
              |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -513,7 +513,7 @@ object Queries {
       Some("""SELECT o_custkey, o_orderkey,
              | lag(o_totalprice, 1) OVER w AS prev_price,
              | lead(o_totalprice, 1) OVER w AS next_price,
-             | ntile(4) OVER w AS quartile
+             | (ntile(4) OVER w)::INT AS quartile
              |FROM orders WHERE o_custkey < 100
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
@@ -655,7 +655,7 @@ object Queries {
           .groupBy("band").agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
           .orderBy("band")
       },
-      Some("""WITH bands AS (SELECT i AS band, i * 10.0 AS lo, (i + 1) * 10.0 AS hi
+      Some("""WITH bands AS (SELECT i::INT AS band, i * 10.0 AS lo, (i + 1) * 10.0 AS hi
              |  FROM generate_series(0, 9) t(i))
              |SELECT band, count(*) AS n, round(avg(value), 6) AS avg_value
              |FROM events JOIN bands ON value >= lo AND value < hi
@@ -2247,8 +2247,9 @@ object Queries {
              |    floor(value * 100)::BIGINT AS cents
              |  FROM events WHERE user_id < 500)
              |SELECT user_id, event_id, ts_us,
-             |  sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us
-             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hour_sum
+             |  (sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us
+             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))::BIGINT
+             |    AS hour_sum
              |FROM e ORDER BY user_id, event_id""".stripMargin)),
 
     // SCD type-2 history build: consecutive runs of each user's event_type
@@ -2268,10 +2269,14 @@ object Queries {
              |  FROM events WHERE user_id < 200),
              |o AS (
              |  SELECT user_id, event_type, tsn, event_id,
-             |    lag(event_type) OVER (PARTITION BY user_id
-             |      ORDER BY tsn, event_id) AS prev
-             |  FROM e),
-             |ch AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type)
+             |    lag(event_type) OVER w AS prev,
+             |    row_number() OVER w AS rn
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+             |-- null-safe change test mirroring Warehouse.scd2's <=> semantics:
+             |-- first row always opens a version; thereafter value<->NULL
+             |-- transitions count as changes and NULL->NULL does not.
+             |ch AS (SELECT * FROM o
+             |       WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
              |SELECT user_id, row_number() OVER w AS version, event_type AS attr,
              |  tsn AS valid_from, lead(tsn) OVER w AS valid_to,
              |  lead(tsn) OVER w IS NULL AS is_current
@@ -2469,12 +2474,13 @@ object Queries {
       Some(s"""WITH src AS (SELECT l_suppkey AS key FROM lineitem),
               |seeds(srow, a) AS (VALUES $dCmsSeeds),
               |cells AS (
-              |  SELECT srow, (((key + 1) * a) % 2305843009213693951) % 256 AS pos,
+              |  SELECT srow,
+              |    (((key % 2147483648 + 1) * a) % 2305843009213693951) % 256 AS pos,
               |    count(*)::BIGINT AS cnt
               |  FROM src CROSS JOIN seeds GROUP BY srow, pos),
               |probes AS (
               |  SELECT DISTINCT key, srow,
-              |    (((key + 1) * a) % 2305843009213693951) % 256 AS pos
+              |    (((key % 2147483648 + 1) * a) % 2305843009213693951) % 256 AS pos
               |  FROM src CROSS JOIN seeds),
               |est AS (
               |  SELECT key, min(coalesce(cnt, 0))::BIGINT AS est

@@ -280,9 +280,41 @@ object Dedup {
     * @return (id, component) for every vertex appearing in some pair,
     *         component = min id in the vertex's connected component.
     */
+  /** Estimated driver heap for the union-find over `edgeCount` directed
+    * edges with ids of `idWidth` bytes each: per edge two id objects land in
+    * the parent/min maps plus map-entry overhead (~48 bytes per boxed
+    * fixed-width id with its entries; strings add 2 bytes/char over a ~48
+    * byte header+entry base). Deliberately pessimistic — the cutoff is a
+    * safety valve, not a capacity plan. */
+  private[graft] def driverUnionFindBytes(edgeCount: Long, idWidth: Long): Long =
+    edgeCount * 2L * (48L + idWidth)
+
+  /** Whether the adaptive driver-side union-find may run: only for id types
+    * whose driver-side ordering provably matches the distributed loop's
+    * `min(lbl)` (Long/Int/String — anything else, e.g. Decimal or Binary,
+    * falls through to the loop rather than risk a toString-ordered label),
+    * and only when the estimated driver heap fits `cutoffBytes`. */
+  private[graft] def driverPathAllowed(edgeCount: Long,
+                                       idType: org.apache.spark.sql.types.DataType,
+                                       avgStrLen: => Double,
+                                       cutoffRows: Long,
+                                       cutoffBytes: Long): Boolean = {
+    import org.apache.spark.sql.types._
+    if (edgeCount <= 0 || edgeCount > cutoffRows) false
+    else idType match {
+      case LongType    => driverUnionFindBytes(edgeCount, 8L) <= cutoffBytes
+      case IntegerType => driverUnionFindBytes(edgeCount, 4L) <= cutoffBytes
+      case StringType  =>
+        driverUnionFindBytes(edgeCount,
+          math.ceil(2 * math.max(avgStrLen, 1.0)).toLong) <= cutoffBytes
+      case _ => false
+    }
+  }
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
                           checkpointDir: Option[String] = None,
-                          driverCutoff: Long = 2000000L): DataFrame = {
+                          driverCutoff: Long = 2000000L,
+                          driverCutoffBytes: Long = 256L << 20): DataFrame = {
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         val sc = pairs.sparkSession.sparkContext
@@ -303,16 +335,22 @@ object Dedup {
     val idType = edges.schema("src").dataType
     // Adaptive small-graph path: verified near-dup pair graphs are usually
     // a tiny fraction of the corpus, and each distributed round costs two
-    // fixed job overheads regardless of size. Below the cutoff (directed
-    // deduplicated edge rows; 2M ≈ 32 MB — control-plane grade, like
-    // centroid or Bloom collection) a driver-side union-find computes the
-    // IDENTICAL min-id labels in one collect; the result is parallelized
-    // AND checkpointed so multi-consumer chains read executor blocks, not
-    // a re-serialized driver collection (without the checkpoint a
-    // clique-heavy 2M-edge rehearsal graph measured 3× SLOWER than the
-    // loop). Pass driverCutoff = 0 to force the loop.
+    // fixed job overheads regardless of size. Below the cutoff a driver-side
+    // union-find computes the IDENTICAL min-id labels in one collect; the
+    // result is parallelized AND checkpointed so multi-consumer chains read
+    // executor blocks, not a re-serialized driver collection (without the
+    // checkpoint a clique-heavy 2M-edge rehearsal graph measured 3× SLOWER
+    // than the loop). The cutoff is BYTE-aware, not just row-count: 2M long
+    // edges ≈ 32 MB is control-plane grade, but 2M long-TEXT keys could be
+    // hundreds of MB, so string ids are sized from a sampled average length
+    // (one cheap agg over the checkpoint blocks) and non-Long/Int/String id
+    // types always take the distributed loop (their driver ordering isn't
+    // guaranteed to match min(lbl)). Pass driverCutoff = 0 to force the loop.
     val edgeCount = edges.count() // cheap scan of the checkpoint blocks
-    if (edgeCount > 0 && edgeCount <= driverCutoff) {
+    lazy val avgStrLen: Double = edges
+      .agg(avg(length(col("src").cast("string")))).head().getDouble(0)
+    if (driverPathAllowed(edgeCount, idType, avgStrLen,
+                          driverCutoff, driverCutoffBytes)) {
       val parent = new java.util.HashMap[Any, Any]()
       def find(x: Any): Any = {
         var r = x
@@ -331,11 +369,16 @@ object Dedup {
       import scala.jdk.CollectionConverters._
       val minOfRoot = new java.util.HashMap[Any, Any]()
       val ids = parent.keySet().asScala.toSeq
+      // driverPathAllowed gates this path to exactly these id types, so the
+      // ordering here always matches the distributed loop's native min(lbl)
+      // (no toString fallback — "10" < "9" lexicographically would silently
+      // mislabel numeric-ish types; anything else takes the loop instead).
       def lt(x: Any, y: Any): Boolean = (x, y) match {
         case (a: Long, b: Long) => a < b
         case (a: Int, b: Int) => a < b
         case (a: String, b: String) => a < b
-        case _ => x.toString < y.toString
+        case _ => throw new IllegalStateException(
+          s"driver union-find reached with ungated id type: ${x.getClass}")
       }
       ids.foreach { id =>
         val r = find(id)

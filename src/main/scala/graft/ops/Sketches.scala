@@ -22,23 +22,32 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** Mersenne prime 2⁶¹−1: big enough that `(key+1)·A` never collides the
-    * mod for realistic keys, and products stay within Long for A < 2³¹.
-    * Keys must stay below ~2³² so the product fits a long — pre-fold a
-    * larger/string domain down first (e.g. a fingerprint mod 2³²). */
+  /** Mersenne prime 2⁶¹−1, the modulus of the polynomial hash. Keys are
+    * pre-folded to [0, 2³¹) inside [[pos]], so `(folded+1)·A` tops out at
+    * 2³¹·A < 2⁶³ for every multiplier below 2³² — the product can never
+    * overflow a Long, for ANY long key (negative included, via pmod). */
   private val P = 2305843009213693951L
+
+  /** Fold width 2³¹: keys are reduced `pmod(key, 2³¹)` before hashing. */
+  private val KeyFold = 2147483648L
 
   /** Deterministic odd multipliers per depth row (same construction idea as
     * the MinHash coefficient table: fixed, engine-neutral). Oddness is
     * load-bearing: an even multiplier shares a power-of-two factor with the
     * usual power-of-two widths and strands whole residue classes of cells
-    * (`| 1L` exactly as the MinHash coeffs do). */
-  private[graft] def multipliers(depth: Int): Seq[Long] =
+    * (`| 1L` exactly as the MinHash coeffs do). Depth is capped so every
+    * multiplier stays below 2³², keeping the [[pos]] product within Long. */
+  private[graft] def multipliers(depth: Int): Seq[Long] = {
+    require(depth <= 20000, s"CMS depth $depth would push multipliers past 2^32")
     (0 until depth).map(s => (2654435761L + 2L * s * 40503L) | 1L)
+  }
 
-  /** The CMS cell coordinates of `key` (long column) for row `s`. */
+  /** The CMS cell coordinates of `key` (long column) for row `s`. The key is
+    * folded mod 2³¹ first so the product with any multiplier (< 2³²) stays
+    * within Long — no silent wraparound anywhere in the 64-bit key domain,
+    * and the identical expression replays exactly in the DuckDB oracle. */
   private def pos(key: Column, a: Long, width: Int): Column =
-    pmod(pmod((key + 1L) * a, lit(P)), lit(width.toLong))
+    pmod(pmod((pmod(key, lit(KeyFold)) + 1L) * a, lit(P)), lit(width.toLong))
 
   /** Build the sketch: (`row`, `pos`, `cnt`) cells — at most depth×width
     * rows, zero cells omitted. `weightCol` optionally adds per-row weights

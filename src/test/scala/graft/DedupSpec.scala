@@ -103,6 +103,45 @@ class DedupSpec extends SparkSpec {
       s"paths disagree: ${fast.toSeq.sorted.take(10)}... vs ${distributed.toSeq.sorted.take(10)}...")
   }
 
+  test("connectedComponents driver-path gating is byte-aware and idType-gated") {
+    import org.apache.spark.sql.types._
+    // fixed-width ids under both cutoffs: driver path allowed
+    assert(Dedup.driverPathAllowed(1000L, LongType, 0.0, 2000000L, 256L << 20))
+    assert(Dedup.driverPathAllowed(1000L, IntegerType, 0.0, 2000000L, 256L << 20))
+    // row cutoff still binds
+    assert(!Dedup.driverPathAllowed(3000000L, LongType, 0.0, 2000000L, Long.MaxValue))
+    // 2M long ids ≈ 224 MB estimate fits 256 MB; the same edges as 1 KB
+    // strings (~2.1 kB/edge estimated) blow the byte cutoff -> loop path
+    assert(Dedup.driverPathAllowed(2000000L, LongType, 0.0, 2000000L, 256L << 20))
+    assert(!Dedup.driverPathAllowed(2000000L, StringType, 1024.0, 2000000L, 256L << 20))
+    // short strings fit
+    assert(Dedup.driverPathAllowed(1000L, StringType, 8.0, 2000000L, 256L << 20))
+    // non-Long/Int/String id types never take the driver path (their driver
+    // ordering is not guaranteed to match the loop's native min)
+    assert(!Dedup.driverPathAllowed(10L, DecimalType(10, 0), 0.0, 2000000L, Long.MaxValue))
+    assert(!Dedup.driverPathAllowed(10L, BinaryType, 0.0, 2000000L, Long.MaxValue))
+    assert(!Dedup.driverPathAllowed(10L, ShortType, 0.0, 2000000L, Long.MaxValue))
+  }
+
+  test("connectedComponents: string ids above the byte cutoff take the loop and agree") {
+    // wide string ids with a tiny byte cutoff: the estimate (~2*(48+2*len)
+    // per edge) exceeds the cutoff, so the distributed loop runs — and must
+    // produce the same labels the driver path produces under a huge cutoff
+    val wide = "x" * 200
+    val pairs = Seq((s"${wide}b", s"${wide}a"), (s"${wide}a", s"${wide}c"),
+      (s"${wide}z", s"${wide}y")).toDF("id_a", "id_b")
+    def run(bytes: Long) =
+      Dedup.connectedComponents(pairs, driverCutoffBytes = bytes)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val looped = run(1L)          // forced loop (3 edges * ~900B > 1B)
+    val driver = run(256L << 20)  // driver union-find
+    val expect = Map(s"${wide}a" -> s"${wide}a", s"${wide}b" -> s"${wide}a",
+      s"${wide}c" -> s"${wide}a", s"${wide}y" -> s"${wide}y",
+      s"${wide}z" -> s"${wide}y")
+    assert(looped == expect && driver == expect,
+      s"loop=$looped driver=$driver")
+  }
+
   test("connectedComponents with a reliable checkpoint dir matches localCheckpoint") {
     // the executor-loss-safe variant (checkpoint files instead of
     // executor-local blocks) must label identically

@@ -36,6 +36,22 @@ class SketchesSpec extends SparkSpec {
     assert(cells <= 3L * 64L, s"sketch must stay bounded, got $cells cells")
   }
 
+  test("CMS is safe across the full Long key domain (no product overflow)") {
+    // Keys straddling the old silent-wrap boundary (~3.47e9, where
+    // key * multiplier exceeded Long.MaxValue before the mod-2^31 fold),
+    // plus Long extremes and negatives: the guarantee (est >= exact, and
+    // exact here since width dwarfs the key count) must hold everywhere.
+    val keys = Seq(3470000000L, 4294967295L, 4294967296L, 1L << 40,
+      Long.MaxValue, Long.MinValue, -17L, 0L)
+    val rows = keys.flatMap(k => Seq.fill(3)(k)).toDF("k")
+    val sk = Sketches.countMin(rows, "k", depth = 3, width = 4096)
+    val est = Sketches.estimate(sk, rows, "k", depth = 3, width = 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      assert(est(k) >= 3L, s"CMS underestimated key $k: ${est(k)}")
+    }
+  }
+
   test("weighted CMS sums weights, not rows") {
     val rows = Seq((1L, 10L), (1L, 5L), (2L, 7L)).toDF("k", "w")
     val sk = Sketches.countMin(rows, "k", depth = 3, width = 1024,
