@@ -2204,6 +2204,65 @@ object Queries {
              |  len(list_filter(range(0, len(bs)), i -> (i * 4) // len(bs) = win))::BIGINT AS n_samples
              |FROM w ORDER BY media_id, win""".stripMargin)),
 
+    // REAL compressed-audio decode #1 — G.711 μ-law (WAV format 7): the
+    // payload's codewords are the doc's utf-8 bytes; decode expands each to
+    // a 16-bit sample via the closed-form G.711 expression, and the query
+    // emits exact per-window Σ sample². The oracle replays decode + window
+    // sum bit-identically from the text (u = 255-code; t = ((u%16)*8+132)
+    // * 2^((u//16)%8); x = u>=128 ? 132-t : t-132). Pure ASCII corpus —
+    // same per-char ascii() ground as q_multimodal_features.
+    ("q_multimodal_mulaw",
+      (s: SparkSession, d: String) =>
+        Multimodal.windowEnergy16(s,
+          Multimodal.demoMulawTable(
+            tbl(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text"),
+          k = 4)
+          .orderBy("media_id", "window"),
+      Some("""WITH s AS (
+             |  SELECT doc_id, list_transform(string_split(text, ''),
+             |    ch -> 255 - ascii(ch)) AS us
+             |  FROM documents WHERE doc_id < 100 AND len(text) > 0),
+             |d AS (
+             |  SELECT doc_id, list_transform(us, u ->
+             |    CASE WHEN u >= 128
+             |      THEN 132 - (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)))
+             |      ELSE (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132
+             |    END) AS xs
+             |  FROM s),
+             |w AS (SELECT doc_id, xs, unnest(range(0, 4)) AS win FROM d)
+             |SELECT doc_id AS media_id, win::INT AS "window",
+             |  coalesce(list_sum(list_transform(
+             |    list_filter(range(0, len(xs)), i -> (i * 4) // len(xs) = win),
+             |    i -> (xs[i+1] * xs[i+1])::BIGINT)), 0)::BIGINT AS sum_sq,
+             |  len(list_filter(range(0, len(xs)), i -> (i * 4) // len(xs) = win))::BIGINT AS n_samples
+             |FROM w ORDER BY media_id, win""".stripMargin)),
+
+    // REAL compressed-audio decode #2 — mono IMA/DVI4 ADPCM (WAV format
+    // 17): text bytes become 16-bit samples ((b-128)·256), compressed by
+    // the real encoder, decoded back by the real block decoder. The nibble
+    // stream is sequential-stateful (not SQL-replayable — its sample values
+    // are pinned in MultimodalSpec), but the BLOCK STRUCTURE is a closed
+    // form: n_samples = 1 + 2·⌊L/2⌋ for L input samples (pad nibble
+    // decodes, no fact trim), and the header predictor IS the first input
+    // sample — both oracle-checked here, plus the exact duration double.
+    ("q_multimodal_adpcm",
+      (s: SparkSession, d: String) =>
+        Multimodal.audioInfo(s,
+          Multimodal.demoAdpcmTable(
+            tbl(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text"))
+          .filter(col("n_samples") > 0)
+          .orderBy("media_id"),
+      Some("""WITH s AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS n,
+             |    ascii(substr(text, 1, 1)) AS c0
+             |  FROM documents WHERE doc_id < 100 AND len(text) > 0)
+             |SELECT doc_id AS media_id, 'audio/adpcm' AS format,
+             |  8000 AS sample_rate,
+             |  (1 + 2 * (n // 2))::INT AS n_samples,
+             |  ((c0 - 128) * 256)::INT AS first_sample,
+             |  (1 + 2 * (n // 2))::DOUBLE * 1000 / 8000 AS duration_ms
+             |FROM s ORDER BY media_id""".stripMargin)),
+
     // ------------------------------------------- r7 second tranche: RAG /
     // warehouse-maintenance / graph / runtime-filter operators
 

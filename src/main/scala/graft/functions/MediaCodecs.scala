@@ -2,17 +2,20 @@ package graft.functions
 
 /** Pure-JVM media codecs — no native or third-party codec libraries.
   *
-  *   - WAV: RIFF container, PCM 8-bit unsigned / 16-bit signed LE, parsed
-  *     directly (format spec: Microsoft/IBM RIFF WAVE, public since 1991)
+  *   - WAV: RIFF container — PCM 8-bit unsigned / 16-bit signed LE, G.711
+  *     μ-law (format 7) and mono IMA/DVI4 ADPCM (format 17), all parsed and
+  *     decoded directly (format specs: Microsoft/IBM RIFF WAVE public since
+  *     1991; ITU-T G.711; IMA ADPCM reference algorithm)
   *   - BMP: BITMAPINFOHEADER, 24-bit uncompressed, bottom-up rows, parsed
   *     directly
   *   - PNG / JPEG / GIF: decoded through `javax.imageio` — compressed image
   *     codecs that SHIP IN THE JDK, so "no external libraries" still holds
   *
-  * These make the multimodal decode path REAL for audio-PCM and for all
-  * common image formats. Only compressed AUDIO/VIDEO codecs (MP3/H.264...)
-  * remain behind the labeled stub — the JDK genuinely has none; swapping
-  * the stub for a JNI/javacv decoder changes one function.
+  * These make the multimodal decode path REAL for PCM / μ-law / IMA-ADPCM
+  * audio and for all common image formats (video via MJPEG-in-AVI below).
+  * Only perceptual compressed codecs (MP3/AAC/H.264...) remain behind the
+  * labeled stub — the JDK genuinely has none; swapping the stub for a
+  * JNI/javacv decoder changes one function.
   *
   * Encoders exist so tests and fixtures can synthesize valid payloads
   * deterministically; decoders never throw on malformed input (None).
@@ -21,7 +24,7 @@ object MediaCodecs {
 
   final case class WavInfo(sampleRate: Int, channels: Int, bitsPerSample: Int,
                            nSamples: Int, durationMs: Double, rms: Double,
-                           peak: Double)
+                           peak: Double, codec: String = "pcm")
 
   final case class BmpInfo(width: Int, height: Int, bitsPerPixel: Int,
                            meanR: Double, meanG: Double, meanB: Double)
@@ -47,55 +50,282 @@ object MediaCodecs {
     buf.array()
   }
 
-  /** Parse a RIFF/WAVE PCM payload: walks the chunk list (fmt before data,
-    * unknown chunks skipped — the spec allows LIST/fact/etc. in between).
-    */
-  def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
+  /** Parsed `fmt ` chunk + `data` chunk location, shared by the codec
+    * dispatchers below. */
+  private final case class WavLayout(audioFormat: Int, channels: Int,
+                                     rate: Int, bits: Int, blockAlign: Int,
+                                     dataOff: Int, dataLen: Int)
+
+  /** Walk the RIFF chunk list (fmt before data, unknown chunks — LIST,
+    * fact, … — skipped as the spec allows) and locate fmt + data. */
+  private def wavLayout(bytes: Array[Byte]): Option[WavLayout] = {
     if (bytes == null || bytes.length < 44) return None
     val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(off: Int) = new String(bytes, off, 4, "ASCII")
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var off = 12
-    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
-    var data: Option[(Int, Int)] = None     // (offset, length)
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
     while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(off)
       val len = b.getInt(off + 4)
       if (len < 0 || off + 8 + len > bytes.length) return None
       id match {
         case "fmt " if len >= 16 =>
-          val audioFormat = b.getShort(off + 8).toInt
-          if (audioFormat != 1) return None // PCM only
-          fmt = Some((b.getShort(off + 10).toInt, b.getInt(off + 12),
-            b.getShort(off + 22).toInt))
+          fmt = Some((b.getShort(off + 8).toInt, b.getShort(off + 10).toInt,
+            b.getInt(off + 12), b.getShort(off + 22).toInt,
+            b.getShort(off + 20).toInt))
         case "data" => data = Some((off + 8, len))
         case _ => ()
       }
       off += 8 + len + (len & 1) // chunks are word-aligned
     }
-    for ((channels, rate, bits) <- fmt; (dOff, dLen) <- data
-         if rate > 0 && channels > 0 && (bits == 8 || bits == 16)) yield {
-      val bytesPerSample = bits / 8
-      val frame = channels * bytesPerSample
-      val nSamples = dLen / frame
-      var sumSq = 0.0
-      var peak = 0.0
-      var i = 0
-      while (i < nSamples * frame) {
-        val v =
-          if (bits == 8) ((bytes(dOff + i) & 0xff) - 128) / 128.0
-          else b.getShort(dOff + i) / 32768.0
-        sumSq += v * v
-        val a = math.abs(v); if (a > peak) peak = a
-        i += bytesPerSample
-      }
-      val total = nSamples.toLong * channels
-      WavInfo(rate, channels, bits, nSamples,
-        nSamples * 1000.0 / rate,
-        if (total == 0) 0.0 else math.sqrt(sumSq / total),
-        peak)
-    }
+    for ((af, ch, rate, bits, align) <- fmt; (dOff, dLen) <- data
+         if rate > 0 && ch > 0)
+      yield WavLayout(af, ch, rate, bits, align, dOff, dLen)
   }
+
+  /** Parse a RIFF/WAVE payload. Codecs: PCM 8-bit unsigned / 16-bit signed
+    * LE (format 1, streamed — samples never materialized), G.711 μ-law
+    * (format 7) and mono IMA ADPCM (format 17, DVI4) — both decoded via
+    * [[decodeWavSamples]]. Anything else (MP3-in-WAV, A-law, MS ADPCM …)
+    * returns None and stays behind the labeled compressed-audio stub.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[WavInfo] =
+    wavLayout(bytes).flatMap {
+      case WavLayout(1, channels, rate, bits, _, dOff, dLen)
+          if bits == 8 || bits == 16 =>
+        val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val bytesPerSample = bits / 8
+        val frame = channels * bytesPerSample
+        val nSamples = dLen / frame
+        var sumSq = 0.0
+        var peak = 0.0
+        var i = 0
+        while (i < nSamples * frame) {
+          val v =
+            if (bits == 8) ((bytes(dOff + i) & 0xff) - 128) / 128.0
+            else b.getShort(dOff + i) / 32768.0
+          sumSq += v * v
+          val a = math.abs(v); if (a > peak) peak = a
+          i += bytesPerSample
+        }
+        val total = nSamples.toLong * channels
+        Some(WavInfo(rate, channels, bits, nSamples,
+          nSamples * 1000.0 / rate,
+          if (total == 0) 0.0 else math.sqrt(sumSq / total),
+          peak))
+      case l if l.audioFormat == 7 || l.audioFormat == 17 =>
+        decodeWavSamples(bytes).map(_._1)
+      case _ => None
+    }
+
+  // ------------------------------------------- G.711 μ-law (WAV format 7)
+
+  /** G.711 μ-law codeword → 16-bit linear PCM (ITU-T G.711, public spec).
+    * Closed form, integer-exact — with u = ~cw & 0xff:
+    *   t = (((u & 15) << 3) + 132) << ((u >> 4) & 7)
+    *   x = if (u & 128) 132 - t else t - 132
+    * so a SQL oracle replays every decoded sample bit-identically
+    * (range ±32124). */
+  private[graft] val MuLawTable: Array[Short] = Array.tabulate(256) { cw =>
+    val u = ~cw & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+
+  /** Synthesize a mono μ-law WAV whose data bytes ARE the given codewords
+    * (fixture generator — the raw-codeword framing is what keeps the decode
+    * side oracle-checkable from the source text). */
+  def encodeWavMulaw(codes: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val n = codes.length
+    val buf = java.nio.ByteBuffer.allocate(12 + 26 + 12 + 8 + n + (n & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("ASCII")).putInt(26 + 12 + 8 + n + (n & 1) + 4)
+      .put("WAVE".getBytes("ASCII"))
+      .put("fmt ".getBytes("ASCII")).putInt(18)
+      .putShort(7.toShort)              // G.711 μ-law
+      .putShort(1.toShort)              // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate)               // byte rate = rate * 1 ch * 1 B
+      .putShort(1.toShort)              // block align
+      .putShort(8.toShort)              // bits per codeword
+      .putShort(0.toShort)              // cbSize
+      .put("fact".getBytes("ASCII")).putInt(4).putInt(n)
+      .put("data".getBytes("ASCII")).putInt(n)
+      .put(codes)
+    buf.array()
+  }
+
+  // ------------------------------------------- IMA ADPCM (WAV format 17)
+
+  /** IMA/DVI4 ADPCM step-size table (public IMA spec). */
+  private[graft] val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484,
+    7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+    18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Step-index adjustment per 3-bit code magnitude (public IMA spec). */
+  private[graft] val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Shared predictor update: given the 4-bit code, current step index and
+    * prediction, return (newPred, newIndex). Used identically by encoder
+    * and decoder, so encode→decode round-trips are deterministic. */
+  private def imaStep(code: Int, pred: Int, index: Int): (Int, Int) = {
+    val step = ImaStepTable(index)
+    var delta = step >> 3
+    if ((code & 4) != 0) delta += step
+    if ((code & 2) != 0) delta += step >> 1
+    if ((code & 1) != 0) delta += step >> 2
+    val p0 = if ((code & 8) != 0) pred - delta else pred + delta
+    val p = math.max(-32768, math.min(32767, p0))
+    val i = math.max(0, math.min(88, index + ImaIndexTable(code & 7)))
+    (p, i)
+  }
+
+  /** Encode mono 16-bit samples as a single-block IMA ADPCM WAV: 4-byte
+    * block header (initial predictor int16, step index, reserved) + one
+    * 4-bit code per remaining sample, low nibble first, zero-padded to a
+    * whole byte. Decoded length is therefore 1 + 2*⌊n/2⌋ for n input
+    * samples (the possible pad nibble decodes too — [[decodeWavSamples]]
+    * deliberately does NOT trim to the fact chunk, keeping the count a
+    * closed form the SQL oracle can state). */
+  def encodeWavAdpcm(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val n = samples.length
+    val dataBytes = if (n == 0) 0 else 4 + (n - 1 + 1) / 2
+    val blockAlign = math.max(4, dataBytes)
+    val nPerBlock = if (n == 0) 0 else 1 + 2 * ((n - 1 + 1) / 2)
+    val buf = java.nio.ByteBuffer.allocate(12 + 28 + 12 + 8 + dataBytes + (dataBytes & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("ASCII"))
+      .putInt(28 + 12 + 8 + dataBytes + (dataBytes & 1) + 4)
+      .put("WAVE".getBytes("ASCII"))
+      .put("fmt ".getBytes("ASCII")).putInt(20)
+      .putShort(17.toShort)             // IMA/DVI4 ADPCM
+      .putShort(1.toShort)              // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate / 2)           // ~byte rate (4 bits/sample)
+      .putShort(blockAlign.toShort)
+      .putShort(4.toShort)              // bits per code
+      .putShort(2.toShort)              // cbSize
+      .putShort(nPerBlock.toShort)      // samples per block
+      .put("fact".getBytes("ASCII")).putInt(4).putInt(n)
+      .put("data".getBytes("ASCII")).putInt(dataBytes)
+    if (n > 0) {
+      var pred: Int = samples(0)
+      var index = 0
+      buf.putShort(samples(0)).put(0.toByte).put(0.toByte)
+      def encodeOne(target: Int): Int = {
+        var d = target - pred
+        var c = 0
+        if (d < 0) { c = 8; d = -d }
+        val step = ImaStepTable(index)
+        if (d >= step) { c |= 4; d -= step }
+        if (d >= (step >> 1)) { c |= 2; d -= step >> 1 }
+        if (d >= (step >> 2)) c |= 1
+        val (p, ix) = imaStep(c, pred, index)
+        pred = p; index = ix
+        c
+      }
+      // n-1 real codes + one 0-target pad code when n-1 is odd, so every
+      // byte holds two decodable nibbles (low nibble first)
+      val nCodes = 2 * (n / 2)
+      var i = 0
+      while (i < nCodes) {
+        val lo = encodeOne(if (i + 1 < n) samples(i + 1) else 0)
+        val hi = encodeOne(if (i + 2 < n) samples(i + 2) else 0)
+        buf.put((lo | (hi << 4)).toByte)
+        i += 2
+      }
+    }
+    buf.array()
+  }
+
+  /** Decode a μ-law (format 7) or mono IMA ADPCM (format 17) WAV to its
+    * 16-bit samples + stats. ADPCM walks `blockAlign`-sized blocks: 4-byte
+    * header (predictor sample, step index) then two samples per data byte,
+    * LOW nibble first; every nibble decodes (no fact-chunk trim — see
+    * [[encodeWavAdpcm]]). */
+  def decodeWavSamples(bytes: Array[Byte]): Option[(WavInfo, Array[Short])] =
+    wavLayout(bytes).flatMap {
+      case WavLayout(7, channels, rate, bits, _, dOff, dLen) if bits == 8 =>
+        val out = new Array[Short](dLen)
+        var i = 0
+        while (i < dLen) { out(i) = MuLawTable(bytes(dOff + i) & 0xff); i += 1 }
+        Some((mkInfo(rate, channels, 8, dLen / channels, "mulaw", out), out))
+      case WavLayout(17, 1, rate, bits, blockAlign, dOff, dLen)
+          if bits == 4 && blockAlign >= 4 =>
+        val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val out = Array.newBuilder[Short]
+        var n = 0
+        var blk = dOff
+        while (blk + 4 <= dOff + dLen) {
+          val blkLen = math.min(blockAlign, dOff + dLen - blk)
+          var pred: Int = b.getShort(blk)
+          var index = math.max(0, math.min(88, bytes(blk + 2) & 0xff))
+          out += pred.toShort; n += 1
+          var i = blk + 4
+          while (i < blk + blkLen) {
+            val byte = bytes(i) & 0xff
+            var half = 0
+            while (half < 2) {
+              val code = if (half == 0) byte & 0x0f else (byte >> 4) & 0x0f
+              val (p, ix) = imaStep(code, pred, index)
+              pred = p; index = ix
+              out += pred.toShort; n += 1
+              half += 1
+            }
+            i += 1
+          }
+          blk += blockAlign
+        }
+        val samples = out.result()
+        Some((mkInfo(rate, 1, 4, samples.length, "ima_adpcm", samples), samples))
+      case _ => None
+    }
+
+  private def mkInfo(rate: Int, channels: Int, bits: Int, nSamples: Int,
+                     codec: String, samples: Array[Short]): WavInfo = {
+    var sumSq = 0.0
+    var peak = 0.0
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i) / 32768.0
+      sumSq += v * v
+      val a = math.abs(v); if (a > peak) peak = a
+      i += 1
+    }
+    WavInfo(rate, channels, bits, nSamples, nSamples * 1000.0 / rate,
+      if (samples.isEmpty) 0.0 else math.sqrt(sumSq / samples.length),
+      peak, codec)
+  }
+
+  /** Integer-exact per-window energy over the DECODED 16-bit samples of a
+    * μ-law or IMA ADPCM WAV: window w of `k` gets Σ sample² (each term
+    * ≤ 32768², exact in long) and its sample count — same ⌊i·k/n⌋ window
+    * rule as [[wavWindowEnergy]]. The μ-law variant is fully
+    * oracle-replayable (closed-form decode, see [[MuLawTable]]). */
+  def wavWindowEnergy16(bytes: Array[Byte], k: Int): Option[Array[(Long, Long)]] =
+    decodeWavSamples(bytes) match {
+      case Some((_, samples)) if samples.nonEmpty =>
+        val n = samples.length
+        val sumSq = new Array[Long](k)
+        val cnt = new Array[Long](k)
+        var i = 0
+        while (i < n) {
+          val w = (i.toLong * k / n).toInt
+          val d = samples(i).toLong
+          sumSq(w) += d * d
+          cnt(w) += 1
+          i += 1
+        }
+        Some(Array.tabulate(k)(w => (sumSq(w), cnt(w))))
+      case _ => None
+    }
 
   /** RMS over `k` equal sample windows — a real per-window audio feature
     * (8-bit mono path; window boundaries by sample index).
@@ -103,7 +333,8 @@ object MediaCodecs {
   def wavWindowRms(bytes: Array[Byte], k: Int): Array[Float] = {
     val out = new Array[Float](k)
     decodeWav(bytes) match {
-      case Some(info) if info.bitsPerSample == 8 && info.nSamples > 0 =>
+      case Some(info)
+          if info.codec == "pcm" && info.bitsPerSample == 8 && info.nSamples > 0 =>
         // data chunk offset: re-walk (cheap; payloads are already in memory)
         val dataOff = findChunk(bytes, "data").getOrElse(return out)
         val n = info.nSamples
@@ -136,7 +367,8 @@ object MediaCodecs {
     */
   def wavWindowEnergy(bytes: Array[Byte], k: Int): Option[Array[(Long, Long)]] =
     decodeWav(bytes) match {
-      case Some(info) if info.bitsPerSample == 8 && info.nSamples > 0 =>
+      case Some(info)
+          if info.codec == "pcm" && info.bitsPerSample == 8 && info.nSamples > 0 =>
         findChunk(bytes, "data").map { dataOff =>
           val n = info.nSamples
           val sumSq = new Array[Long](k)

@@ -9,12 +9,12 @@ import org.apache.spark.sql.types._
   * struct, with decode / feature-extraction / resize / frame-sampling
   * operators shaped for distributed batch execution.
   *
-  * Decode is REAL for WAV (RIFF/PCM) and BMP (parsed directly), for the
-  * compressed image formats — PNG/JPEG/GIF — via the JDK's own
-  * `javax.imageio` (zero external dependencies), AND for compressed video
-  * as MJPEG-in-AVI (the RIFF walker feeds each '00dc' JPEG frame through
-  * the ImageIO path — [[videoFrames]]), all through
-  * [[graft.functions.MediaCodecs]]. Only compressed AUDIO codecs
+  * Decode is REAL for WAV (RIFF — PCM, G.711 μ-law, mono IMA ADPCM) and BMP
+  * (parsed directly), for the compressed image formats — PNG/JPEG/GIF — via
+  * the JDK's own `javax.imageio` (zero external dependencies), AND for
+  * compressed video as MJPEG-in-AVI (the RIFF walker feeds each '00dc' JPEG
+  * frame through the ImageIO path — [[videoFrames]]), all through
+  * [[graft.functions.MediaCodecs]]. Only PERCEPTUAL compressed-audio codecs
   * (MP3/AAC...) remain behind the labeled `decodeStub` — the JDK genuinely
   * ships none; swapping the stub for a JNI/javacv decoder changes one
   * function, and the batch iteration shape (mapPartitions, per-partition
@@ -63,6 +63,32 @@ object Multimodal {
       wav(col(textCol)).as("payload"))
   }
 
+  /** Demo μ-law AUDIO table: each row's text framed as a REAL G.711 μ-law
+    * WAV (format 7) whose codewords ARE the utf-8 bytes — decode is the
+    * operator under test and, because μ-law decode is closed-form integer
+    * arithmetic, fully SQL-oracle-replayable from the source text. */
+  def demoMulawTable(df: DataFrame, idCol: String, textCol: String,
+                     sampleRate: Int = 8000): DataFrame = {
+    val wav = udf((t: String) => graft.functions.MediaCodecs.encodeWavMulaw(
+      t.getBytes(java.nio.charset.StandardCharsets.UTF_8), sampleRate))
+    df.select(col(idCol).cast("long").as("media_id"),
+      wav(col(textCol)).as("payload"))
+  }
+
+  /** Demo IMA ADPCM AUDIO table: each row's text rendered as 16-bit samples
+    * ((byte−128)·256) and compressed through the REAL IMA/DVI4 encoder —
+    * a valid format-17 WAV any ADPCM-aware reader decodes. */
+  def demoAdpcmTable(df: DataFrame, idCol: String, textCol: String,
+                     sampleRate: Int = 8000): DataFrame = {
+    val wav = udf { (t: String) =>
+      val samples = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => (((b & 0xff) - 128) * 256).toShort)
+      graft.functions.MediaCodecs.encodeWavAdpcm(samples, sampleRate)
+    }
+    df.select(col(idCol).cast("long").as("media_id"),
+      wav(col(textCol)).as("payload"))
+  }
+
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("format", StringType),
@@ -95,7 +121,12 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](payloadIdx)
         MediaCodecs.decodeWav(bytes) match {
           case Some(w) =>
-            Row(id, "audio/wav", w.sampleRate, w.channels, w.nSamples,
+            val fmt = w.codec match {
+              case "mulaw"     => "audio/mulaw"
+              case "ima_adpcm" => "audio/adpcm"
+              case _           => "audio/wav"
+            }
+            Row(id, fmt, w.sampleRate, w.channels, w.nSamples,
               w.durationMs, w.rms, null, null, null, null, null)
           case None => MediaCodecs.decodeBmp(bytes) match {
             case Some(b) =>
@@ -242,6 +273,67 @@ object Multimodal {
           case Some(windows) => windows.iterator.zipWithIndex.map {
             case ((sq, n), w) => Row(id, w, sq, n)
           }
+          case None => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
+  /** Integer-exact windowed energy over the DECODED 16-bit samples of
+    * compressed-audio WAVs (μ-law / IMA ADPCM): `k` rows of
+    * (window, Σ sample², count) per payload — the decoded-domain sibling of
+    * [[windowEnergy]]. For μ-law the whole pipeline (decode included) is
+    * closed-form integer arithmetic, so a DuckDB oracle recomputes it
+    * bit-identically from the source text. Same mapPartitions batch shape;
+    * non-decodable payloads yield no rows. */
+  def windowEnergy16(spark: SparkSession, media: DataFrame, k: Int = 4): DataFrame = {
+    import graft.functions.MediaCodecs
+    val enc = org.apache.spark.sql.Encoders.row(windowEnergySchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        MediaCodecs.wavWindowEnergy16(bytes, k) match {
+          case Some(windows) => windows.iterator.zipWithIndex.map {
+            case ((sq, n), w) => Row(id, w, sq, n)
+          }
+          case None => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
+  val audioInfoSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("first_sample", IntegerType),
+    StructField("duration_ms", DoubleType, nullable = false)
+  ))
+
+  /** Audio container/codec summary with the decoded FIRST sample — for the
+    * block-header codecs (IMA ADPCM stores the initial predictor verbatim)
+    * this is the decode-correctness probe an oracle CAN state in SQL even
+    * though the full nibble stream is sequential-stateful. Non-audio
+    * payloads yield no rows. */
+  def audioInfo(spark: SparkSession, media: DataFrame): DataFrame = {
+    import graft.functions.MediaCodecs
+    val enc = org.apache.spark.sql.Encoders.row(audioInfoSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        MediaCodecs.decodeWavSamples(bytes) match {
+          case Some((info, samples)) =>
+            val fmt = if (info.codec == "mulaw") "audio/mulaw" else "audio/adpcm"
+            Iterator.single(Row(id, fmt, info.sampleRate, info.nSamples,
+              if (samples.isEmpty) null else Int.box(samples(0).toInt),
+              info.durationMs))
           case None => Iterator.empty
         }
       }

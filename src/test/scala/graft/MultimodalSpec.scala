@@ -139,6 +139,100 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.windowEnergy(spark, junk, k = 2).count() == 0)
   }
 
+  test("G.711 mu-law decode table matches the spec's reference points") {
+    // ITU-T G.711 reference values: 0x00 -> -32124 (max negative),
+    // 0x80 -> +32124 (max positive), 0xFF -> 0 (+0), 0x7F -> 0 (-0)
+    assert(MediaCodecs.MuLawTable(0x00) == -32124)
+    assert(MediaCodecs.MuLawTable(0x80) == 32124)
+    assert(MediaCodecs.MuLawTable(0xff) == 0)
+    assert(MediaCodecs.MuLawTable(0x7f) == 0)
+    // smallest nonzero steps: 0xFE (u=1, positive) -> +8; 0x7E (u=0x81,
+    // sign bit set) -> -8
+    assert(MediaCodecs.MuLawTable(0xfe) == 8)
+    assert(MediaCodecs.MuLawTable(0x7e) == -8)
+    // closed form holds for every codeword (the SQL oracle's expression)
+    (0 until 256).foreach { cw =>
+      val u = 255 - cw
+      val t = ((u % 16) * 8 + 132) * (1 << ((u / 16) % 8))
+      val x = if (u >= 128) 132 - t else t - 132
+      assert(MediaCodecs.MuLawTable(cw) == x, s"cw=$cw")
+    }
+  }
+
+  test("mu-law WAV round-trip: codewords decode via the table, stats real") {
+    val codes = Array[Byte](0, 0x80.toByte, 0xff.toByte, 65, 66)
+    val wav = MediaCodecs.encodeWavMulaw(codes, 8000)
+    val info = MediaCodecs.decodeWav(wav).get
+    assert(info.codec == "mulaw" && info.sampleRate == 8000 &&
+      info.nSamples == 5 && info.channels == 1)
+    assert(info.peak == 32124 / 32768.0)
+    val (_, samples) = MediaCodecs.decodeWavSamples(wav).get
+    assert(samples.toSeq == codes.toSeq.map(c => MediaCodecs.MuLawTable(c & 0xff)))
+  }
+
+  test("IMA ADPCM round-trip: header exact, constant signal lossless, ramp tracks") {
+    // constant signal: diff 0 -> code 0 -> delta = step>>3 = 0 at index 0,
+    // so every decoded sample equals the input exactly
+    val const = Array.fill[Short](41)(1234)
+    val dec1 = MediaCodecs.decodeWavSamples(
+      MediaCodecs.encodeWavAdpcm(const, 8000)).get
+    assert(dec1._1.codec == "ima_adpcm" && dec1._1.sampleRate == 8000)
+    assert(dec1._2.length == 1 + 2 * (const.length / 2)) // 41 in, 41 out
+    assert(dec1._2.forall(_ == 1234))
+    // gentle ramp: reconstruction tracks within the adaptive step bound
+    val ramp = Array.tabulate[Short](200)(i => (i * 16).toShort)
+    val dec2 = MediaCodecs.decodeWavSamples(
+      MediaCodecs.encodeWavAdpcm(ramp, 8000)).get._2
+    assert(dec2(0) == 0) // header predictor = first input sample, verbatim
+    ramp.indices.foreach { i =>
+      assert(math.abs(dec2(i) - ramp(i)) <= 64,
+        s"sample $i: ${dec2(i)} vs ${ramp(i)}")
+    }
+    // even input count: one pad nibble decodes -> n+1 samples out
+    val even = Array.tabulate[Short](10)(i => (100 * i).toShort)
+    assert(MediaCodecs.decodeWavSamples(
+      MediaCodecs.encodeWavAdpcm(even, 8000)).get._2.length == 11)
+    // decode is deterministic (same payload, same samples)
+    val p = MediaCodecs.encodeWavAdpcm(ramp, 8000)
+    assert(MediaCodecs.decodeWavSamples(p).get._2.toSeq ==
+      MediaCodecs.decodeWavSamples(p).get._2.toSeq)
+  }
+
+  test("decodeMedia labels mu-law and ADPCM formats; PCM paths unaffected") {
+    val rows = Seq(
+      (1L, MediaCodecs.encodeWavMulaw("hello".getBytes("ASCII"), 8000)),
+      (2L, MediaCodecs.encodeWavAdpcm(Array.fill[Short](9)(7), 16000)),
+      (3L, MediaCodecs.encodeWav(Array.fill(10)(128.toByte), 8000))
+    ).toDF("media_id", "payload")
+    val out = Multimodal.decodeMedia(spark, rows).orderBy("media_id").collect()
+    assert(out(0).getAs[String]("format") == "audio/mulaw")
+    assert(out(1).getAs[String]("format") == "audio/adpcm")
+    assert(out(1).getAs[Int]("n_samples") == 9)
+    assert(out(2).getAs[String]("format") == "audio/wav")
+    // 8-bit-PCM-only ops ignore the compressed codecs (codeword bytes must
+    // never be misread as PCM samples)
+    assert(MediaCodecs.wavWindowEnergy(
+      MediaCodecs.encodeWavMulaw("abc".getBytes("ASCII"), 8000), 2).isEmpty)
+  }
+
+  test("windowEnergy16 and audioInfo: exact decoded-domain results") {
+    // mu-law: 4 identical codewords 'A' -> all samples = table('A')
+    val s = MediaCodecs.MuLawTable('A'.toInt).toLong
+    val df = Seq((1L, MediaCodecs.encodeWavMulaw("AAAA".getBytes("ASCII"), 8000)))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.windowEnergy16(spark, df, k = 2)
+      .orderBy("window").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq((0, 2 * s * s, 2L), (1, 2 * s * s, 2L)), s"got $rows")
+    val adpcm = Seq((2L, MediaCodecs.encodeWavAdpcm(Array.fill[Short](5)(-300), 8000)))
+      .toDF("media_id", "payload")
+    val info = Multimodal.audioInfo(spark, adpcm).collect()(0)
+    assert(info.getAs[String]("format") == "audio/adpcm")
+    assert(info.getAs[Int]("n_samples") == 5)
+    assert(info.getAs[Int]("first_sample") == -300)
+    assert(info.getAs[Double]("duration_ms") == 5 * 1000.0 / 8000)
+  }
+
   test("AVI round-trip: MJPEG frames decode with dims and near-exact means") {
     // three solid-color frames; JPEG is lossy but a solid 16x16 decodes to
     // a near-constant image (DC-only blocks), so means land within ±2
