@@ -185,6 +185,15 @@ object Queries {
     writeBytes(dir.resolve("cp1252.txt"),
       "sm€rt “quotes” café".getBytes(
         java.nio.charset.Charset.forName("windows-1252")))
+    // GBK / Big5 (chardet's other common catches — reference
+    // requirements.txt:6) deliberately FALL THROUGH the ladder; these
+    // fixtures pin the current fallback output as DATA (mojibake included),
+    // so a future detector upgrade surfaces as an intentional oracle edit,
+    // not silent drift.
+    writeBytes(dir.resolve("gbk.txt"),
+      "中文编码测试".getBytes(java.nio.charset.Charset.forName("GBK")))
+    writeBytes(dir.resolve("big5.txt"),
+      "繁體中文測試".getBytes(java.nio.charset.Charset.forName("Big5")))
     dir.toString
   }
 
@@ -845,6 +854,11 @@ object Queries {
               | UNION ALL SELECT 'plain utf16le no bom'
               | UNION ALL SELECT '\u65e5\u672c\u8a9e\u30c6\u30ad\u30b9\u30c8'
               | UNION ALL SELECT 'sm\u20acrt \u201cquotes\u201d caf\u00e9'
+              | -- GBK and Big5 fall through to the Latin-1 floor (no C1-range
+              | -- lead bytes, so neither the SJIS nor cp1252 step fires):
+              | -- their mojibake is the PINNED contract (see encodedTxtFixture)
+              | UNION ALL SELECT '\u00d6\u00d0\u00ce\u00c4\u00b1\u00e0\u00c2\u00eb\u00b2\u00e2\u00ca\u00d4'
+              | UNION ALL SELECT '\u00c1c\u00c5\u00e9\u00a4\u00a4\u00a4\u00e5\u00b4\u00fa\u00b8\u00d5'
               |) ORDER BY content""".stripMargin)),
 
     // ------------------------------------------------ F1/F2 extraction

@@ -6,14 +6,17 @@ import scala.collection.mutable.ArrayBuffer
 
 /** Minimal, dependency-free PDF text extraction (SURVEY §7.4 risk item).
   *
-  * Handles the common case: page content streams stored raw or
-  * FlateDecode-compressed, text shown with `Tj` / `TJ` / `'` operators using
-  * literal `(...)` or hex `<...>` strings, standard encodings; PDF 1.5
-  * object streams (`/ObjStm`) for the structural dicts; and embedded-font
-  * `/ToUnicode` CMaps (bfchar/bfrange), so CID/subset-font hex text maps to
-  * real characters. This matches the fidelity class of the reference's
-  * PyPDF2 extraction (`app.py:186-192`) — best-effort,
-  * garbage-in-garbage-out on scanned PDFs and fonts shipping no ToUnicode.
+  * Handles the common case: page content streams stored raw or compressed
+  * with any chain of ISO 32000 §7.4's general-purpose filters (Flate, LZW,
+  * ASCIIHex, ASCII85, RunLength — see [[decodeStream]]), text shown with
+  * `Tj` / `TJ` / `'` operators using literal `(...)` or hex `<...>`
+  * strings, standard encodings; PDF 1.5 object streams (`/ObjStm`) for the
+  * structural dicts; and embedded-font `/ToUnicode` CMaps (bfchar/bfrange),
+  * so CID/subset-font hex text maps to real characters. This matches the
+  * fidelity class of the reference's PyPDF2 extraction (`app.py:186-192`)
+  * — best-effort, garbage-in-garbage-out on scanned PDFs and fonts
+  * shipping no ToUnicode. Encrypted PDFs and the image codecs
+  * (DCT/JPX/CCITT/JBIG2) are out of scope.
   *
   * Page splitting: the real page tree is walked — Catalog → /Pages →
   * /Kids (depth-first, the PDF page order) → each /Page's /Contents
@@ -32,8 +35,7 @@ object PdfText {
 
   private def perStreamTexts(bytes: Array[Byte]): Seq[String] =
     findStreams(bytes).flatMap { s =>
-      val data = if (s.flate) inflate(s.data) else s.data
-      val t = extractTextOps(data)
+      val t = extractTextOps(decodeStream(s))
       if (t.trim.nonEmpty) Some(t) else None
     }
 
@@ -87,7 +89,7 @@ object PdfText {
       val fonts = pageFonts(body, objs)
       val text = contentRefs.flatMap(objs.get).flatMap { cBody =>
         findStreams(cBody.getBytes(StandardCharsets.ISO_8859_1)).map { st =>
-          extractTextOps(if (st.flate) inflate(st.data) else st.data, fonts)
+          extractTextOps(decodeStream(st), fonts)
         }
       }.mkString
       if (text.trim.nonEmpty) Some(text) else None
@@ -120,8 +122,7 @@ object PdfText {
       tuRef <- """/ToUnicode\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(fontBody)
       tuBody <- objs.get(tuRef.group(1).toInt)
       st <- findStreams(tuBody.getBytes(StandardCharsets.ISO_8859_1)).headOption
-      cm <- parseToUnicode(new String(
-        if (st.flate) inflate(st.data) else st.data, StandardCharsets.ISO_8859_1))
+      cm <- parseToUnicode(new String(decodeStream(st), StandardCharsets.ISO_8859_1))
     } yield m.group(1) -> cm).toMap
   }
 
@@ -232,7 +233,166 @@ object PdfText {
       sb.toString
     }
 
-  private case class Stream(data: Array[Byte], flate: Boolean, dict: String)
+  private case class Stream(data: Array[Byte], dict: String)
+
+  // ------------------------------------------------------- stream filters
+
+  /** The stream dict's filter chain, in application order: `/Filter /Name`
+    * or `/Filter [/N1 /N2 ...]` (ISO 32000 §7.4, including the short
+    * names). */
+  private def filtersOf(dict: String): Seq[String] =
+    """/Filter\s*\[([^\]]*)\]""".r.findFirstMatchIn(dict)
+      .map(m => """/([A-Za-z0-9]+)""".r.findAllMatchIn(m.group(1))
+        .map(_.group(1)).toSeq)
+      .orElse("""/Filter\s*/([A-Za-z0-9]+)""".r.findFirstMatchIn(dict)
+        .map(m => Seq(m.group(1))))
+      .getOrElse(Seq.empty)
+
+  /** Apply the dict's filter chain: Flate, LZW, ASCIIHex, ASCII85 and
+    * RunLength (all of ISO 32000 §7.4's general-purpose filters — the
+    * remaining ones are image codecs: DCT/JPX/CCITT/JBIG2). Unknown
+    * filters pass the data through — best-effort, like the rest of this
+    * extractor. PNG predictors (/DecodeParms /Predictor) are not applied;
+    * they appear on xref/image streams, not the content streams we walk. */
+  private def decodeStream(st: Stream): Array[Byte] =
+    filtersOf(st.dict).foldLeft(st.data) { (d, f) =>
+      f match {
+        case "FlateDecode" | "Fl"      => inflate(d)
+        case "LZWDecode" | "LZW"       => lzwDecode(d)
+        case "ASCIIHexDecode" | "AHx"  => asciiHexDecode(d)
+        case "ASCII85Decode" | "A85"   => ascii85Decode(d)
+        case "RunLengthDecode" | "RL"  => runLengthDecode(d)
+        case _                         => d
+      }
+    }
+
+  /** PDF-variant LZW (ISO 32000 §7.4.4.2 / TIFF): MSB-first bit packing,
+    * 9→12-bit codes, 256 = clear table, 257 = EOD, EarlyChange=1 (the
+    * default — code width grows one code early). Corrupt input yields
+    * empty, never throws. */
+  private[graft] def lzwDecode(data: Array[Byte]): Array[Byte] = {
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val dict = new ArrayBuffer[Array[Byte]](4096)
+      def reset(): Unit = {
+        dict.clear()
+        var b = 0
+        while (b < 256) { dict += Array(b.toByte); b += 1 }
+        dict += null; dict += null // 256 = clear, 257 = EOD
+      }
+      reset()
+      var codeLen = 9
+      var bitBuf = 0L
+      var bits = 0
+      var prev: Array[Byte] = null
+      var i = 0
+      var done = false
+      while (!done) {
+        while (bits < codeLen && i < data.length) {
+          bitBuf = (bitBuf << 8) | (data(i) & 0xff); bits += 8; i += 1
+        }
+        if (bits < codeLen) done = true // ran out without EOD: keep what we have
+        else {
+          val code = ((bitBuf >>> (bits - codeLen)) & ((1L << codeLen) - 1)).toInt
+          bits -= codeLen
+          if (code == 257) done = true
+          else if (code == 256) { reset(); codeLen = 9; prev = null }
+          else {
+            val entry: Array[Byte] =
+              if (code < dict.length && dict(code) != null) dict(code)
+              else if (code == dict.length && prev != null) prev :+ prev(0)
+              else return Array.emptyByteArray // corrupt code
+            out.write(entry)
+            if (prev != null && dict.length < 4096) dict += (prev :+ entry(0))
+            prev = entry
+            if (dict.length >= (1 << codeLen) - 1 && codeLen < 12) codeLen += 1
+          }
+        }
+      }
+      out.toByteArray
+    } catch { case _: Throwable => Array.emptyByteArray }
+  }
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>` ends the
+    * stream, an odd trailing digit is padded with 0. */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '>') done = true
+      else {
+        val v = Character.digit(c, 16)
+        if (v >= 0) {
+          if (hi < 0) hi = v
+          else { out.write((hi << 4) | v); hi = -1 }
+        }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** ASCII85Decode (§7.4.3): 5 chars (each − 33) base-85 → 4 bytes; `z` is
+    * shorthand for four zero bytes; `~>` ends the stream; a partial final
+    * group of n chars yields n−1 bytes (padded with 'u' = 84). */
+  private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val group = new Array[Int](5)
+      var n = 0
+      var i = 0
+      var done = false
+      def flush(count: Int): Unit = {
+        var v = 0L
+        var j = 0
+        while (j < 5) { v = v * 85 + (if (j < count) group(j) else 84); j += 1 }
+        val keep = count - 1
+        var k = 0
+        while (k < keep) { out.write(((v >>> (24 - 8 * k)) & 0xff).toInt); k += 1 }
+      }
+      while (i < data.length && !done) {
+        val c = data(i).toChar
+        if (c == '~') done = true
+        else if (c == 'z' && n == 0) out.write(Array[Byte](0, 0, 0, 0))
+        else if (c >= '!' && c <= 'u') {
+          group(n) = c - '!'
+          n += 1
+          if (n == 5) { flush(5); n = 0 }
+        } // whitespace and anything else: skipped
+        i += 1
+      }
+      if (n > 1) flush(n)
+      out.toByteArray
+    } catch { case _: Throwable => Array.emptyByteArray }
+  }
+
+  /** RunLengthDecode (§7.4.5): length byte L — 0..127 copies the next L+1
+    * bytes literally, 129..255 repeats the next byte 257−L times, 128 is
+    * EOD. */
+  private[graft] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val l = data(i) & 0xff
+      if (l == 128) done = true
+      else if (l < 128) {
+        val take = math.min(l + 1, data.length - i - 1)
+        out.write(data, i + 1, take)
+        i += take
+      } else if (i + 1 < data.length) {
+        var k = 0
+        while (k < 257 - l) { out.write(data(i + 1)); k += 1 }
+        i += 1
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
 
   /** Objects stored INSIDE `/Type /ObjStm` compressed object streams
     * (PDF 1.5+ — where modern writers put the catalog / page-tree dicts,
@@ -245,8 +405,7 @@ object PdfText {
   private def objStmObjects(bytes: Array[Byte]): Map[Int, String] =
     findStreams(bytes).filter(_.dict.contains("/ObjStm")).flatMap { st =>
       try {
-        val text = new String(if (st.flate) inflate(st.data) else st.data,
-          StandardCharsets.ISO_8859_1)
+        val text = new String(decodeStream(st), StandardCharsets.ISO_8859_1)
         val nOpt = """/N\s+(\d+)""".r.findFirstMatchIn(st.dict).map(_.group(1).toInt)
         val firstOpt = """/First\s+(\d+)""".r.findFirstMatchIn(st.dict).map(_.group(1).toInt)
         (nOpt, firstOpt) match {
@@ -282,7 +441,7 @@ object PdfText {
       val end = s.indexOf("endstream", dataStart)
       if (end < 0) return out.toSeq
       val data = bytes.slice(dataStart, end)
-      out += Stream(data, dict.contains("FlateDecode"), dict)
+      out += Stream(data, dict)
       idx = s.indexOf("stream", end + 9)
     }
     out.toSeq

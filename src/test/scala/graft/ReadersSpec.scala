@@ -1,6 +1,6 @@
 package graft
 
-import graft.ingest.Readers
+import graft.ingest.{PdfText, Readers}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
@@ -129,6 +129,118 @@ class ReadersSpec extends SparkSpec {
     write(dir, "z.pdf", bout.toByteArray)
     val rows = Readers.pdf(spark, dir).collect().map(_.getString(0))
     assert(rows.toSeq == Seq("Compressed text "), s"got ${rows.toSeq}")
+  }
+
+  // Minimal PDF-variant LZW encoder (9→12-bit MSB-first codes, clear/EOD,
+  // EarlyChange=1 to match the decoder — the PDF default): fixtures only.
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bits = 0; var codeLen = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << codeLen) | code; bits += codeLen
+      while (bits >= 8) { out.write(((bitBuf >>> (bits - 8)) & 0xff).toInt); bits -= 8 }
+    }
+    val dict = scala.collection.mutable.Map[Seq[Byte], Int]()
+    (0 until 256).foreach(b => dict(Seq(b.toByte)) = b)
+    var next = 258
+    put(256)
+    var w = Seq.empty[Byte]
+    data.foreach { b =>
+      val wb = w :+ b
+      if (dict.contains(wb)) w = wb
+      else {
+        put(dict(w))
+        if (next < 4096) { dict(wb) = next; next += 1 }
+        // mirror of the decoder's early-change point: its table lags the
+        // encoder's by one entry, so bump at next >= 2^len (not 2^len - 1)
+        if (next >= (1 << codeLen) && codeLen < 12) codeLen += 1
+        w = Seq(b)
+      }
+    }
+    if (w.nonEmpty) put(dict(w))
+    put(257)
+    if (bits > 0) out.write(((bitBuf << (8 - bits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  test("pdf filters: LZW decodes the TIFF spec vector and long round-trips") {
+    // the classic KwKwK vector: 7 7 7 8 8 7 7 6 6 encodes to codes
+    // 256 7 258 8 8 258 6 6 257 (code 258 arrives before its entry exists)
+    def pack(codes: Seq[Int]): Array[Byte] = {
+      var bitBuf = 0L; var bits = 0
+      val out = new java.io.ByteArrayOutputStream()
+      codes.foreach { c =>
+        bitBuf = (bitBuf << 9) | c; bits += 9
+        while (bits >= 8) { out.write(((bitBuf >>> (bits - 8)) & 0xff).toInt); bits -= 8 }
+      }
+      if (bits > 0) out.write(((bitBuf << (8 - bits)) & 0xff).toInt)
+      out.toByteArray
+    }
+    val vec = pack(Seq(256, 7, 258, 8, 8, 258, 6, 6, 257))
+    assert(PdfText.lzwDecode(vec).toSeq ==
+      Seq[Byte](7, 7, 7, 8, 8, 7, 7, 6, 6))
+    // a >254-code payload crosses the 9->10-bit width change
+    val long = (0 until 3000).map(i => ((i * 7) % 26 + 'a').toByte).toArray
+    assert(PdfText.lzwDecode(lzwEncode(long)).toSeq == long.toSeq)
+    // corrupt input: empty, never throws
+    assert(PdfText.lzwDecode(Array[Byte](-1, -1, -1)).isEmpty)
+  }
+
+  test("pdf filters: ASCIIHex, ASCII85 and RunLength decode per spec") {
+    assert(PdfText.asciiHexDecode("48 65 6C 6c 6F>".getBytes("ASCII")).toSeq ==
+      "Hello".getBytes("ASCII").toSeq)
+    // odd trailing digit pads with 0: "7" -> 0x70
+    assert(PdfText.asciiHexDecode("7>".getBytes("ASCII")).toSeq == Seq(0x70.toByte))
+    // ASCII85: "Man " encodes to "9jqo^"; 'z' is four zero bytes
+    assert(PdfText.ascii85Decode("9jqo^~>".getBytes("ASCII")).toSeq ==
+      "Man ".getBytes("ASCII").toSeq)
+    assert(PdfText.ascii85Decode("z~>".getBytes("ASCII")).toSeq ==
+      Seq[Byte](0, 0, 0, 0))
+    // partial final group: 3 chars -> 2 bytes
+    assert(PdfText.ascii85Decode("9jqo^9jq~>".getBytes("ASCII")).length == 6)
+    // RunLength: literal run + repeat run + EOD
+    val rl = Array[Byte](2, 'a', 'b', 'c', (257 - 4).toByte, 'x', 128.toByte)
+    assert(PdfText.runLengthDecode(rl).toSeq == "abcxxxx".getBytes("ASCII").toSeq)
+  }
+
+  test("pdf: LZW content stream and an ASCII85+Flate filter chain decode") {
+    val dir = tmpDir("pdflzw_")
+    val content = "BT (LZW compressed page) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+    val lzw = lzwEncode(content)
+    val b1 = new java.io.ByteArrayOutputStream()
+    b1.write(s"%PDF-1.4\n4 0 obj\n<< /Length ${lzw.length} /Filter /LZWDecode >>\nstream\n"
+      .getBytes(StandardCharsets.ISO_8859_1))
+    b1.write(lzw)
+    b1.write("\nendstream\nendobj\n%%EOF\n".getBytes(StandardCharsets.ISO_8859_1))
+    write(dir, "lzw.pdf", b1.toByteArray)
+    // chain: Flate first, then ASCII85-armor — decode order is A85 then Flate
+    val content2 = "BT (Chained filters page) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(content2); deflater.finish()
+    val zbuf = new Array[Byte](256)
+    val zn = deflater.deflate(zbuf)
+    val a85 = ascii85Encode(zbuf.take(zn))
+    val dir2 = tmpDir("pdfchain_")
+    val pdf2 = s"%PDF-1.4\n4 0 obj\n<< /Length ${a85.length} /Filter [/ASCII85Decode /FlateDecode] >>\nstream\n" +
+      a85 + "\nendstream\nendobj\n%%EOF\n"
+    write(dir2, "chain.pdf", pdf2.getBytes(StandardCharsets.ISO_8859_1))
+    assert(Readers.pdf(spark, dir).collect().map(_.getString(0)).toSeq ==
+      Seq("LZW compressed page "))
+    assert(Readers.pdf(spark, dir2).collect().map(_.getString(0)).toSeq ==
+      Seq("Chained filters page "))
+  }
+
+  // ASCII85 encoder for fixtures (inverse of PdfText.ascii85Decode)
+  private def ascii85Encode(data: Array[Byte]): String = {
+    val sb = new StringBuilder
+    data.grouped(4).foreach { g =>
+      var v = 0L
+      (0 until 4).foreach(i => v = (v << 8) | (if (i < g.length) g(i) & 0xff else 0))
+      val cs = new Array[Char](5)
+      (4 to 0 by -1).foreach { i => cs(i) = ('!' + (v % 85).toInt).toChar; v /= 85 }
+      sb.appendAll(cs, 0, g.length + 1)
+    }
+    sb.append("~>").toString
   }
 
   test("pdf: PDF 1.5 object-stream page tree parses (catalog/pages inside ObjStm)") {
