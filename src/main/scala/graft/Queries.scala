@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.Readers
-import graft.ops.{Bloom, Chunking, Corpus, Curate, Dedup, InferSchema, Layout, Multimodal, Nums, Similarity, TextAnalysis, Validate, Warehouse}
+import graft.ops.{Bloom, Chunking, Corpus, Curate, Dedup, InferSchema, Layout, Multimodal, Nums, Similarity, SubstringDedup, TextAnalysis, Urls, Validate, Warehouse}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -1558,6 +1558,134 @@ object Queries {
               |  count(*) AS n_tokens
               |FROM tok JOIN freq USING (token)
               |GROUP BY doc_id ORDER BY id""".stripMargin)),
+
+    // Exact-substring dedup (Lee et al. ACL 2022, ExactSubstr) at k-token
+    // window granularity: every 8-token window occurring >1 time anywhere
+    // marks its range; overlapping marks merge into maximal spans
+    // (gaps-and-islands). Finds WITHIN-document duplication whole-doc dedup
+    // can't see. explode + hash-agg + semi-join + per-doc window: linear.
+    ("q_dup_spans",
+      (s: SparkSession, d: String) =>
+        SubstringDedup.duplicatedSpans(
+          tbl(s, d, "documents").filter(col("doc_id") < 300), "doc_id", "text",
+          k = 8)
+          .orderBy("doc_id", "span_start"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+             |    ELSE string_split_regex(trim(text), '\s+') END AS toks
+             |  FROM documents WHERE doc_id < 300),
+             |w0 AS (SELECT doc_id, unnest(range(0, len(toks) - 7)) AS pos, toks
+             |       FROM t WHERE len(toks) >= 8),
+             |w AS (SELECT doc_id, pos,
+             |        array_to_string(toks[pos+1 : pos+8], ' ') AS gram FROM w0),
+             |dup AS (SELECT gram FROM w GROUP BY gram HAVING count(*) > 1),
+             |m AS (SELECT doc_id, pos FROM w WHERE gram IN (SELECT gram FROM dup)),
+             |b AS (SELECT doc_id, pos,
+             |        CASE WHEN pos > coalesce(lag(pos) OVER
+             |          (PARTITION BY doc_id ORDER BY pos), -2147483648) + 8
+             |        THEN 1 ELSE 0 END AS brk FROM m),
+             |i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+             |        ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM b)
+             |SELECT doc_id, min(pos)::BIGINT AS span_start,
+             |  (max(pos) + 8)::BIGINT AS span_end, count(*)::BIGINT AS n_windows
+             |FROM i GROUP BY doc_id, island
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // The removal half of ExactSubstr: tokens covered by any duplicated
+    // span drop, survivors re-join single-spaced; span-free docs pass
+    // through VERBATIM (original whitespace preserved).
+    ("q_dedup_substring",
+      (s: SparkSession, d: String) =>
+        SubstringDedup.removeDuplicatedSpans(
+          tbl(s, d, "documents").filter(col("doc_id") < 300), "doc_id", "text",
+          k = 8)
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+             |    ELSE string_split_regex(trim(text), '\s+') END AS toks
+             |  FROM documents WHERE doc_id < 300),
+             |w0 AS (SELECT doc_id, unnest(range(0, len(toks) - 7)) AS pos, toks
+             |       FROM t WHERE len(toks) >= 8),
+             |w AS (SELECT doc_id, pos,
+             |        array_to_string(toks[pos+1 : pos+8], ' ') AS gram FROM w0),
+             |dup AS (SELECT gram FROM w GROUP BY gram HAVING count(*) > 1),
+             |m AS (SELECT doc_id, pos FROM w WHERE gram IN (SELECT gram FROM dup)),
+             |b AS (SELECT doc_id, pos,
+             |        CASE WHEN pos > coalesce(lag(pos) OVER
+             |          (PARTITION BY doc_id ORDER BY pos), -2147483648) + 8
+             |        THEN 1 ELSE 0 END AS brk FROM m),
+             |i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+             |        ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM b),
+             |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+             |          FROM i GROUP BY doc_id, island),
+             |tk AS (SELECT doc_id, unnest(toks) AS tok,
+             |         unnest(range(0, len(toks))) AS idx FROM t),
+             |kept AS (
+             |  SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.idx) AS rebuilt
+             |  FROM tk k
+             |  WHERE NOT EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = k.doc_id
+             |    AND k.idx >= s.s AND k.idx < s.e)
+             |  GROUP BY k.doc_id)
+             |SELECT t.doc_id,
+             |  CASE WHEN t.doc_id IN (SELECT doc_id FROM spans)
+             |    THEN coalesce(k.rebuilt, '') ELSE t.text END AS clean_text
+             |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // URL canonicalization + URL-keyed dedup (the free first pass of
+    // web-corpus curation): lower scheme/host, strip default ports, drop
+    // fragments, sort query params — pure codegen'd expressions, one
+    // hash-agg on the canonical key. The fixture synthesizes four raw
+    // variants per path; two collapse to the same canonical http form.
+    ("q_url_normalize",
+      (s: SparkSession, d: String) => {
+        // variant selector is coprime with the path modulus (7 vs 20), so
+        // every path sees every raw variant and the http:80 / bare-http
+        // pair genuinely MERGES under one canonical key
+        val raw = tbl(s, d, "documents").filter(col("doc_id") < 500)
+          .select((col("doc_id") % 20).cast("string").as("p"),
+            (col("doc_id") % 7 % 4).as("v"))
+          .select(
+            when(col("v") === 0,
+              concat(lit("HTTP://Example.COM:80/p/"), col("p"), lit("?b=2&a=1#frag")))
+            .when(col("v") === 1,
+              concat(lit("https://EXAMPLE.com:443/p/"), col("p"), lit("?a=1&b=2")))
+            .when(col("v") === 2,
+              concat(lit("http://example.com/p/"), col("p"), lit("?b=2&a=1")))
+            .otherwise(
+              concat(lit("https://cdn.example.com:8080/asset/"), col("p")))
+            .as("url"))
+        Urls.dedupByUrl(raw, "url").orderBy("canonical_url")
+      },
+      Some("""WITH raw AS (
+             |  SELECT CASE doc_id % 7 % 4
+             |    WHEN 0 THEN 'HTTP://Example.COM:80/p/' || (doc_id % 20) || '?b=2&a=1#frag'
+             |    WHEN 1 THEN 'https://EXAMPLE.com:443/p/' || (doc_id % 20) || '?a=1&b=2'
+             |    WHEN 2 THEN 'http://example.com/p/' || (doc_id % 20) || '?b=2&a=1'
+             |    ELSE 'https://cdn.example.com:8080/asset/' || (doc_id % 20) END AS url
+             |  FROM documents WHERE doc_id < 500),
+             |c AS (
+             |  SELECT url,
+             |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+             |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+             |    regexp_extract(url, '\?([^#]*)', 1) AS query
+             |  FROM raw),
+             |n AS (
+             |  SELECT url,
+             |    scheme || '://' || lower(regexp_extract(hostport, '^([^:]*)', 1)) ||
+             |    CASE WHEN regexp_extract(hostport, ':(\d+)$', 1) = '' THEN ''
+             |      WHEN scheme = 'http' AND regexp_extract(hostport, ':(\d+)$', 1) = '80' THEN ''
+             |      WHEN scheme = 'https' AND regexp_extract(hostport, ':(\d+)$', 1) = '443' THEN ''
+             |      ELSE ':' || regexp_extract(hostport, ':(\d+)$', 1) END ||
+             |    path ||
+             |    CASE WHEN query = '' THEN ''
+             |      ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END
+             |    AS canonical_url
+             |  FROM c)
+             |SELECT canonical_url, count(*) AS n_raw, min(url) AS first_raw
+             |FROM n GROUP BY canonical_url ORDER BY canonical_url""".stripMargin)),
 
     // ------------------------------------------------ similarity search
 

@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops.Urls
+import org.apache.spark.sql.functions._
+
+class UrlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(Urls.canonicalUrl(col("url"))).collect()
+      .map(_.getString(0)).toSeq
+
+  test("canonicalUrl: scheme/host case, default ports, fragments, param order") {
+    assert(canon("HTTP://Example.COM:80/p/1?b=2&a=1#frag") ==
+      Seq("http://example.com/p/1?a=1&b=2"))
+    assert(canon("https://EXAMPLE.com:443/x") == Seq("https://example.com/x"))
+    // non-default port survives; path case is preserved
+    assert(canon("https://cdn.example.com:8080/Asset/Big") ==
+      Seq("https://cdn.example.com:8080/Asset/Big"))
+    // no query -> no dangling '?'; fragment alone just drops
+    assert(canon("http://a.b/p#top") == Seq("http://a.b/p"))
+    // bare authority: path stays as-is (empty)
+    assert(canon("http://A.B") == Seq("http://a.b"))
+    // already-canonical input is a fixed point
+    val c = "http://example.com/p/1?a=1&b=2"
+    assert(canon(c) == Seq(c))
+  }
+
+  test("canonicalUrl: non-URL strings pass through unchanged") {
+    assert(canon("not a url", "ftp:/missing-slashes", "") ==
+      Seq("not a url", "ftp:/missing-slashes", ""))
+  }
+
+  test("extractUrls pulls every http(s) URL out of free text") {
+    val df = Seq(
+      (1L, "see https://a.example/x and HTTP://B.example/y?z=1 thanks"),
+      (2L, "no links here")
+    ).toDF("id", "text")
+    val urls = Urls.extractUrls(df, "text").select("id", "url").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(urls == Seq((1L, "https://a.example/x"), (1L, "HTTP://B.example/y?z=1")))
+  }
+
+  test("dedupByUrl groups raw variants under one canonical key") {
+    val raw = Seq(
+      "HTTP://Example.COM:80/p?b=2&a=1#f",
+      "http://example.com/p?a=1&b=2",
+      "https://other.example/q"
+    ).toDF("url")
+    val out = Urls.dedupByUrl(raw, "url").orderBy("canonical_url").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out == Seq(
+      ("http://example.com/p?a=1&b=2", 2L, "HTTP://Example.COM:80/p?b=2&a=1#f"),
+      ("https://other.example/q", 1L, "https://other.example/q")))
+  }
+}
