@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.Readers
-import graft.ops.{Bloom, Chunking, Corpus, Curate, Dedup, InferSchema, Layout, Multimodal, Nums, Similarity, SubstringDedup, TextAnalysis, Urls, Validate, Warehouse}
+import graft.ops.{Bloom, Bpe, Chunking, Corpus, Curate, Dedup, InferSchema, Layout, Multimodal, Nums, Similarity, SubstringDedup, TextAnalysis, Urls, Validate, Warehouse}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -328,6 +328,43 @@ object Queries {
     """text || ' contact u' || doc_id || '@example.com or (555) 123-4567 on ' ||
       | (doc_id % 12 + 1) || '/' || (doc_id % 28 + 1) || '/20' ||
       | lpad((doc_id % 100)::VARCHAR, 2, '0')""".stripMargin
+
+  /** DuckDB replay of [[graft.ops.Bpe.learnMerges]]: `steps` chained CTE
+    * rounds — pair count over the symbolized vocabulary, deterministic
+    * argmax (count desc, pair asc), plain-`replace` merge — then the
+    * learned merge table. Generated, because each round is one mechanical
+    * CTE triple.
+    */
+  private def dBpeSql(filter: String, steps: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH v AS (
+         |  SELECT word, count(*)::BIGINT AS cnt FROM (
+         |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+         |    FROM documents WHERE ($filter) AND len(trim(text)) > 0)
+         |  GROUP BY word),
+         |it0 AS (SELECT cnt,
+         |  ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sym
+         |  FROM v)""".stripMargin)
+    for (i <- 1 to steps) {
+      sb.append(
+        s""",
+           |p$i AS (SELECT cnt, l, unnest(range(0, len(l) - 1)) AS i
+           |  FROM (SELECT cnt, string_split(trim(sym), ' ') AS l FROM it${i - 1})
+           |  WHERE len(l) >= 2),
+           |c$i AS (SELECT l[i+1] AS a, l[i+2] AS b, sum(cnt)::BIGINT AS n
+           |  FROM p$i GROUP BY a, b),
+           |b$i AS (SELECT a, b, n FROM c$i ORDER BY n DESC, a, b LIMIT 1),
+           |it$i AS (SELECT cnt,
+           |  replace(sym, ' ' || b$i.a || ' ' || b$i.b || ' ',
+           |          ' ' || b$i.a || b$i.b || ' ') AS sym
+           |  FROM it${i - 1} CROSS JOIN b$i)""".stripMargin)
+    }
+    val rows = (1 to steps)
+      .map(i => s"SELECT $i AS step, a AS lhs, b AS rhs, n AS pair_count FROM b$i")
+      .mkString("\n", "\nUNION ALL\n", "\n")
+    sb.append(s"\nSELECT * FROM ($rows) ORDER BY step").toString
+  }
 
   /** The validation fixture: a 3-way ragged record stream derived from
     * events (same CASE both engines).
@@ -1632,6 +1669,20 @@ object Queries {
              |    THEN coalesce(k.rebuilt, '') ELSE t.text END AS clean_text
              |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
              |ORDER BY t.doc_id""".stripMargin)),
+
+    // BPE merge learning (Sennrich et al. ACL 2016) — tokenizer training
+    // as a Spark pipeline: per step one vocabulary-level pair-count
+    // hash-agg + a 1-row argmax + a codegen'd string replace. The oracle
+    // chains the IDENTICAL steps as CTE rounds (same plain `replace`
+    // semantics = BPE's greedy left-to-right merge), so the whole training
+    // run is hash-checked cross-engine.
+    ("q_bpe_learn",
+      (s: SparkSession, d: String) =>
+        Bpe.learnMerges(
+          tbl(s, d, "documents").filter(col("doc_id") < 200), "text",
+          steps = 6)
+          .orderBy("step"),
+      Some(dBpeSql("doc_id < 200", steps = 6))),
 
     // URL canonicalization + URL-keyed dedup (the free first pass of
     // web-corpus curation): lower scheme/host, strip default ports, drop

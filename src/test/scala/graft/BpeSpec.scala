@@ -1,0 +1,48 @@
+package graft
+
+import graft.ops.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learnMerges reproduces the classic low/lower/newest BPE run") {
+    // hand-derived (no end-of-word marker):
+    //   vocab low:3 lower:2 newest:1
+    //   step1: (l,o)=5 ties (o,w)=5 -> lexicographic 'l' < 'o' -> lo
+    //   step2: (lo,w)=5 -> low
+    //   step3: (low,e)=2 ties (e,r)=2 -> 'e' < 'low' -> er
+    //   step4: (low,er)=2 -> lower
+    val docs = Seq((1L, "low low low lower lower newest")).toDF("id", "text")
+    val merges = Bpe.learnMerges(docs, "text", steps = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq(
+      (1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "e", "r", 2L),
+      (4, "low", "er", 2L)), s"got ${merges.toSeq}")
+  }
+
+  test("greedy left-to-right merging: runs of the same symbol pair once per pair") {
+    // 'aaa' has TWO overlapping (a,a) stat pairs (standard BPE counting)
+    // but merges greedily only once -> [aa, a]; next round pairs (aa, a)
+    val docs = Seq((1L, "aaa aaa")).toDF("id", "text")
+    val merges = Bpe.learnMerges(docs, "text", steps = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)),
+      s"got ${merges.toSeq}")
+  }
+
+  test("learning stops when no pairs remain, short of the requested steps") {
+    val docs = Seq((1L, "ab ab ab")).toDF("id", "text")
+    val merges = Bpe.learnMerges(docs, "text", steps = 5).collect()
+    assert(merges.length == 1)
+    assert(merges(0).getString(1) == "a" && merges(0).getString(2) == "b")
+  }
+
+  test("counts are vocabulary-frequency-weighted, not per-document") {
+    // same word repeated in one doc and spread across docs weighs the same
+    val a = Seq((1L, "xy xy xy")).toDF("id", "text")
+    val b = Seq((1L, "xy"), (2L, "xy"), (3L, "xy")).toDF("id", "text")
+    val ma = Bpe.learnMerges(a, "text", 1).collect()(0).getLong(3)
+    val mb = Bpe.learnMerges(b, "text", 1).collect()(0).getLong(3)
+    assert(ma == 3L && mb == 3L)
+  }
+}

@@ -133,6 +133,27 @@ class PlanSpec extends SparkSpec {
     assert(df.count() > 0) // and it must actually execute compiled
   }
 
+  test("duplicatedSpans: shuffles on gram/doc keys only — no cartesian, no big-side broadcast") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.ops.SubstringDedup.duplicatedSpans(docs, "doc_id", "text", k = 8))
+    assert(!plan.contains("CartesianProduct"), s"all-pairs crept in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join crept in:\n$plan")
+    // exactly the three key shuffles the design calls for: gram hash-agg,
+    // gram semi-join (shared exchange), doc-id window
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 4, s"unexpected extra shuffles ($exchanges):\n$plan")
+  }
+
+  test("canonicalUrl is a pure codegen'd projection: no shuffle, no UDF") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("https://Example.com:443/p?b=2&a=1#f"), col("doc_id")).as("url"))
+    val plan = planOf(docs.select(graft.ops.Urls.canonicalUrl(col("url"))))
+    assert(!plan.contains("Exchange"), s"normalization must be map-only:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"expected pure expressions:\n$plan")
+    assert(plan.contains("*(1) Project"), s"expected codegen'd projection:\n$plan")
+  }
+
   test("5-way join broadcasts every dimension table") {
     val df = Queries.queries("q_sql_multijoin")(spark, sf)
     assert(df.count() > 0)
