@@ -335,7 +335,8 @@ object Queries {
     * learned merge table. Generated, because each round is one mechanical
     * CTE triple.
     */
-  private def dBpeSql(filter: String, steps: Int): String = {
+  private def dBpeSql(filter: String, steps: Int,
+                      apply: Boolean = false): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH v AS (
@@ -360,10 +361,42 @@ object Queries {
            |          ' ' || b$i.a || b$i.b || ' ') AS sym
            |  FROM it${i - 1} CROSS JOIN b$i)""".stripMargin)
     }
-    val rows = (1 to steps)
-      .map(i => s"SELECT $i AS step, a AS lhs, b AS rhs, n AS pair_count FROM b$i")
-      .mkString("\n", "\nUNION ALL\n", "\n")
-    sb.append(s"\nSELECT * FROM ($rows) ORDER BY step").toString
+    if (!apply) {
+      val rows = (1 to steps)
+        .map(i => s"SELECT $i AS step, a AS lhs, b AS rhs, n AS pair_count FROM b$i")
+        .mkString("\n", "\nUNION ALL\n", "\n")
+      sb.append(s"\nSELECT * FROM ($rows) ORDER BY step").toString
+    } else {
+      // fertility mode: tokenize every doc with the learned merges (same
+      // chained replace, scalar-subquery merge args; assumes the corpus
+      // doesn't exhaust before `steps` — q_bpe_learn pins that) and report
+      // per-doc subword stats. Empty docs keep a zero row via the left join.
+      val chained = (1 to steps).foldLeft("sym") { (acc, i) =>
+        s"""replace($acc,
+           |  ' ' || (SELECT a FROM b$i) || ' ' || (SELECT b FROM b$i) || ' ',
+           |  ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ')""".stripMargin
+      }
+      sb.append(
+        s""",
+           |docs AS (SELECT doc_id,
+           |  CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+           |    ELSE string_split_regex(trim(text), '\\s+') END AS tk
+           |  FROM documents WHERE ($filter)),
+           |dw AS (SELECT doc_id, unnest(tk) AS w FROM docs),
+           |ds AS (SELECT doc_id,
+           |  ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS sym,
+           |  len(w)::BIGINT AS wchars FROM dw),
+           |dm AS (SELECT doc_id, $chained AS msym, wchars FROM ds),
+           |agg AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+           |  sum(len(string_split(trim(msym), ' ')))::BIGINT AS n_subwords,
+           |  sum(wchars)::BIGINT AS n_chars
+           |  FROM dm GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
+           |  coalesce(a.n_subwords, 0) AS n_subwords,
+           |  coalesce(a.n_chars, 0) AS n_chars
+           |FROM docs d LEFT JOIN agg a USING (doc_id)
+           |ORDER BY doc_id""".stripMargin).toString
+    }
   }
 
   /** The validation fixture: a 3-way ragged record stream derived from
@@ -1683,6 +1716,58 @@ object Queries {
           steps = 6)
           .orderBy("step"),
       Some(dBpeSql("doc_id < 200", steps = 6))),
+
+    // Tokenizer fertility: train 6 BPE merges, then tokenize every doc with
+    // them and report subword counts (vs words and chars) — the "is this
+    // tokenizer/corpus pairing any good" metric. Application is k nested
+    // codegen'd replaces, map-only; the oracle re-trains AND re-applies.
+    ("q_bpe_apply",
+      (s: SparkSession, d: String) => {
+        val docs = tbl(s, d, "documents").filter(col("doc_id") < 200)
+        val merges = Bpe.learnMerges(docs, "text", steps = 6)
+          .orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        Bpe.applyMerges(docs, "doc_id", "text", merges).orderBy("doc_id")
+      },
+      Some(dBpeSql("doc_id < 200", steps = 6, apply = true))),
+
+    // Bigram-LM quality score (CCNet-family dial): per-doc sum of
+    // fixed-point transition likelihoods floor(1e6*c(w1,w2)/c(w1)) with
+    // corpus-MLE counts — integer end to end, whole score under the hash.
+    ("q_lm_score",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.bigramLmScore(
+          tbl(s, d, "documents").filter(col("doc_id") < 500), "doc_id", "text")
+          .orderBy("id"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id AS id, $dTokens AS tk
+              |  FROM documents WHERE doc_id < 500),
+              |uni AS (SELECT unnest(tk) AS w1 FROM t),
+              |cu AS (SELECT w1, count(*)::BIGINT AS cu FROM uni GROUP BY w1),
+              |bg0 AS (SELECT id, tk, unnest(range(0, len(tk) - 1)) AS i
+              |        FROM t WHERE len(tk) >= 2),
+              |bg AS (SELECT id, tk[i+1] AS w1, tk[i+2] AS w2 FROM bg0),
+              |cb AS (SELECT w1, w2, count(*)::BIGINT AS cb
+              |       FROM bg GROUP BY w1, w2)
+              |SELECT id, count(*) AS n_bigrams,
+              |  sum((1000000 * cb.cb) // cu.cu)::BIGINT AS lm_score
+              |FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
+              |GROUP BY id ORDER BY id""".stripMargin)),
+
+    // Inverted index (term -> df + ascending '|'-joined posting list): the
+    // retrieval artifact BM25/decontamination walk; explode-distinct +
+    // one hash-agg.
+    ("q_inverted_index",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.invertedIndex(
+          tbl(s, d, "documents").filter(col("doc_id") < 400), "doc_id", "text")
+          .orderBy("term"),
+      Some(s"""WITH td AS (
+              |  SELECT doc_id, unnest(list_distinct($dTokens)) AS term
+              |  FROM documents WHERE doc_id < 400)
+              |SELECT term, count(*) AS df,
+              |  array_to_string(list_sort(list(doc_id)), '|') AS postings
+              |FROM td GROUP BY term ORDER BY term""".stripMargin)),
 
     // URL canonicalization + URL-keyed dedup (the free first pass of
     // web-corpus curation): lower scheme/host, strip default ports, drop

@@ -92,4 +92,38 @@ object Bpe {
     // in SQL without keyword quoting
     learned.result().toDF("step", "lhs", "rhs", "pair_count")
   }
+
+  /** Tokenize with a learned merge table and report per-document fertility
+    * stats — the standard "is this tokenizer / corpus pairing any good"
+    * metric (subwords per document vs raw chars; lower subword counts =
+    * higher compression). `merges` is applied in learned order, each merge
+    * the same greedy left-to-right `replace` the trainer used, chained
+    * STATICALLY into one codegen'd expression (k merges = k nested
+    * replaces — control-plane sized, collected once). Map-only: no
+    * shuffle, no UDF. Returns (id, n_words, n_subwords, n_chars).
+    */
+  def applyMerges(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val toks = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    docs.select(
+      col(idCol),
+      size(toks).cast("long").as("n_words"),
+      aggregate(
+        transform(toks, w => subwordsPerWord_(w, merges)),
+        lit(0L), (acc, x) => acc + x).as("n_subwords"),
+      aggregate(
+        transform(toks, w => length(w).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("n_chars"))
+  }
+
+  /** Subword count of one word under the merge chain (helper building the
+    * expression against a lambda variable rather than a named column). */
+  private def subwordsPerWord_(w: org.apache.spark.sql.Column,
+                               merges: Seq[(String, String)]) = {
+    val merged = merges.foldLeft(symbolize(w)) { case (c, (a, b)) =>
+      replace(c, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    size(split(trim(merged), " ")).cast("long")
+  }
 }

@@ -318,4 +318,57 @@ object TextAnalysis {
       aggregate(split(t, ""), lit(7L), (acc, ch) => (acc * 31L + ascii(ch)) % mod)
     aggregate(tokens(text), lit(7L), (acc, t) => (acc * 131L + tokHash(t)) % mod)
   }
+
+  /** Bigram-LM corpus quality score (the CCNet-family "does this document
+    * read like the corpus" dial), engine-exact: per document, the sum of
+    * fixed-point transition likelihoods ⌊10⁶ · c(w1,w2) / c(w1)⌋ over its
+    * adjacent token pairs, with both counts taken from the corpus itself
+    * (c(w1) = full unigram count — plain MLE bigram estimate). Integer
+    * arithmetic end to end, so the whole score replays bit-identically in
+    * SQL — no FP log-sum ordering to diverge on. Fluent in-domain text
+    * scores high; shuffled/foreign text scores near the floor.
+    *
+    * Scale shape: two hash-aggregates (unigram, bigram counts) + two
+    * equi-joins on token keys + one per-doc aggregate — all linear. On a
+    * Zipfian real-world corpus the unigram join key is skewed ("the"
+    * carries ~5 % of rows); at 100 TB route it through [[SkewJoin]]'s
+    * salted join or let AQE's skew handling split it.
+    *
+    * @return (id, n_bigrams, lm_score) — docs with < 2 tokens drop.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toked = df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+    val bigrams = toked.filter(size(col("t")) >= 2)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("t")) - 2),
+        i => struct(col("t").getItem(i).as("w1"),
+          col("t").getItem(i + 1).as("w2")))).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = toked.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    bigrams
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("(1000000 * cb) div cu")).as("lm_score"))
+  }
+
+  /** Inverted index (term → posting list): the retrieval-side artifact of
+    * a curation pipeline (BM25/decontamination both walk one). One row per
+    * term: document frequency and the ascending posting list, rendered
+    * '|'-joined so the table is flat and hash-comparable. explode-distinct
+    * + hash-agg; posting lists are collected per TERM (bounded by df), not
+    * per partition — at web scale, shard terms or cap df before collect.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 1L): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(array_sort(collect_list(col("id"))),
+          _.cast("string")), "|").as("postings"))
+      .filter(col("df") >= minDf)
 }

@@ -37,6 +37,22 @@ class BpeSpec extends SparkSpec {
     assert(merges(0).getString(1) == "a" && merges(0).getString(2) == "b")
   }
 
+  test("applyMerges: fertility stats reflect the learned merges") {
+    val docs = Seq((1L, "low low low lower lower newest")).toDF("id", "text")
+    val merges = Bpe.learnMerges(docs, "text", steps = 4)
+      .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = Bpe.applyMerges(docs, "id", "text", merges).collect()(0)
+    // after merges lo/low/er/lower: low -> [low] (1), lower -> [lower] (1),
+    // newest -> [n e w e s t] (6); words 3+2+1, subwords 3*1 + 2*1 + 6
+    assert(out.getLong(1) == 6L, s"n_words ${out.getLong(1)}")
+    assert(out.getLong(2) == 11L, s"n_subwords ${out.getLong(2)}")
+    assert(out.getLong(3) == 3 * 3 + 5 * 2 + 6L, s"n_chars ${out.getLong(3)}")
+    // empty doc yields a zero row, not a missing one
+    val empty = Bpe.applyMerges(Seq((9L, "")).toDF("id", "text"),
+      "id", "text", merges).collect()(0)
+    assert(empty.getLong(1) == 0L && empty.getLong(2) == 0L && empty.getLong(3) == 0L)
+  }
+
   test("counts are vocabulary-frequency-weighted, not per-document") {
     // same word repeated in one doc and spread across docs weighs the same
     val a = Seq((1L, "xy xy xy")).toDF("id", "text")
