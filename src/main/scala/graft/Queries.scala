@@ -2653,6 +2653,46 @@ object Queries {
              |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, version
              |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin)),
 
+    // Full CDC apply with DELETES (Delta/Iceberg MERGE WHEN MATCHED AND
+    // op='D' THEN DELETE): version-1 updates + inserts, then a version-2
+    // delete wave for keys %11 — a later-version delete beats any update
+    // (deterministic: deletes carry the strictly-higher version).
+    ("q_merge_cdc",
+      (s: SparkSession, d: String) => {
+        val base = tbl(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), lit(0L).as("version"))
+        val changed = base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderstatus", lit("R"))
+          .withColumn("version", lit(1L)).withColumn("op", lit("U"))
+        val inserts = base.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+          .withColumn("version", lit(1L)).withColumn("op", lit("U"))
+        val deletes = base.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("version", lit(2L)).withColumn("op", lit("D"))
+        Warehouse.applyCdc(base,
+          changed.unionByName(inserts).unionByName(deletes),
+          Seq("o_orderkey"), "version")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |    0::BIGINT AS version, 'U' AS op, 0 AS src FROM orders),
+             |chg AS (
+             |  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+             |    o_totalprice, 1::BIGINT, 'U', 1 FROM orders WHERE o_orderkey % 7 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+             |    o_totalprice, 1::BIGINT, 'U', 1 FROM orders WHERE o_orderkey % 13 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, o_orderstatus,
+             |    o_totalprice, 2::BIGINT, 'D', 1 FROM orders WHERE o_orderkey % 11 = 0),
+             |u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             |  ORDER BY version DESC, src DESC) AS rn FROM u)
+             |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, version
+             |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""".stripMargin)),
+
     // Exact triangle count of the co-purchase graph (parts sharing an
     // order), via degree-oriented wedge join; the oracle counts canonical
     // u<v<w triples directly — orientation must not change the answer.

@@ -106,4 +106,31 @@ object Warehouse {
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")
   }
+
+  /** Full CDC apply — [[mergeLatest]] plus DELETES: `changes` rows carry an
+    * op column (`'U'` upsert / `'D'` delete); for each key the
+    * highest-version change wins (change beats base at equal versions),
+    * and a winning delete removes the key entirely — the Delta/Iceberg
+    * `MERGE ... WHEN MATCHED AND op='D' THEN DELETE` semantics as one
+    * union + one key-window + one filter. `base` columns must equal
+    * `changes` minus the op column.
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+               versionCol: String, opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty, "applyCdc: need at least one key column")
+    require(changes.columns.contains(opCol), s"applyCdc: changes lack '$opCol'")
+    require(base.columns.sorted.sameElements(
+      changes.columns.filterNot(_ == opCol).sorted),
+      s"applyCdc: schema mismatch base=${base.columns.sorted.mkString(",")}" +
+        s" changes-op=${changes.columns.filterNot(_ == opCol).sorted.mkString(",")}")
+    val tagged = base
+      .withColumn("__op", lit("U")).withColumn("__src", lit(0))
+      .unionByName(changes
+        .withColumnRenamed(opCol, "__op").withColumn("__src", lit(1)))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__src").desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("__op") =!= "D")
+      .drop("__rn", "__src", "__op")
+  }
 }

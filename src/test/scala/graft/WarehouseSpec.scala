@@ -99,6 +99,27 @@ class WarehouseSpec extends SparkSpec {
     assert(out.map(_.getString(1)).toSeq == Seq("new"))
   }
 
+  test("applyCdc: delete removes, upsert applies, later version wins over delete") {
+    val base = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)).toDF("k", "v", "ver")
+    val chg = Seq(
+      (2L, "b2", 1L, "U"),  // plain update
+      (3L, "c", 1L, "D"),   // delete key 3
+      (4L, "d", 1L, "U"),   // insert
+      (5L, "x", 9L, "D"),   // delete of a key that never existed: no-op
+      (1L, "a", 1L, "D"),   // delete key 1...
+      (1L, "a2", 2L, "U")   // ...then re-insert at a HIGHER version: survives
+    ).toDF("k", "v", "ver", "op")
+    val out = Warehouse.applyCdc(base, chg, Seq("k"), "ver")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a2"), (2L, "b2"), (4L, "d")), s"got $out")
+  }
+
+  test("applyCdc rejects a changes table without the op column") {
+    val base = Seq((1L, "a", 0L)).toDF("k", "v", "ver")
+    intercept[IllegalArgumentException](
+      Warehouse.applyCdc(base, base, Seq("k"), "ver"))
+  }
+
   test("mergeLatest rejects mismatched schemas and empty keys") {
     val base = Seq((1L, "a", 0L)).toDF("k", "v", "ver")
     val bad = Seq((1L, 0L)).toDF("k", "ver")

@@ -72,5 +72,28 @@ def main(sf_dir, out_dir):
     print(f"\ntypes: {n_pass} pass, {n_fail} fail, {n_skip} skipped")
     return 1 if n_fail else 0
 
+def selftest():
+    """The checker must go red on the exact failure class it exists for:
+    an uncast DuckDB sum(BIGINT) widens to HUGEINT while the Spark side
+    stays BIGINT. No fixture files needed — compare DESCRIBE types the
+    same way main() does."""
+    con = duckdb.connect()
+    uncast = {r[0]: canon(r[1]) for r in con.execute(
+        "DESCRIBE SELECT sum(x) AS s FROM (SELECT 1::BIGINT AS x)").fetchall()}
+    cast = {r[0]: canon(r[1]) for r in con.execute(
+        "DESCRIBE SELECT sum(x)::BIGINT AS s FROM (SELECT 1::BIGINT AS x)").fetchall()}
+    spark_side = {"s": "BIGINT"}
+    assert uncast != spark_side, f"selftest broken: uncast sum looked fine ({uncast})"
+    assert cast == spark_side, f"selftest broken: cast sum mismatched ({cast})"
+    # window sums widen identically
+    wuncast = {r[0]: canon(r[1]) for r in con.execute(
+        "DESCRIBE SELECT sum(x) OVER () AS s FROM (SELECT 1::BIGINT AS x)").fetchall()}
+    assert wuncast != spark_side, "selftest broken: uncast window sum looked fine"
+    print("selftest: uncast sum(BIGINT) goes red (HUGEINT), cast goes green — OK")
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))
