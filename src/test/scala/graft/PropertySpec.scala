@@ -180,9 +180,42 @@ class PropertySpec extends SparkSpec {
       MediaCodecs.decodeAviFrames(bytes)
       MediaCodecs.wavWindowEnergy(bytes, 4)
       MediaCodecs.wavWindowRms(bytes, 4)
+      MediaCodecs.decodeWavSamples(bytes)
+      MediaCodecs.wavWindowEnergy16(bytes, 4)
       graft.ingest.PdfText.extractPages(bytes)
+      // the PDF stream filters take arbitrary compressed payloads straight
+      // off untrusted files — fuzz them directly, not just via extractPages
+      graft.ingest.PdfText.lzwDecode(bytes)
+      graft.ingest.PdfText.asciiHexDecode(bytes)
+      graft.ingest.PdfText.ascii85Decode(bytes)
+      graft.ingest.PdfText.runLengthDecode(bytes)
       graft.ingest.Readers.decodeFallbackForTest(bytes)
       graft.ingest.Readers.parseForTest(bytes)
+    }
+  }
+
+  test("mu-law/ADPCM WAV codecs round-trip on generated buffers (fuzz)") {
+    import graft.functions.MediaCodecs
+    val gen = for {
+      n <- Gen.choose(0, 500)
+      codes <- Gen.containerOfN[Array, Byte](n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield codes
+    samples(gen, 30).foreach { codes =>
+      // mu-law: raw codewords round-trip through the table exactly
+      val (info, samples16) =
+        MediaCodecs.decodeWavSamples(MediaCodecs.encodeWavMulaw(codes, 8000)).get
+      assert(info.nSamples == codes.length && info.codec == "mulaw")
+      assert(samples16.toSeq == codes.toSeq.map(c => MediaCodecs.MuLawTable(c & 0xff)))
+      // ADPCM: decoded length is the closed form, decode is deterministic
+      val pcm = codes.map(b => (((b & 0xff) - 128) * 256).toShort)
+      val wav = MediaCodecs.encodeWavAdpcm(pcm, 8000)
+      val dec = MediaCodecs.decodeWavSamples(wav)
+      if (pcm.isEmpty) assert(dec.exists(_._2.isEmpty) || dec.isEmpty)
+      else {
+        val got = dec.get._2
+        assert(got.length == 1 + 2 * (pcm.length / 2))
+        assert(got(0) == pcm(0)) // header predictor verbatim
+      }
     }
   }
 
