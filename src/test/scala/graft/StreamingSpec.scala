@@ -262,4 +262,45 @@ class StreamingSpec extends SparkSpec {
         s"streamed cells must equal the batch sketch: $streamed vs $batch")
     } finally q.stop()
   }
+
+  test("streaming CDC: per-key state converges to the batch applyCdc result") {
+    import graft.streaming.StreamingCdc
+    import graft.streaming.StreamingCdc.CdcChange
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CdcChange]
+    val q = StreamingCdc.latestByKey(mem.toDS())
+      .writeStream.format("memory").queryName("cdc_cur")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        CdcChange(1L, 1L, "U", "a1"),
+        CdcChange(2L, 1L, "U", "b1"),
+        CdcChange(3L, 1L, "U", "c1"))
+      q.processAllAvailable()
+      mem.addData(
+        CdcChange(2L, 2L, "U", "b2"),   // update
+        CdcChange(3L, 2L, "D", "c1"),   // delete -> tombstone
+        CdcChange(3L, 1L, "U", "c-stale"), // stale: must NOT resurrect key 3
+        CdcChange(4L, 1L, "U", "d1"))   // insert
+      q.processAllAvailable()
+      // update mode: the LAST emission per key is its current state
+      val cur = spark.table("cdc_cur").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2), r.getString(3))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      assert(cur(1L) == ((1L, false, "a1")))
+      assert(cur(2L) == ((2L, false, "b2")))
+      assert(cur(3L) == ((2L, true, "c1")), s"tombstone must survive: ${cur(3L)}")
+      assert(cur(4L) == ((1L, false, "d1")))
+      // live (non-deleted) rows match the batch operator over the same log
+      val base = Seq.empty[(Long, String, Long)].toDF("key", "payload", "version")
+      val changes = Seq(
+        (1L, "a1", 1L, "U"), (2L, "b1", 1L, "U"), (3L, "c1", 1L, "U"),
+        (2L, "b2", 2L, "U"), (3L, "c1", 2L, "D"), (4L, "d1", 1L, "U"))
+        .toDF("key", "payload", "version", "op")
+      val batch = graft.ops.Warehouse.applyCdc(base, changes, Seq("key"), "version")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val live = cur.collect { case (k, (_, false, p)) => k -> p }
+      assert(live == batch, s"streaming $live vs batch $batch")
+    } finally q.stop()
+  }
 }
