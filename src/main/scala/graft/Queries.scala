@@ -2084,6 +2084,36 @@ object Queries {
               |WHERE ${dCosine("a.e", "b.e")} >= 0.45
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Semantic DECONTAMINATION (cross-set embedding near-dup): corpus
+    // vectors (vec_id >= 30) swept against the eval set (vec_id < 30) via
+    // the LSH-bucket equi-join — catches paraphrased eval leakage the
+    // n-gram q_decontaminate misses. One row per contaminated corpus id
+    // with its best eval match (tie-break: higher sim, lower eval id).
+    ("q_decontaminate_semantic",
+      (s: SparkSession, d: String) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.crossNearDuplicates(
+          emb.filter(col("vec_id") >= 30)
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          emb.filter(col("vec_id") < 30)
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          threshold = 0.3, numPlanes = 4, dim = 64)
+          .orderBy("id")
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS id_a, embedding::DOUBLE[] AS e,
+              |  ${dLshBucket("embedding::DOUBLE[]", 4, 64)} AS bucket
+              |  FROM embeddings WHERE vec_id >= 30),
+              |ev AS (SELECT vec_id AS id_b, embedding::DOUBLE[] AS e,
+              |  ${dLshBucket("embedding::DOUBLE[]", 4, 64)} AS bucket
+              |  FROM embeddings WHERE vec_id < 30),
+              |p AS (SELECT id_a, id_b, ${dCosine("c.e", "ev.e")} AS sim
+              |  FROM c JOIN ev USING (bucket)
+              |  WHERE ${dCosine("c.e", "ev.e")} >= 0.3),
+              |r AS (SELECT id_a, id_b, sim, row_number() OVER (
+              |  PARTITION BY id_a ORDER BY sim DESC, id_b) AS rn FROM p)
+              |SELECT id_a AS id, id_b AS eval_id, round(sim, 6) AS sim
+              |FROM r WHERE rn = 1 ORDER BY id""".stripMargin)),
+
     // ------------------------------------------------ text analysis
 
     ("q_term_freq",

@@ -486,6 +486,37 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Cross-set embedding near-dup — semantic DECONTAMINATION: every corpus
+    * vector whose cosine against some eval-set vector clears `threshold`
+    * (the Phi/FineWeb-style embedding sweep that catches paraphrased eval
+    * leakage the n-gram check [[graft.ops.Dedup.contaminatedIds]] misses).
+    * Same LSH-bucket equi-join scale shape as the self-join variant —
+    * never corpus × evalSet; within-bucket pairs get exact cosine, and the
+    * per-corpus-row aggregate keeps the best-matching eval id
+    * (deterministic tie-break: higher sim, then lower eval id).
+    *
+    * @return (id, eval_id, sim) — one row per CONTAMINATED corpus vector.
+    */
+  def crossNearDuplicates(corpus: DataFrame, evalSet: DataFrame,
+                          threshold: Double, numPlanes: Int,
+                          dim: Int): DataFrame = {
+    def prep(df: DataFrame, side: String) =
+      df.select(col("id").as(s"id_$side"),
+        col("vec").cast("array<double>").as(s"vec_$side"))
+        .withColumn("bucket", lshBucket(col(s"vec_$side"), numPlanes, dim))
+        .withColumn(s"nrm_$side", norm(col(s"vec_$side")))
+    prep(corpus, "a").join(prep(evalSet, "b"), "bucket")
+      .select(col("id_a"), col("id_b"),
+        cosineFromNorms(dot(col("vec_a"), col("vec_b")),
+          col("nrm_a"), col("nrm_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+      // best eval match per corpus row: one aggregate, no window
+      .groupBy(col("id_a").as("id"))
+      .agg(max(struct(col("sim"), (-col("id_b")).as("neg"))).as("best"))
+      .select(col("id"), (-col("best.neg")).cast("long").as("eval_id"),
+        round(col("best.sim"), 6).as("sim"))
+  }
+
   /** Exact (brute-force) near-duplicate pairs — the oracle-checkable variant;
     * O(n²) pairs but each pair is a single codegen'd loop, and the left side
     * is repartitioned so the quadratic work spreads across the cluster

@@ -71,6 +71,30 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.toSeq == brute.toSeq)
   }
 
+  test("crossNearDuplicates: corpus rows match their best eval vector only") {
+    // eval: e0=[1,0,0], e1=[0,1,0]; corpus: c10 identical to e0, c11 at 45
+    // degrees (matches BOTH evals at cos ~= .707 -> tie-ish, e0 wins on sim
+    // exactness), c12 orthogonal to everything it buckets with
+    val eval = Seq(
+      (0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.0, 1.0, 0.0))
+    ).toDF("id", "vec")
+    val corpus = Seq(
+      (10L, Array(1.0, 0.0, 0.0)),
+      (11L, Array(0.9, 0.1, 0.0)),
+      (12L, Array(0.0, 0.0, 1.0))
+    ).toDF("id", "vec")
+    // numPlanes=0 -> every vector in one bucket (exhaustive), exact cosines
+    val out = Similarity.crossNearDuplicates(corpus, eval,
+      threshold = 0.5, numPlanes = 0, dim = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(_._1)
+    assert(out.map(t => (t._1, t._2)) == Seq((10L, 0L), (11L, 0L)),
+      s"got $out")
+    assert(out(0)._3 == 1.0)
+    // eval ids never appear on the corpus side; sub-threshold rows drop
+    assert(!out.exists(_._1 < 10L) && !out.exists(_._1 == 12L))
+  }
+
   test("bruteForceNearDuplicates finds only the identical pair at high threshold") {
     val c = vecs.select(col("id"), col("vec"))
     val pairs = Similarity.bruteForceNearDuplicates(c, threshold = 0.999)
