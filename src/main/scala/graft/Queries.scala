@@ -610,6 +610,25 @@ object Queries {
              | count(*) AS n
              |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // Equi-depth histogram (optimizer-stats sibling of the fixed-width one):
+    // exact interpolated percentile edges (control-plane array) + a
+    // codegen'd literal-array bin pass — NOT a global ntile sort. DuckDB's
+    // quantile_cont interpolates identically (q_percentile pins that), so
+    // bin edges, counts and extrema all match exactly.
+    ("q_histogram_eqdepth",
+      (s: SparkSession, d: String) =>
+        graft.ops.Profile.equiDepthHistogram(
+          tbl(s, d, "orders"), "o_totalprice", buckets = 8)
+          .orderBy("bucket"),
+      Some("""WITH e AS (
+             |  SELECT quantile_cont(o_totalprice,
+             |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS ed
+             |  FROM orders)
+             |SELECT len(list_filter((SELECT ed FROM e), x -> x < o_totalprice))::INT
+             |    AS bucket,
+             |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+             |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
     // As-of join (backward, inclusive): each click matched to the user's
     // latest strictly-not-later view. Union+window plan (one shuffle) vs
     // DuckDB's native ASOF JOIN as the oracle.

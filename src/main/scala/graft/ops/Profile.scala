@@ -45,4 +45,38 @@ object Profile {
     }.toDF("col_name", "n_rows", "n_nulls", "n_distinct",
       "min_value", "max_value")
   }
+
+  /** Equi-depth histogram of a numeric column — the optimizer-stats sibling
+    * of the fixed-width binning query: `buckets` bins holding ~equal row
+    * counts. Scale-safe two-pass shape (NOT a global ntile window, which
+    * would sort everything into one task): pass 1 computes the interior
+    * bucket edges with the exact interpolated `percentile` aggregate (a
+    * `buckets-1`-element control-plane array); pass 2 bins every row by
+    * counting edges strictly below its value (codegen'd literal-array
+    * filter, map-side) and aggregates per bin. Values equal to an edge go
+    * LEFT (bucket = #edges < value). Deterministic: both passes are exact
+    * arithmetic, and DuckDB's `quantile_cont` interpolates identically.
+    *
+    * @return (bucket, n, lo, hi) — bucket 0-based; empty input → no rows.
+    */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+                         buckets: Int): DataFrame = {
+    require(buckets >= 2, s"equiDepthHistogram: need >= 2 buckets, got $buckets")
+    val probs = (1 until buckets).map(i => i.toDouble / buckets)
+    val edgeRow = df
+      .agg(expr(s"percentile($valueCol, array(${probs.mkString(", ")}))"))
+      .collect()(0)
+    if (edgeRow.isNullAt(0)) return df.sparkSession.emptyDataFrame
+      .select(lit(0).as("bucket"), lit(0L).as("n"),
+        lit(0.0).as("lo"), lit(0.0).as("hi"))
+    val edges = edgeRow.getAs[scala.collection.Seq[Double]](0).toSeq
+    val edgeArr = array(edges.map(lit(_)): _*)
+    df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+      .withColumn("bucket",
+        size(filter(edgeArr, e => e < col("__v"))))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+  }
 }

@@ -33,4 +33,27 @@ class ProfileSpec extends SparkSpec {
       .collect()(0).getLong(3)
     assert(math.abs(n - 5000L) < 500L, s"approx distinct $n too far from 5000")
   }
+
+  test("equiDepthHistogram: uniform input splits into equal quarters") {
+    val vals = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Profile.equiDepthHistogram(vals, "v", buckets = 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(out.map(_._2).toSeq == Seq(25L, 25L, 25L, 25L), s"got ${out.toSeq}")
+    assert(out(0)._3 == 1.0 && out(3)._4 == 100.0)
+    // bin ranges tile without overlap
+    out.sliding(2).foreach { case Array(a, b) => assert(a._4 < b._3) }
+  }
+
+  test("equiDepthHistogram: skewed input still balances counts by depth") {
+    // heavy repetition at one value: equal-count property degrades exactly
+    // where ties straddle an edge, but no bucket exceeds ties+share
+    val vals = (Seq.fill(50)(7.0) ++ (1 to 50).map(_ + 100.0)).toDF("v")
+    val out = Profile.equiDepthHistogram(vals, "v", buckets = 4)
+      .orderBy("bucket").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(out.map(_._2).sum == 100L)
+    // the tied mass lands in one bucket; remaining buckets split the rest
+    assert(out.head._2 == 50L, s"tied value must stay in one bin: ${out.toSeq}")
+  }
 }
