@@ -1773,6 +1773,28 @@ object Queries {
               |FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
               |GROUP BY id ORDER BY id""".stripMargin)),
 
+    // Collocation mining (phrase detection): adjacent pairs ranked by
+    // integer fixed-point LIFT floor(1e6*c(a,b)*N/(c(a)*c(b))) — the PMI
+    // exponent without the engine-divergent log. Top-K via TakeOrdered.
+    ("q_collocations",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.collocations(tbl(s, d, "documents"), "text",
+          minCount = 5L, topK = 30),
+      Some(s"""WITH t AS (SELECT $dTokens AS tk FROM documents),
+              |uni AS (SELECT unnest(tk) AS w FROM t),
+              |cu AS (SELECT w, count(*)::BIGINT AS cu FROM uni GROUP BY w),
+              |bg0 AS (SELECT tk, unnest(range(0, len(tk) - 1)) AS i
+              |        FROM t WHERE len(tk) >= 2),
+              |bg AS (SELECT tk[i+1] AS w1, tk[i+2] AS w2 FROM bg0),
+              |n AS (SELECT count(*)::BIGINT AS nt FROM bg),
+              |bi AS (SELECT w1, w2, count(*)::BIGINT AS n_pair FROM bg
+              |       GROUP BY w1, w2 HAVING count(*) >= 5)
+              |SELECT w1, w2, n_pair,
+              |  ((1000000 * n_pair * (SELECT nt FROM n)) // (c1.cu * c2.cu))::BIGINT
+              |    AS lift_ppm
+              |FROM bi JOIN cu c1 ON bi.w1 = c1.w JOIN cu c2 ON bi.w2 = c2.w
+              |ORDER BY lift_ppm DESC, w1, w2 LIMIT 30""".stripMargin)),
+
     // Inverted index (term -> df + ascending '|'-joined posting list): the
     // retrieval artifact BM25/decontamination walk; explode-distinct +
     // one hash-agg.

@@ -355,6 +355,42 @@ object TextAnalysis {
         sum(expr("(1000000 * cb) div cu")).as("lm_score"))
   }
 
+  /** Collocation mining (phrase detection, the word2vec-phrases /
+    * NLTK-collocations discipline): adjacent token pairs ranked by LIFT —
+    * observed bigram frequency over the frequency independence predicts —
+    * in exact fixed-point integers: lift_ppm = ⌊10⁶ · c(a,b) · N /
+    * (c(a) · c(b))⌋ with N = total bigram count (the PMI exponent without
+    * the engine-divergent log). Rare-pair noise is floored by `minCount`.
+    * Two hash-aggregates + a broadcast-sized join of count tables + top-K
+    * (TakeOrdered, no global sort). Longs hold to ~10⁹ bigrams per the
+    * product bound ⌊10⁶·c(a,b)·N⌋ < 2⁶³ — shard or rescale beyond.
+    *
+    * @return (w1, w2, n_pair, lift_ppm) — top `topK` by lift, ties broken
+    *         by (w1, w2) ascending.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
+                   topK: Int = 50): DataFrame = {
+    val toked = df.select(tokens(col(textCol)).as("t"))
+    val bigrams = toked.filter(size(col("t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("t")) - 2),
+        i => struct(col("t").getItem(i).as("w1"),
+          col("t").getItem(i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = toked.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val nTotal = bigrams.count()
+    bi
+      .join(uni.select(col("w").as("w1"), col("cu").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")), "w2")
+      .select(col("w1"), col("w2"), col("n_pair"),
+        expr(s"(1000000 * n_pair * ${nTotal}L) div (c1 * c2)").as("lift_ppm"))
+      .orderBy(desc("lift_ppm"), asc("w1"), asc("w2"))
+      .limit(topK)
+  }
+
   /** Inverted index (term → posting list): the retrieval-side artifact of
     * a curation pipeline (BM25/decontamination both walk one). One row per
     * term: document frequency and the ascending posting list, rendered
