@@ -1402,6 +1402,58 @@ object Queries {
               |   len(list_distinct(list_concat(a.s, b.s))) >= 0.9
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Dedup RECALL measurement (the "measure, don't guess" dial — q_ann
+    // _recall's dedup sibling): banded-LSH verified pairs vs the exact
+    // all-pairs Jaccard ground truth on a bounded subset. Verified pairs
+    // are exact-Jaccard-filtered (precision 1.0 by construction), so the
+    // number under test is what banding MISSED: recall_ppm.
+    ("q_dedup_recall",
+      (s: SparkSession, d: String) =>
+        Dedup.minhashRecallStats(
+          tbl(s, d, "documents").filter(col("doc_id") < 600), "doc_id", "text",
+          threshold = 0.9),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, list_transform($dTokensCase,
+              |    t -> ('0x' || substr(md5(t), 1, 7))::BIGINT + 1) AS th
+              |  FROM documents WHERE doc_id < 600),
+              |shh AS (
+              |  SELECT doc_id, CASE WHEN len(th) <= 5
+              |    THEN [list_reduce(list_prepend(7::BIGINT, th[1:len(th)]),
+              |      (a, b) -> (a * 31 + b) % 2147483647)]
+              |    ELSE list_transform(range(1, len(th) - 3),
+              |      i -> list_reduce(list_prepend(7::BIGINT, th[i:i+4]),
+              |        (a, b) -> (a * 31 + b) % 2147483647)) END AS sh
+              |  FROM t),
+              |sig AS (
+              |  SELECT doc_id, list_transform(${dMinhashCoeffs(16)},
+              |    a -> list_min(list_transform(sh, h -> (a * (h + 1)) % 2147483647))) AS sg
+              |  FROM shh),
+              |bands AS (
+              |  SELECT doc_id, unnest(list_transform(range(0, 4),
+              |    b -> md5(b || ':' || array_to_string(sg[b*4+1 : b*4+4], '|')))) AS bkey
+              |  FROM sig),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+              |sets AS (
+              |  SELECT doc_id, list_distinct(${dShingles(dTokensCase, 5)}) AS s
+              |  FROM documents WHERE doc_id < 600),
+              |found AS (
+              |  SELECT count(*)::BIGINT AS n_found FROM cand c
+              |  JOIN sets a ON a.doc_id = c.id_a
+              |  JOIN sets b ON b.doc_id = c.id_b
+              |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+              |    len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+              |exact AS (
+              |  SELECT count(*)::BIGINT AS n_exact FROM sets a
+              |  JOIN sets b ON a.doc_id < b.doc_id
+              |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+              |    len(list_distinct(list_concat(a.s, b.s))) >= 0.9)
+              |SELECT n_exact, n_found,
+              |  CASE WHEN n_exact = 0 THEN 0
+              |    ELSE (1000000 * n_found) // n_exact END::BIGINT AS recall_ppm
+              |FROM exact, found""".stripMargin)),
+
     // Pairs → clusters → canonical survivor: connected components over the
     // verified MinHash pairs (min-label propagation; the DuckDB oracle
     // replays the ENTIRE chain — tokens → shingle hashes → signatures →

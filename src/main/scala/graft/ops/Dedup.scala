@@ -552,6 +552,50 @@ object Dedup {
     * the exact-verify primitive behind `minhashNearDuplicates`, exposed
     * standalone for pair-scoring use.
     */
+  /** Exact all-pairs near-dup baseline: every unordered doc pair with
+    * shingle-set Jaccard ≥ threshold. O(n²) BY DESIGN — the labeled ground
+    * truth for [[minhashRecallStats]], meant for bounded evaluation
+    * subsets (mirror of the ANN side's brute-force baseline), never the
+    * corpus path. */
+  def bruteForceJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                             threshold: Double, shingleSize: Int = 5): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+    val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .repartition(col("id_a"))
+    val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Dedup recall measurement — the "measure, don't guess" dial for the
+    * banded-LSH pipeline (the ANN side has recall@k; this is its dedup
+    * sibling): run [[minhashNearDuplicates]] and the exact
+    * [[bruteForceJaccardPairs]] baseline over the same (bounded) subset at
+    * the same threshold, and report exact-integer counts. Verified minhash
+    * pairs are exact-Jaccard-filtered, so they are a SUBSET of the ground
+    * truth — precision is 1.0 by construction and the number that matters
+    * is RECALL (what the banding missed): recall_ppm = ⌊10⁶·found/exact⌋.
+    * One row: (n_exact, n_found, recall_ppm).
+    */
+  def minhashRecallStats(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, numHashes: Int = 16,
+                         bands: Int = 4, shingleSize: Int = 5): DataFrame = {
+    val exact = bruteForceJaccardPairs(df, idCol, textCol, threshold, shingleSize)
+    val found = minhashNearDuplicates(df, idCol, textCol, threshold,
+      numHashes, bands, shingleSize)
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(col("n_exact"), col("n_found"),
+        when(col("n_exact") === 0, lit(0L))
+          .otherwise(expr("(1000000 * n_found) div n_exact")).as("recall_ppm"))
+  }
+
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    pairs: DataFrame, n: Int = 3): DataFrame = {
     val sets = df.select(col(idCol).as("id"), array_distinct(shingles(col(textCol), n)).as("sh"))

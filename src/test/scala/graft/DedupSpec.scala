@@ -103,6 +103,26 @@ class DedupSpec extends SparkSpec {
       s"paths disagree: ${fast.toSeq.sorted.take(10)}... vs ${distributed.toSeq.sorted.take(10)}...")
   }
 
+  test("minhashRecallStats: found pairs are a subset of exact, recall exact-integer") {
+    // two exact-dup pairs plus unique docs: banding cannot miss identical
+    // signatures, so recall must be 1e6 exactly; with no dups, 0 not a crash
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight"),
+      (4L, "one two three four five six seven eight"),
+      (5L, "totally unrelated content words here now then")
+    ).toDF("id", "text")
+    val r = Dedup.minhashRecallStats(base, "id", "text", threshold = 0.9)
+      .collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 1000000L,
+      s"got $r")
+    val none = Dedup.minhashRecallStats(
+      base.filter($"id" === 5L || $"id" === 1L || $"id" === 3L),
+      "id", "text", threshold = 0.9).collect()(0)
+    assert(none.getLong(0) == 0L && none.getLong(2) == 0L, s"got $none")
+  }
+
   test("connectedComponents driver-path gating is byte-aware and idType-gated") {
     import org.apache.spark.sql.types._
     // fixed-width ids under both cutoffs: driver path allowed
