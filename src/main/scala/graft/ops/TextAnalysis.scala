@@ -379,10 +379,14 @@ object TextAnalysis {
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
     val uni = toked.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cu"))
-    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
-      .filter(col("n_pair") >= minCount)
-    val nTotal = bigrams.count()
-    bi
+    // one explode pass serves both N and the filtered pair table: the
+    // aggregated (vocabulary²-bounded) counts are checkpointed, N is their
+    // sum — without this the bigram explode would run three times (count
+    // action + pair agg + final plan)
+    val biAll = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint()
+    val nTotal = biAll.agg(sum(col("n_pair"))).head().getLong(0)
+    biAll.filter(col("n_pair") >= minCount)
       .join(uni.select(col("w").as("w1"), col("cu").as("c1")), "w1")
       .join(uni.select(col("w").as("w2"), col("cu").as("c2")), "w2")
       .select(col("w1"), col("w2"), col("n_pair"),
