@@ -61,6 +61,13 @@ object ProbeR8 {
       graft.ops.Multimodal.windowEnergy16(spark,
         graft.ops.Multimodal.demoMulawTable(docs, "doc_id", "text"), k = 4).count()
     }
+    time("collocations(all)") {
+      graft.ops.TextAnalysis.collocations(docs, "text", minCount = 5L, topK = 50).count()
+    }
+    time("eqdepth_hist(lineitem)") {
+      graft.ops.Profile.equiDepthHistogram(
+        spark.read.parquet(s"$sfDir/lineitem.parquet"), "l_extendedprice", 16).count()
+    }
     spark.stop()
   }
 }
