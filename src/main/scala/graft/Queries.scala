@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.Readers
-import graft.ops.{Bloom, Bpe, Chunking, Corpus, Curate, Dedup, InferSchema, Layout, Multimodal, Nums, Similarity, SubstringDedup, TextAnalysis, Urls, Validate, Warehouse}
+import graft.ops.{Bloom, Bpe, Bucketing, Chunking, Corpus, Curate, Dedup, InferSchema, Layout, Multimodal, Nums, Similarity, SubstringDedup, TextAnalysis, Urls, Validate, Warehouse}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -142,6 +142,39 @@ object Queries {
     writeBytes(fixtureDir(sfDir).resolve("docs.pdf"),
       pdf.toString.getBytes(StandardCharsets.ISO_8859_1))
    }
+
+  /** One HTML page per document (doc_id < 100): realistic page shell —
+    * title, style + script blocks (dropped wholesale, including a decoy
+    * entity and a `<` inside the script), nav boilerplate, the
+    * entity-escaped body text (the parser must round-trip it), and two
+    * links whose targets are pure doc_id arithmetic so the link oracle
+    * recomputes them from the documents table. Returns a glob so the
+    * done-marker never reaches the reader.
+    */
+  private def htmlFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = fixtureDir(sfDir).resolve("html_pages")
+    if (!Files.exists(dir.resolve("done"))) {
+      Files.createDirectories(dir)
+      docRows(spark, sfDir, 100).foreach { case (id, _, text) =>
+        val page =
+          s"""<html><head><title>Doc $id</title>
+             |<style> body { color: #333; } </style>
+             |<script> if (1 < 2) { console.log("skip &amp; ignore"); } </script>
+             |</head>
+             |<body>
+             |<nav><a href="/p/${id % 20}">home</a></nav>
+             |<h1>Doc $id</h1>
+             |<!-- crawler boilerplate -->
+             |<p>${xmlEscape(text)}</p>
+             |<a href="http://example.com/p/${(id * 7 + 3) % 100}">next</a>
+             |</body></html>""".stripMargin
+        writeBytes(dir.resolve(f"doc_$id%03d.html"),
+          page.getBytes(StandardCharsets.UTF_8))
+      }
+      Files.write(dir.resolve("done"), Array.emptyByteArray)
+    }
+    s"$dir/*.html"
+  }
 
   private def txtFixture(spark: SparkSession, sfDir: String): String =
    cached(fixtureDir(sfDir).resolve("docs.txt")) {
@@ -3106,7 +3139,78 @@ object Queries {
           .orderBy("s_suppkey")
       },
       Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
-             |FROM supplier ORDER BY s_suppkey""".stripMargin))
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
+    // HTML ingest (web-corpus format): visible text only — script/style/
+    // comments dropped, tags stripped, entities decoded, whitespace
+    // collapsed. The oracle reassembles the page's visible text from the
+    // documents table, proving the entity round-trip is exact.
+    ("q_ingest_html",
+      (s: SparkSession, d: String) => {
+        val path = htmlFixture(s, d)
+        Readers.html(s, path).orderBy("title")
+      },
+      Some("""SELECT 'Doc ' || doc_id AS title,
+             |  concat_ws(' ', 'home', 'Doc ' || doc_id,
+             |    nullif(trim(regexp_replace(text, '\s+', ' ', 'g')), ''),
+             |    'next') AS content
+             |FROM documents WHERE doc_id < 100 ORDER BY title""".stripMargin)),
+
+    // Link extraction: (page, href) edges from the HTML fixture — the
+    // web-graph input PageRank/URL-dedup consume. Targets are doc_id
+    // arithmetic, so the oracle recomputes the full edge list.
+    ("q_extract_links",
+      (s: SparkSession, d: String) => {
+        val path = htmlFixture(s, d)
+        Readers.htmlLinks(s, path).orderBy("page", "href")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, 'doc_' || lpad(doc_id::VARCHAR, 3, '0') || '.html' AS page
+             |  FROM documents WHERE doc_id < 100)
+             |SELECT page, href FROM (
+             |  SELECT page, '/p/' || (doc_id % 20)::VARCHAR AS href FROM p
+             |  UNION ALL
+             |  SELECT page, 'http://example.com/p/' || ((doc_id * 7 + 3) % 100)::VARCHAR
+             |  FROM p) u
+             |ORDER BY page, href""".stripMargin)),
+
+    // Deterministic training-shard assignment: md5-prefix mod 16 — engine-
+    // and run-independent (unlike hash()/partition ids), so incremental
+    // corpus additions never move existing docs between shards. The
+    // manifest (count + id checksums per shard) is the stored artifact.
+    ("q_shard_assign",
+      (s: SparkSession, d: String) =>
+        Bucketing.shardSummary(tbl(s, d, "documents"), "doc_id", nShards = 16)
+          .orderBy("shard"),
+      Some("""WITH a AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS shard
+             |  FROM documents)
+             |SELECT shard, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum,
+             |  min(doc_id) AS id_min, max(doc_id) AS id_max
+             |FROM a GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // N-gram novelty (data-selection signal): per doc, ppm of its distinct
+    // 3-shingles first seen (corpus-wide min doc_id) in this doc. Integer
+    // arithmetic end-to-end; same explode+agg+join shape as corpus_freq.
+    ("q_novelty",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.noveltyScore(
+          tbl(s, d, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", k = 3)
+          .orderBy("id"),
+      Some(s"""WITH sh AS (
+              |  SELECT id, unnest(shs) AS sh FROM (
+              |    SELECT doc_id AS id,
+              |      list_distinct(${dShingles(dTokensCase, 3)}) AS shs
+              |    FROM documents WHERE doc_id < 500)),
+              |firsts AS (SELECT sh, min(id) AS first_id FROM sh GROUP BY sh)
+              |SELECT id, count(*) AS n_shingles,
+              |  sum(CASE WHEN first_id = id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+              |  ((1000000 * sum(CASE WHEN first_id = id THEN 1 ELSE 0 END))
+              |    // count(*))::BIGINT AS novelty_ppm
+              |FROM sh JOIN firsts USING (sh)
+              |GROUP BY id ORDER BY id""".stripMargin))
   )
 
   val queries: Map[String, Q] = battery.map(b => (b._1, b._2)).toMap

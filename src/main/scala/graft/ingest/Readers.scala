@@ -108,7 +108,12 @@ object Readers {
   private[graft] def parseForTest(bytes: Array[Byte]): Unit = {
     parseXmlRecords(bytes)
     parseDocxParagraphs(bytes)
+    parseHtml(bytes)
   }
+
+  /** Test accessor for the HTML scanner (ReadersSpec lives in `graft`). */
+  private[graft] def parseForTestHtml(bytes: Array[Byte]): (String, String) =
+    parseHtml(bytes)
 
   private[ingest] def decodeFallback(bytes: Array[Byte]): String = {
     def b(i: Int): Int = bytes(i) & 0xff
@@ -308,6 +313,138 @@ object Readers {
       .select(explode(parse(col("content"))).as("content"))
   }
 
+  /** S7 (extension) — HTML: web-corpus ingestion, the highest-volume format
+    * a training-data pipeline sees (Common-Crawl-shaped crawls). One record
+    * per file: `(title, content)` where `content` is the page's visible text
+    * — comments and `<script>`/`<style>` blocks dropped wholesale (their
+    * bodies are never corpus text), every other tag replaced by whitespace,
+    * the standard named + numeric character entities decoded, whitespace
+    * collapsed to single spaces. `&nbsp;` decodes to a PLAIN space (it
+    * collapses with neighbors like any other layout whitespace — corpus
+    * text wants words, not layout).
+    *
+    * Zero deps and no DOM: real crawled HTML is almost never well-formed
+    * XML, so JAXP would reject most of it — a single linear scan accepts
+    * anything and never throws (fuzzed alongside the other parsers).
+    * Per-file parse over binaryFile: not splittable, parallel per file.
+    */
+  def html(spark: SparkSession, path: String): DataFrame = {
+    val parse = udf { (bytes: Array[Byte]) => parseHtml(bytes) }
+    spark.read.format("binaryFile").load(path)
+      .select(parse(col("content")).as("doc"))
+      .select(col("doc._1").as("title"), col("doc._2").as("content"))
+  }
+
+  /** All `href="..."` link targets, one row per (page, href) edge with
+    * `page` = the file's basename — the input that feeds the web-graph
+    * operators (PageRank, URL canonicalization/dedup). The per-file decode
+    * is the only UDF; the extraction itself is the codegen'd
+    * `regexp_extract_all`, so adding more attribute patterns stays on the
+    * expression path.
+    */
+  def htmlLinks(spark: SparkSession, path: String): DataFrame = {
+    val decode = udf { (bytes: Array[Byte]) => decodeFallback(bytes) }
+    spark.read.format("binaryFile").load(path)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("page"),
+        decode(col("content")).as("html"))
+      .select(col("page"),
+        explode(expr("regexp_extract_all(html, 'href\\\\s*=\\\\s*\"([^\"]*)\"', 1)"))
+          .as("href"))
+  }
+
+  /** Junk HTML yields `("", "")` instead of failing the batch — same
+    * contract as [[parseXmlRecords]]. (The scanner itself has no failure
+    * path; the guard covers decode pathologies.)
+    */
+  private[ingest] def parseHtml(bytes: Array[Byte]): (String, String) =
+    try parseHtmlStrict(bytes)
+    catch { case scala.util.control.NonFatal(_) => ("", "") }
+
+  private def parseHtmlStrict(bytes: Array[Byte]): (String, String) = {
+    val raw = decodeFallback(bytes)
+    val lower = raw.toLowerCase(java.util.Locale.ROOT)
+    val n = raw.length
+    val sb = new StringBuilder
+    var title = ""
+    var sawTitle = false
+    var i = 0
+    // advance past the next `close` open-sequence's terminating '>'
+    def skipPast(close: String, from: Int): Int = {
+      val at = lower.indexOf(close, from)
+      if (at < 0) n
+      else {
+        val gt = raw.indexOf('>', at)
+        if (gt < 0) n else gt + 1
+      }
+    }
+    while (i < n) {
+      if (raw.charAt(i) == '<') {
+        if (raw.startsWith("<!--", i)) {
+          val end = raw.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+          sb.append(' ')
+        } else if (lower.startsWith("<script", i)) {
+          sb.append(' '); i = skipPast("</script", i + 7)
+        } else if (lower.startsWith("<style", i)) {
+          sb.append(' '); i = skipPast("</style", i + 6)
+        } else if (!sawTitle && lower.startsWith("<title", i)) {
+          val gt = raw.indexOf('>', i)
+          val close = if (gt < 0) -1 else lower.indexOf("</title", gt + 1)
+          if (gt >= 0 && close >= 0) {
+            title = collapseWs(decodeHtmlEntities(raw.substring(gt + 1, close)))
+            sawTitle = true
+            i = skipPast("</title", gt + 1)
+          } else i = if (gt < 0) n else gt + 1 // malformed: treat as plain tag
+        } else {
+          val gt = raw.indexOf('>', i)
+          i = if (gt < 0) n else gt + 1
+          sb.append(' ')
+        }
+      } else { sb.append(raw.charAt(i)); i += 1 }
+    }
+    (title, collapseWs(decodeHtmlEntities(sb.toString)))
+  }
+
+  /** The five XML-predefined named entities + `&nbsp;` (→ plain space) +
+    * numeric `&#NNN;` / `&#xHH;`. Unknown or malformed entities pass
+    * through literally — crawled text is full of bare ampersands.
+    */
+  private[ingest] def decodeHtmlEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val rep: String =
+          if (semi < 0 || semi - i > 10) null
+          else s.substring(i + 1, semi) match {
+            case "amp"  => "&"
+            case "lt"   => "<"
+            case "gt"   => ">"
+            case "quot" => "\""
+            case "apos" => "'"
+            case "nbsp" => " "
+            case name if name.length > 2 && (name.charAt(0) == '#') &&
+                (name.charAt(1) == 'x' || name.charAt(1) == 'X') =>
+              try String.valueOf(Character.toChars(Integer.parseInt(name.substring(2), 16)))
+              catch { case _: Exception => null }
+            case name if name.length > 1 && name.charAt(0) == '#' =>
+              try String.valueOf(Character.toChars(Integer.parseInt(name.substring(1))))
+              catch { case _: Exception => null }
+            case _ => null
+          }
+        if (rep != null) { sb.append(rep); i = semi + 1 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def collapseWs(s: String): String =
+    s.split("\\s+").filter(_.nonEmpty).mkString(" ")
+
   /** Suffix dispatch (reference `app.py:296-315`). */
   def read(spark: SparkSession, path: String): DataFrame = {
     val lower = path.toLowerCase
@@ -316,6 +453,7 @@ object Readers {
     else if (lower.endsWith(".xml")) xml(spark, path)
     else if (lower.endsWith(".docx")) docx(spark, path)
     else if (lower.endsWith(".pdf")) pdf(spark, path)
+    else if (lower.endsWith(".html") || lower.endsWith(".htm")) html(spark, path)
     else txt(spark, path)
   }
 

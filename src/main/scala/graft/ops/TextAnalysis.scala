@@ -411,4 +411,29 @@ object TextAnalysis {
         array_join(transform(array_sort(collect_list(col("id"))),
           _.cast("string")), "|").as("postings"))
       .filter(col("df") >= minDf)
+
+  /** N-gram novelty score: per document, the fraction (ppm, exact integer)
+    * of its distinct k-shingles whose corpus-wide FIRST occurrence (min id)
+    * is this document. The data-selection signal behind "prefer novel
+    * documents" curation (D4/DoReMi-style ordering heuristics): a doc made
+    * entirely of shingles already seen in earlier docs scores 0; a fully
+    * original doc scores 1,000,000.
+    *
+    * Shape: one explode, one hash-agg keyed on the shingle (min id), one
+    * equi-join back, one per-doc hash-agg — the exact `withCorpusFrequency`
+    * shape, so it inherits its scale story: no all-pairs anywhere, shuffle
+    * keyed on shingles (high-cardinality, naturally unskewed). Arithmetic
+    * is integer end-to-end (`div`), so the oracle replays it bit-exactly.
+    */
+  def noveltyScore(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(array_distinct(Dedup.shingles(col(textCol), k))).as("sh"))
+    val firsts = sh.groupBy("sh").agg(min(col("id")).as("first_id"))
+    sh.join(firsts, "sh")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(1000000 * n_novel) div n_shingles"))
+  }
 }

@@ -330,6 +330,46 @@ class ReadersSpec extends SparkSpec {
     assert(rows.length == 3, s"malformed row must not drop the batch: ${rows.toSeq}")
   }
 
+  test("html: script/style/comments dropped, tags stripped, entities decoded") {
+    val dir = tmpDir("html_")
+    write(dir, "p.html",
+      ("""<html><head><title>T &amp; t</title>
+         |<style>body { color: red; }</style>
+         |<script>if (1 < 2) { console.log("skip &amp; me"); }</script></head>
+         |<body><h1>Head&nbsp;line</h1>
+         |<!-- dropped -->
+         |<p>caf&#233; &lt;tag&gt; &#x41;B &amp; co</p>
+         |</body></html>""").stripMargin.getBytes(StandardCharsets.UTF_8))
+    val rows = Readers.html(spark, dir + "/*.html").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "T & t")
+    assert(rows(0).getString(1) == "Head line café <tag> AB & co")
+  }
+
+  test("html: junk and pathological inputs never throw, yield empty text") {
+    // unterminated script, tag, comment, entity; empty file
+    val cases = Seq("<script>never closed", "<p", "<!-- open", "&#xZZ; &unknown; &",
+      "", "<title>only title</title>")
+    cases.foreach { c =>
+      val (t, b) = Readers.parseForTestHtml(c.getBytes(StandardCharsets.UTF_8))
+      assert(b == "" || c.contains("&")) // tag-only pages have no visible text
+      assert(t == "" || t == "only title")
+    }
+    // the entity page keeps its literal (undecayable) ampersands
+    val (_, ents) = Readers.parseForTestHtml("&#xZZ; &unknown; &".getBytes(StandardCharsets.UTF_8))
+    assert(ents == "&#xZZ; &unknown; &")
+  }
+
+  test("htmlLinks extracts every href edge with the page basename") {
+    val dir = tmpDir("html_")
+    write(dir, "a.html",
+      """<a href="/x">x</a><nav><a  href = "http://e.com/y">y</a></nav>"""
+        .getBytes(StandardCharsets.UTF_8))
+    val rows = Readers.htmlLinks(spark, dir + "/*.html")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(rows.toSeq == Seq(("a.html", "/x"), ("a.html", "http://e.com/y")))
+  }
+
   test("suffix dispatch routes csv") {
     val dir = tmpDir("csv_")
     write(dir, "d.csv", "a,b\n1,x\n2,y\n".getBytes(StandardCharsets.UTF_8))

@@ -175,4 +175,34 @@ class TextAnalysisSpec extends SparkSpec {
       .collect()(0).getString(0)
     assert(keep == "Café du Monde", s"got '$keep'")
   }
+
+  test("noveltyScore: first doc fully novel, clone scores 0, overlap is fractional") {
+    val docs = Seq(
+      (1L, "a b c d"),        // shingles (k=3): "a b c", "b c d" — both first here
+      (2L, "a b c d"),        // exact clone: 0 novel
+      (3L, "b c d e f"),      // "b c d" seen; "c d e", "d e f" novel → 2/3
+      (4L, "x y")             // short text → single whole-text shingle, novel
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScore(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((2L, 2L, 1000000L)))
+    assert(out(2L) == ((2L, 0L, 0L)))
+    assert(out(3L) == ((3L, 2L, 666666L)))
+    assert(out(4L) == ((1L, 1L, 1000000L)))
+  }
+
+  test("shard assignment is deterministic, total, and balanced-ish") {
+    import graft.ops.Bucketing
+    val ids = (0L until 1000L).toDF("doc_id")
+    val a = Bucketing.assignShards(ids, "doc_id", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Bucketing.assignShards(ids, "doc_id", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "same keys must land in the same shards on rerun")
+    assert(a.values.forall(s => s >= 0 && s < 16))
+    val counts = a.values.groupBy(identity).view.mapValues(_.size)
+    assert(counts.size == 16, "all 16 shards populated at n=1000")
+    // md5 is uniform: no shard should be pathologically over/under-loaded
+    assert(counts.values.forall(c => c > 20 && c < 130), s"skewed: $counts")
+  }
 }
