@@ -151,30 +151,57 @@ object Queries {
     * recomputes them from the documents table. Returns a glob so the
     * done-marker never reaches the reader.
     */
+  private def htmlPage(id: Long, text: String): String =
+    s"""<html><head><title>Doc $id</title>
+       |<style> body { color: #333; } </style>
+       |<script> if (1 < 2) { console.log("skip &amp; ignore"); } </script>
+       |</head>
+       |<body>
+       |<nav><a href="/p/${id % 20}">home</a></nav>
+       |<h1>Doc $id</h1>
+       |<!-- crawler boilerplate -->
+       |<p>${xmlEscape(text)}</p>
+       |<a href="http://example.com/p/${(id * 7 + 3) % 100}">next</a>
+       |</body></html>""".stripMargin
+
   private def htmlFixture(spark: SparkSession, sfDir: String): String = {
     val dir = fixtureDir(sfDir).resolve("html_pages")
     if (!Files.exists(dir.resolve("done"))) {
       Files.createDirectories(dir)
       docRows(spark, sfDir, 100).foreach { case (id, _, text) =>
-        val page =
-          s"""<html><head><title>Doc $id</title>
-             |<style> body { color: #333; } </style>
-             |<script> if (1 < 2) { console.log("skip &amp; ignore"); } </script>
-             |</head>
-             |<body>
-             |<nav><a href="/p/${id % 20}">home</a></nav>
-             |<h1>Doc $id</h1>
-             |<!-- crawler boilerplate -->
-             |<p>${xmlEscape(text)}</p>
-             |<a href="http://example.com/p/${(id * 7 + 3) % 100}">next</a>
-             |</body></html>""".stripMargin
         writeBytes(dir.resolve(f"doc_$id%03d.html"),
-          page.getBytes(StandardCharsets.UTF_8))
+          htmlPage(id, text).getBytes(StandardCharsets.UTF_8))
       }
       Files.write(dir.resolve("done"), Array.emptyByteArray)
     }
     s"$dir/*.html"
   }
+
+  /** A `.warc.gz` in Common Crawl's layout — one gzip member per record,
+    * members concatenated — wrapping the [[htmlPage]] pages in full
+    * WARC/1.0 response records (HTTP envelope included). Exercises the
+    * multi-member gunzip, the record framing, the HTTP strip, and the HTML
+    * scan in one fixture; the oracle reassembles everything from the
+    * documents table.
+    */
+  private def warcFixture(spark: SparkSession, sfDir: String): String =
+   cached(fixtureDir(sfDir).resolve("crawl.warc.gz")) {
+    val bout = new java.io.ByteArrayOutputStream()
+    docRows(spark, sfDir, 100).foreach { case (id, _, text) =>
+      val body = htmlPage(id, text).getBytes(StandardCharsets.UTF_8)
+      val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(StandardCharsets.UTF_8)
+      val payload = http ++ body
+      val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: http://example.com/doc/$id\r\n" +
+        s"WARC-Record-ID: <urn:uuid:$id>\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes(StandardCharsets.UTF_8) ++
+        payload ++ "\r\n\r\n".getBytes(StandardCharsets.UTF_8)
+      val gz = new java.util.zip.GZIPOutputStream(bout)
+      gz.write(rec); gz.finish()
+    }
+    writeBytes(fixtureDir(sfDir).resolve("crawl.warc.gz"), bout.toByteArray)
+   }
 
   private def txtFixture(spark: SparkSession, sfDir: String): String =
    cached(fixtureDir(sfDir).resolve("docs.txt")) {
@@ -3210,7 +3237,63 @@ object Queries {
               |  ((1000000 * sum(CASE WHEN first_id = id THEN 1 ELSE 0 END))
               |    // count(*))::BIGINT AS novelty_ppm
               |FROM sh JOIN firsts USING (sh)
-              |GROUP BY id ORDER BY id""".stripMargin))
+              |GROUP BY id ORDER BY id""".stripMargin)),
+
+    // WARC ingest (the Common Crawl container): multi-member .warc.gz →
+    // response records → HTTP strip → HTML scan, end to end under one
+    // oracle. Same visible-text contract as q_ingest_html plus the URL
+    // from the WARC header.
+    ("q_ingest_warc",
+      (s: SparkSession, d: String) => {
+        val path = warcFixture(s, d)
+        Readers.warcHtml(s, path).orderBy("url")
+      },
+      Some("""SELECT 'http://example.com/doc/' || doc_id AS url,
+             |  'Doc ' || doc_id AS title,
+             |  concat_ws(' ', 'home', 'Doc ' || doc_id,
+             |    nullif(trim(regexp_replace(text, '\s+', ' ', 'g')), ''),
+             |    'next') AS content
+             |FROM documents WHERE doc_id < 100 ORDER BY url""".stripMargin)),
+
+    // Anchor-text index: per link target, in-link count + sorted distinct
+    // anchor texts — zip_with-aligned twin regexp_extract_all (the F1
+    // idiom), one hash-agg. Both fixture links carry constant anchors, so
+    // the oracle recomputes the whole index from doc_id arithmetic.
+    ("q_anchor_text",
+      (s: SparkSession, d: String) =>
+        Urls.anchorTextIndex(Readers.wholeText(s, htmlFixture(s, d)), "text")
+          .orderBy("href"),
+      Some("""WITH p AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+             |e AS (
+             |  SELECT '/p/' || (doc_id % 20)::VARCHAR AS href, 'home' AS anchor FROM p
+             |  UNION ALL
+             |  SELECT 'http://example.com/p/' || ((doc_id * 7 + 3) % 100)::VARCHAR,
+             |    'next' FROM p)
+             |SELECT href, count(*) AS n_links,
+             |  array_to_string(list_sort(list_distinct(list(anchor))), '|') AS anchors
+             |FROM e GROUP BY href ORDER BY href""".stripMargin)),
+
+    // Vocabulary coverage curve: smallest top-K vocab reaching 50/90/95/99%
+    // of corpus token mass — integer threshold test, window only over the
+    // aggregated vocabulary.
+    ("q_vocab_coverage",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.vocabCoverage(tbl(s, d, "documents"), "text")
+          .orderBy("pct"),
+      Some(s"""WITH c AS (
+              |  SELECT w, count(*)::BIGINT AS c FROM (
+              |    SELECT unnest($dTokens) AS w FROM documents) GROUP BY w),
+              |t AS (SELECT sum(c)::BIGINT AS total FROM c),
+              |r AS (SELECT
+              |    row_number() OVER (ORDER BY c DESC, w) AS rank,
+              |    (sum(c) OVER (ORDER BY c DESC, w
+              |       ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+              |  FROM c)
+              |SELECT pct, min(rank)::BIGINT AS n_vocab,
+              |  (SELECT total FROM t) AS total_tokens
+              |FROM r, (VALUES (50), (90), (95), (99)) AS pv(pct), t
+              |WHERE 100 * cum >= pct * total
+              |GROUP BY pct ORDER BY pct""".stripMargin))
   )
 
   val queries: Map[String, Q] = battery.map(b => (b._1, b._2)).toMap

@@ -109,11 +109,16 @@ object Readers {
     parseXmlRecords(bytes)
     parseDocxParagraphs(bytes)
     parseHtml(bytes)
+    parseWarcResponses(bytes)
   }
 
   /** Test accessor for the HTML scanner (ReadersSpec lives in `graft`). */
   private[graft] def parseForTestHtml(bytes: Array[Byte]): (String, String) =
     parseHtml(bytes)
+
+  /** Test accessor for the WARC scanner. */
+  private[graft] def parseForTestWarc(bytes: Array[Byte]): Seq[(String, Int, String)] =
+    parseWarcResponses(bytes)
 
   private[ingest] def decodeFallback(bytes: Array[Byte]): String = {
     def b(i: Int): Int = bytes(i) & 0xff
@@ -352,6 +357,17 @@ object Readers {
           .as("href"))
   }
 
+  /** Whole file as one string record `(page, text)` with `page` = basename
+    * — the input for attribute-level extractors (anchors, raw link mining)
+    * that want the codegen'd regexp path over the full markup.
+    */
+  def wholeText(spark: SparkSession, path: String): DataFrame = {
+    val decode = udf { (bytes: Array[Byte]) => decodeFallback(bytes) }
+    spark.read.format("binaryFile").load(path)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("page"),
+        decode(col("content")).as("text"))
+  }
+
   /** Junk HTML yields `("", "")` instead of failing the batch — same
     * contract as [[parseXmlRecords]]. (The scanner itself has no failure
     * path; the guard covers decode pathologies.)
@@ -360,8 +376,14 @@ object Readers {
     try parseHtmlStrict(bytes)
     catch { case scala.util.control.NonFatal(_) => ("", "") }
 
-  private def parseHtmlStrict(bytes: Array[Byte]): (String, String) = {
-    val raw = decodeFallback(bytes)
+  private[ingest] def parseHtmlString(s: String): (String, String) =
+    try parseHtmlStrictStr(s)
+    catch { case scala.util.control.NonFatal(_) => ("", "") }
+
+  private def parseHtmlStrict(bytes: Array[Byte]): (String, String) =
+    parseHtmlStrictStr(decodeFallback(bytes))
+
+  private def parseHtmlStrictStr(raw: String): (String, String) = {
     val lower = raw.toLowerCase(java.util.Locale.ROOT)
     val n = raw.length
     val sb = new StringBuilder
@@ -445,6 +467,99 @@ object Readers {
   private def collapseWs(s: String): String =
     s.split("\\s+").filter(_.nonEmpty).mkString(" ")
 
+  /** S8 (extension) — WARC, the container Common Crawl ships: `response`
+    * records from plain or gzipped WARC files, one row per record —
+    * `(url, http_status, body)` with the HTTP envelope stripped. Handles
+    * the per-record-gzip-member convention (CC's `.warc.gz` layout) via
+    * the JDK's multi-member `GZIPInputStream`; a whole-file member
+    * decodes identically. Malformed framing stops the scan at the last
+    * good record instead of failing the batch (ingest contract).
+    *
+    * Scale note: WARC is record-framed but member-offsets aren't known
+    * without an index, so the unit of parallelism is the FILE — exactly
+    * how CC distributes (thousands of ~1 GB segment files). One file per
+    * task saturates a cluster without any splitting.
+    */
+  def warc(spark: SparkSession, path: String): DataFrame = {
+    val parse = udf { (bytes: Array[Byte]) => parseWarcResponses(bytes) }
+    spark.read.format("binaryFile").load(path)
+      .select(explode(parse(col("content"))).as("r"))
+      .select(col("r._1").as("url"), col("r._2").as("http_status"),
+        col("r._3").as("body"))
+  }
+
+  /** WARC → visible page text: response records at HTTP 200 through the
+    * HTML scanner — `(url, title, content)`. The one-liner a web-corpus
+    * pipeline starts with.
+    */
+  def warcHtml(spark: SparkSession, path: String): DataFrame = {
+    val parse = udf { (body: String) => parseHtmlString(body) }
+    warc(spark, path).filter(col("http_status") === 200)
+      .select(col("url"), parse(col("body")).as("doc"))
+      .select(col("url"), col("doc._1").as("title"), col("doc._2").as("content"))
+  }
+
+  private[ingest] def parseWarcResponses(bytes: Array[Byte]): Seq[(String, Int, String)] =
+    try parseWarcStrict(bytes)
+    catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  private def parseWarcStrict(bytes: Array[Byte]): Seq[(String, Int, String)] = {
+    val data =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+        val in = new java.util.zip.GZIPInputStream(new ByteArrayInputStream(bytes))
+        try in.readAllBytes() finally in.close()
+      } else bytes
+    val out = ArrayBuffer[(String, Int, String)]()
+    def crlfCrlf(from: Int): Int = {
+      var j = from
+      while (j + 3 < data.length) {
+        if (data(j) == '\r' && data(j + 1) == '\n' &&
+            data(j + 2) == '\r' && data(j + 3) == '\n') return j
+        j += 1
+      }
+      -1
+    }
+    var i = 0
+    var ok = true
+    while (ok && i < data.length) {
+      val hdrEnd = crlfCrlf(i)
+      if (hdrEnd < 0) ok = false
+      else {
+        val header = new String(data, i, hdrEnd - i, StandardCharsets.UTF_8)
+        if (!header.startsWith("WARC/")) ok = false
+        else {
+          val fields = header.split("\r\n").iterator.drop(1).flatMap { l =>
+            val c = l.indexOf(':')
+            if (c < 0) None
+            else Some(l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim)
+          }.toMap
+          val len = fields.get("content-length")
+            .flatMap(s => s.toIntOption).filter(_ >= 0).getOrElse(0)
+          val bodyStart = hdrEnd + 4
+          val bodyEnd = math.min(bodyStart.toLong + len, data.length.toLong).toInt
+          if (fields.get("warc-type").contains("response")) {
+            val payload = java.util.Arrays.copyOfRange(data, bodyStart, bodyEnd)
+            // latin-1 view for framing only: byte-transparent, so body bytes
+            // survive for the real charset decode below
+            val ps = new String(payload, StandardCharsets.ISO_8859_1)
+            val (status, body) =
+              if (ps.startsWith("HTTP/") && ps.contains("\r\n\r\n")) {
+                val hEnd = ps.indexOf("\r\n\r\n")
+                val st = ps.substring(0, ps.indexOf("\r\n")).split(" ")
+                  .lift(1).flatMap(_.toIntOption).getOrElse(0)
+                (st, java.util.Arrays.copyOfRange(payload, hEnd + 4, payload.length))
+              } else (0, payload)
+            out += ((fields.getOrElse("warc-target-uri", ""), status,
+              decodeFallback(body)))
+          }
+          i = bodyEnd
+          while (i + 1 < data.length && data(i) == '\r' && data(i + 1) == '\n') i += 2
+        }
+      }
+    }
+    out.toSeq
+  }
+
   /** Suffix dispatch (reference `app.py:296-315`). */
   def read(spark: SparkSession, path: String): DataFrame = {
     val lower = path.toLowerCase
@@ -454,6 +569,7 @@ object Readers {
     else if (lower.endsWith(".docx")) docx(spark, path)
     else if (lower.endsWith(".pdf")) pdf(spark, path)
     else if (lower.endsWith(".html") || lower.endsWith(".htm")) html(spark, path)
+    else if (lower.endsWith(".warc") || lower.endsWith(".warc.gz")) warcHtml(spark, path)
     else txt(spark, path)
   }
 

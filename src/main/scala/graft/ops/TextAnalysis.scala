@@ -412,6 +412,38 @@ object TextAnalysis {
           _.cast("string")), "|").as("postings"))
       .filter(col("df") >= minDf)
 
+  /** Vocabulary coverage curve: for each percent threshold, the smallest
+    * top-K vocabulary (by corpus frequency, ties broken by token) whose
+    * cumulative token mass reaches that percent — the number tokenizer /
+    * vocab-truncation planning actually needs ("how big must the vocab be
+    * to cover 95% of the corpus?"). Output: `(pct, n_vocab, total_tokens)`.
+    *
+    * The corpus-side work is one distributed explode + hash-agg; the
+    * cumulative window then runs over the AGGREGATED vocabulary only
+    * (orders of magnitude smaller than the corpus — a few M rows at
+    * 100 TB), so the global-order window is control-plane-sized by
+    * construction. Threshold test is exact integer (`100*cum >= pct*total`
+    * — no float mass fractions), so the oracle replays it bit-identically.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    pcts: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c"))).head().getLong(0)
+    val ord = org.apache.spark.sql.expressions.Window.orderBy(desc("c"), asc("w"))
+    val cum = counts
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("cum", sum(col("c")).over(
+        ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    cum.crossJoin(broadcast(pcts.toDF("pct")))
+      .filter(lit(100L) * col("cum") >= col("pct") * lit(total))
+      .groupBy("pct")
+      .agg(min(col("rank")).cast("long").as("n_vocab"))
+      .withColumn("total_tokens", lit(total))
+  }
+
   /** N-gram novelty score: per document, the fraction (ppm, exact integer)
     * of its distinct k-shingles whose corpus-wide FIRST occurrence (min id)
     * is this document. The data-selection signal behind "prefer novel

@@ -62,4 +62,36 @@ object Urls {
       .withColumn("canonical_url", canonicalUrl(col(urlCol)))
       .groupBy("canonical_url")
       .agg(count(lit(1)).as("n_raw"), min(col(urlCol)).as("first_raw"))
+
+  /** `(href, anchor)` pairs from an HTML markup column, one row per
+    * `<a href="...">text</a>` tag, input columns preserved. Both capture
+    * groups come from the SAME pattern via two `regexp_extract_all` calls,
+    * so the arrays align by construction and `zip_with` pairs them — the
+    * `extract_patterns` idiom, fully codegen'd, no UDF.
+    */
+  def extractAnchors(df: DataFrame, htmlCol: String): DataFrame = {
+    val pat = """'<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>'"""
+    df.withColumn("pair", explode(expr(
+      s"""zip_with(regexp_extract_all($htmlCol, $pat, 1),
+         |  regexp_extract_all($htmlCol, $pat, 2),
+         |  (h, a) -> struct(h AS href, a AS anchor))""".stripMargin)))
+      .withColumn("href", col("pair.href"))
+      .withColumn("anchor", col("pair.anchor"))
+      .drop("pair")
+  }
+
+  /** Anchor-text index: per link target, in-link count and the sorted
+    * distinct anchor texts pointing at it — the web-graph signal search
+    * and corpus-quality pipelines aggregate (anchors describe the TARGET
+    * page better than its own boilerplate). Map-side extraction + one
+    * hash-agg on the href; anchors are '|'-joined so the table stays flat.
+    * At web scale, cap per-target list size before collect (df-bounded,
+    * same caveat as the inverted index).
+    */
+  def anchorTextIndex(df: DataFrame, htmlCol: String): DataFrame =
+    extractAnchors(df, htmlCol)
+      .groupBy("href")
+      .agg(count(lit(1)).as("n_links"),
+        array_join(array_sort(array_distinct(collect_list(col("anchor")))), "|")
+          .as("anchors"))
 }

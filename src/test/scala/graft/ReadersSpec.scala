@@ -370,6 +370,38 @@ class ReadersSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("a.html", "/x"), ("a.html", "http://e.com/y")))
   }
 
+  test("warc: gzip multi-member response records parse; non-response skipped") {
+    def rec(wtype: String, uri: String, payload: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: $wtype\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes(StandardCharsets.UTF_8) ++
+        payload ++ "\r\n\r\n".getBytes(StandardCharsets.UTF_8)
+    val body = "<html><body>Hello crawl</body></html>".getBytes(StandardCharsets.UTF_8)
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Length: ${body.length}\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8) ++ body
+    val bout = new java.io.ByteArrayOutputStream()
+    Seq(rec("warcinfo", "", "software: test\r\n".getBytes(StandardCharsets.UTF_8)),
+      rec("response", "http://e.com/a", http),
+      rec("request", "http://e.com/a", "GET /a HTTP/1.1\r\n".getBytes(StandardCharsets.UTF_8))
+    ).foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(bout); gz.write(r); gz.finish()
+    }
+    val dir = tmpDir("warc_")
+    write(dir, "c.warc.gz", bout.toByteArray)
+    val rows = Readers.warc(spark, dir + "/*.warc.gz").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "http://e.com/a")
+    assert(rows(0).getInt(1) == 200)
+    assert(rows(0).getString(2) == new String(body, StandardCharsets.UTF_8))
+    val pages = Readers.warcHtml(spark, dir + "/*.warc.gz").collect()
+    assert(pages.length == 1 && pages(0).getString(2) == "Hello crawl")
+    // truncated / malformed framing never throws
+    Readers.parseForTestWarc(bout.toByteArray.take(20))
+    val tail = Readers.parseForTestWarc(
+      "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nshort"
+        .getBytes(StandardCharsets.UTF_8))
+    assert(tail.length == 1 && tail(0)._3 == "short", s"got $tail")
+  }
+
   test("suffix dispatch routes csv") {
     val dir = tmpDir("csv_")
     write(dir, "d.csv", "a,b\n1,x\n2,y\n".getBytes(StandardCharsets.UTF_8))

@@ -191,6 +191,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == ((1L, 1L, 1000000L)))
   }
 
+  test("vocabCoverage: exact integer thresholds over the frequency curve") {
+    // a×6, b×3, c×1 → total 10; cum: a=6, ab=9, abc=10
+    val docs = Seq((1L, "a a a b"), (2L, "a a a b b c")).toDF("id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, "text")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(50) == ((1L, 10L)))  // 6/10 ≥ 50%
+    assert(out(90) == ((2L, 10L)))  // 9/10 ≥ 90% exactly
+    assert(out(95) == ((3L, 10L)))
+    assert(out(99) == ((3L, 10L)))
+  }
+
   test("shard assignment is deterministic, total, and balanced-ish") {
     import graft.ops.Bucketing
     val ids = (0L until 1000L).toDF("doc_id")

@@ -53,4 +53,19 @@ class UrlsSpec extends SparkSpec {
       ("http://example.com/p?a=1&b=2", 2L, "HTTP://Example.COM:80/p?b=2&a=1#f"),
       ("https://other.example/q", 1L, "https://other.example/q")))
   }
+
+  test("extractAnchors pairs href with its anchor text; index aggregates per target") {
+    val pages = Seq(
+      (1L, """<a href="/x">home</a> mid <a class="b" href="/y">to Y</a>"""),
+      (2L, """<a href="/x">start</a><p>no link</p>"""),
+      (3L, """nothing here""")
+    ).toDF("id", "html")
+    val pairs = Urls.extractAnchors(pages, "html")
+      .select("id", "href", "anchor").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(pairs == Seq((1L, "/x", "home"), (1L, "/y", "to Y"), (2L, "/x", "start")))
+    val idx = Urls.anchorTextIndex(pages, "html").orderBy("href").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(idx == Seq(("/x", 2L, "home|start"), ("/y", 1L, "to Y")))
+  }
 }
