@@ -211,6 +211,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Generate explode"), s"expected explode generator:\n$plan")
   }
 
+  test("shardOf is a pure codegen'd projection: no shuffle, no UDF") {
+    val df = spark.range(100)
+      .select(graft.ops.Bucketing.shardOf(col("id"), 16).as("shard"))
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), s"shard assignment must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"must be expression-only:\n$plan")
+    assert(plan.contains("*(1)"), s"expected whole-stage codegen:\n$plan")
+  }
+
+  test("noveltyScore shuffles on shingle/doc keys only — no cartesian, no global sort") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
+    val plan = planOf(graft.ops.TextAnalysis.noveltyScore(docs, "doc_id", "text"))
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs allowed:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"), s"no global sort:\n$plan")
+  }
+
+  test("anchorTextIndex: codegen'd extraction, single hash-agg on the href") {
+    import spark.implicits._
+    val pages = Seq((1L, """<a href="/x">home</a>""")).toDF("id", "html")
+    val plan = planOf(graft.ops.Urls.anchorTextIndex(pages, "html"))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"extraction must be expression-only:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("HashAggregate"),
+      s"expected hash aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("bloom probe is a pushed/codegen'd filter with O(1) plan size") {
     import spark.implicits._
     val dim = (1L to 1000L).toDF("dk")
