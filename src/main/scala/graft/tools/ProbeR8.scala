@@ -68,6 +68,27 @@ object ProbeR8 {
       graft.ops.Profile.equiDepthHistogram(
         spark.read.parquet(s"$sfDir/lineitem.parquet"), "l_extendedprice", 16).count()
     }
+    time("novelty(all)") {
+      graft.ops.TextAnalysis.noveltyScore(docs, "doc_id", "text", k = 3).count()
+    }
+    time("vocab_coverage(all)") {
+      graft.ops.TextAnalysis.vocabCoverage(docs, "text").count()
+    }
+    time("anchor_index(synth)") {
+      // 3 anchors per doc on a 10k-target graph — markup synthesized on the
+      // fly so the probe measures extraction + agg, not fixture IO
+      val pages = docs.select(col("doc_id"), concat(
+        lit("""<a href="/t/"""), (col("doc_id") * 7 % 10000).cast("string"),
+        lit("""">home</a><p>x</p><a href="/t/"""),
+        (col("doc_id") * 13 % 10000).cast("string"),
+        lit("""">next</a><a href="/t/"""),
+        (col("doc_id") * 31 % 10000).cast("string"),
+        lit("""">more</a>""")).as("html"))
+      graft.ops.Urls.anchorTextIndex(pages, "html").count()
+    }
+    time("shard_summary(all)") {
+      graft.ops.Bucketing.shardSummary(docs, "doc_id", 1024).count()
+    }
     spark.stop()
   }
 }
