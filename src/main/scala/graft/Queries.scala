@@ -3293,7 +3293,68 @@ object Queries {
               |  (SELECT total FROM t) AS total_tokens
               |FROM r, (VALUES (50), (90), (95), (99)) AS pv(pct), t
               |WHERE 100 * cum >= pct * total
-              |GROUP BY pct ORDER BY pct""".stripMargin))
+              |GROUP BY pct ORDER BY pct""".stripMargin)),
+
+    // Corpus-wide exact paragraph dedup (MassiveText/RefinedWeb repeated-
+    // paragraph rule): the fixture plants a shared boilerplate paragraph
+    // and a within-doc repeat in every document; only the corpus-first
+    // occurrence of each paragraph survives reassembly.
+    ("q_dedup_paragraphs",
+      (s: SparkSession, d: String) => {
+        val docs = tbl(s, d, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"),
+            concat_ws("\n\n", col("text"),
+              lit("Subscribe to our newsletter today"), col("text")).as("text"))
+        Dedup.dedupParagraphs(docs, "doc_id", "text").orderBy("id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id AS id, string_split_regex(
+             |      text || chr(10) || chr(10) || 'Subscribe to our newsletter today'
+             |        || chr(10) || chr(10) || text,
+             |      '\n\s*\n') AS ps
+             |  FROM documents WHERE doc_id < 400),
+             |x AS (SELECT id, unnest(range(0, len(ps))) AS pidx, ps FROM t),
+             |p AS (SELECT id, pidx, trim(ps[pidx + 1]) AS para FROM x),
+             |r AS (SELECT id, pidx, para, row_number() OVER (
+             |        PARTITION BY para ORDER BY id, pidx) AS rn
+             |      FROM p WHERE para <> '')
+             |SELECT id,
+             |  array_to_string(list(para ORDER BY pidx), chr(10) || chr(10))
+             |    AS clean_text,
+             |  count(*) AS n_paras
+             |FROM r WHERE rn = 1 GROUP BY id ORDER BY id""".stripMargin)),
+
+    // Per-host corpus accounting (domain mixing / blocklist budgeting):
+    // URL count, distinct-URL count, token mass per host — one hash-agg.
+    ("q_domain_stats",
+      (s: SparkSession, d: String) => {
+        val docs = tbl(s, d, "documents")
+          .withColumn("host",
+            when(col("doc_id") % 5 === 0, "a.example.com")
+              .when(col("doc_id") % 5 === 1, "b.example.org")
+              .when(col("doc_id") % 5 === 2, "cdn.example.net")
+              .when(col("doc_id") % 5 === 3, "example.com")
+              .otherwise("static.example.io"))
+          .select(
+            concat(lit("https://"), col("host"), lit("/p/"),
+              (col("doc_id") % 97).cast("string")).as("url"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        Urls.domainStats(docs, "url", Some("n_tokens")).orderBy("host")
+      },
+      Some(s"""WITH h AS (
+              |  SELECT doc_id,
+              |    CASE doc_id % 5 WHEN 0 THEN 'a.example.com'
+              |      WHEN 1 THEN 'b.example.org' WHEN 2 THEN 'cdn.example.net'
+              |      WHEN 3 THEN 'example.com' ELSE 'static.example.io' END AS host,
+              |    len($dTokens)::BIGINT AS n_tokens
+              |  FROM documents),
+              |u AS (SELECT host,
+              |    'https://' || host || '/p/' || (doc_id % 97)::VARCHAR AS url,
+              |    n_tokens FROM h)
+              |SELECT host, count(*) AS n_urls,
+              |  count(DISTINCT url) AS n_distinct_urls,
+              |  sum(n_tokens)::BIGINT AS weight_sum
+              |FROM u GROUP BY host ORDER BY host""".stripMargin))
   )
 
   val queries: Map[String, Q] = battery.map(b => (b._1, b._2)).toMap

@@ -498,6 +498,34 @@ object Dedup {
       .select(col("id").as(idCol), col("text").as(textCol))
   }
 
+  /** Corpus-wide exact paragraph dedup (the MassiveText/RefinedWeb
+    * repeated-paragraph rule, one level above [[dropBoilerplateLines]]):
+    * split each document on blank-line boundaries, keep only the FIRST
+    * corpus-wide occurrence of each distinct paragraph (ordered by
+    * (id, paragraph index) — deterministic, engine-neutral), and
+    * reassemble the survivors in original order. Documents reduced to
+    * zero paragraphs drop out entirely.
+    *
+    * One shuffle keyed on the paragraph (high-cardinality, unskewed — the
+    * heavy duplicate paragraphs are exactly the ones the window then
+    * cuts to one row) + one on the doc id for reassembly. No all-pairs,
+    * no driver state — 100 TB-shaped like the line-level sibling.
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val paras = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n\\s*\n")).as(Seq("pidx", "para")))
+      .withColumn("para", trim(col("para")))
+      .filter(col("para") =!= "")
+    val first = row_number().over(
+      Window.partitionBy("para").orderBy(col("id"), col("pidx")))
+    paras.withColumn("rn", first).filter(col("rn") === 1)
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pidx"), col("para")))),
+          s => s.getField("para")), "\n\n").as("clean_text"),
+        count(lit(1)).as("n_paras"))
+  }
+
   /** Benchmark decontamination: training documents sharing at least one
     * `n`-token shingle with any document of the (small) `eval` set — the
     * overlap check every serious pretraining pipeline runs before

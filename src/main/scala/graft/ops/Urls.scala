@@ -94,4 +94,28 @@ object Urls {
       .agg(count(lit(1)).as("n_links"),
         array_join(array_sort(array_distinct(collect_list(col("anchor")))), "|")
           .as("anchors"))
+
+  /** Lowercased host of a URL (port and userinfo excluded); "" for
+    * non-URLs. Pure codegen'd expression.
+    */
+  def host(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1))
+
+  /** Per-host corpus accounting — the table domain mixing, blocklisting,
+    * and crawl-budget decisions read: URL count, distinct-URL count, and
+    * (optionally) the sum of a per-row weight such as a token count, so
+    * "how much training mass comes from host X" is one lookup. One
+    * hash-agg on the host (hosts are the canonical example of a skewed
+    * key — counts/sums partial-aggregate map-side, and the distinct
+    * count rides Spark's two-phase partial_count(distinct ...) expand,
+    * so no single reducer sees a whole mega-host's rows unaggregated).
+    */
+  def domainStats(df: DataFrame, urlCol: String,
+                  weightCol: Option[String] = None): DataFrame = {
+    val base = df.groupBy(host(col(urlCol)).as("host"))
+    val aggs = Seq(count(lit(1)).as("n_urls"),
+      countDistinct(col(urlCol)).as("n_distinct_urls")) ++
+      weightCol.map(w => sum(col(w)).as("weight_sum"))
+    base.agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -226,4 +226,18 @@ class DedupSpec extends SparkSpec {
       .select(Dedup.shingles(col("text"), 5).as("sh")).collect()(0).getSeq[String](0)
     assert(sh.toSeq == Seq("short doc"))
   }
+
+  test("dedupParagraphs: corpus-first occurrence survives, repeats and boilerplate drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha one\n\nshared boiler\n\nalpha one"), // within-doc repeat
+      (2L, "shared boiler\n\nbeta two"),               // boiler seen in doc 1
+      (3L, "shared boiler")                            // only boiler → doc vanishes
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("alpha one\n\nshared boiler", 2L)))
+    assert(out(2L) == (("beta two", 1L)))
+    assert(!out.contains(3L), "boiler-only doc must drop out entirely")
+  }
 }

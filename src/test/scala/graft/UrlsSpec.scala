@@ -68,4 +68,21 @@ class UrlsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
     assert(idx == Seq(("/x", 2L, "home|start"), ("/y", 1L, "to Y")))
   }
+
+  test("host extracts the lowercased host; domainStats aggregates counts and mass") {
+    val urls = Seq(
+      ("https://A.Example.COM:8443/x?q=1", 10L),
+      ("https://a.example.com/y", 5L),
+      ("https://a.example.com/y", 5L), // duplicate URL
+      ("http://user:pw@b.example.org/z", 2L),
+      ("not a url", 1L)
+    ).toDF("url", "w")
+    val hosts = urls.select(Urls.host(col("url"))).collect().map(_.getString(0)).toSeq
+    assert(hosts == Seq("a.example.com", "a.example.com", "a.example.com",
+      "b.example.org", ""))
+    val stats = Urls.domainStats(urls, "url", Some("w")).orderBy("host").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(stats == Seq(("", 1L, 1L, 1L), ("a.example.com", 3L, 2L, 20L),
+      ("b.example.org", 1L, 1L, 2L)))
+  }
 }
