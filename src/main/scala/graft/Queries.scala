@@ -143,6 +143,28 @@ object Queries {
       pdf.toString.getBytes(StandardCharsets.ISO_8859_1))
    }
 
+  /** Encrypted-PDF fixtures: one RC4-128 (V2/R3) and one AES-128 (V4/R4
+    * AESV2) document, standard security handler, empty user password —
+    * built by [[graft.ingest.PdfCrypt.samplePdf]] with spec-correct
+    * `/O`/`/U`. Distinct page texts so one glob read covers both.
+    */
+  private[graft] val encPdfRc4Texts =
+    Seq("Cipher alpha page", "Cipher beta page", "Cipher gamma page")
+  private[graft] val encPdfAesTexts = Seq("Vault delta page", "Vault epsilon page")
+
+  private def encryptedPdfFixture(sfDir: String): String = {
+    val dir = fixtureDir(sfDir).resolve("enc_pdf")
+    if (!Files.exists(dir.resolve("done"))) {
+      Files.createDirectories(dir)
+      writeBytes(dir.resolve("rc4.pdf"),
+        graft.ingest.PdfCrypt.samplePdf(encPdfRc4Texts, aes = false))
+      writeBytes(dir.resolve("aes.pdf"),
+        graft.ingest.PdfCrypt.samplePdf(encPdfAesTexts, aes = true))
+      Files.write(dir.resolve("done"), Array.emptyByteArray)
+    }
+    s"$dir/*.pdf"
+  }
+
   /** One HTML page per document (doc_id < 100): realistic page shell —
     * title, style + script blocks (dropped wholesale, including a decoy
     * entity and a `<` inside the script), nav boilerplate, the
@@ -971,6 +993,14 @@ object Queries {
         Readers.pdf(s, path).orderBy("content")
       },
       Some(pdfPageTexts.map(t => s"SELECT '$t ' AS content")
+        .mkString("", " UNION ALL ", " ORDER BY content"))),
+
+    ("q_ingest_pdf_encrypted",
+      (s: SparkSession, d: String) => {
+        val path = encryptedPdfFixture(d)
+        Readers.pdf(s, path).orderBy("content")
+      },
+      Some((encPdfRc4Texts ++ encPdfAesTexts).map(t => s"SELECT '$t ' AS content")
         .mkString("", " UNION ALL ", " ORDER BY content"))),
 
     ("q_ingest_txt",

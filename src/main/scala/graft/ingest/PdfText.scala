@@ -15,8 +15,11 @@ import scala.collection.mutable.ArrayBuffer
   * so CID/subset-font hex text maps to real characters. This matches the
   * fidelity class of the reference's PyPDF2 extraction (`app.py:186-192`)
   * — best-effort, garbage-in-garbage-out on scanned PDFs and fonts
-  * shipping no ToUnicode. Encrypted PDFs and the image codecs
-  * (DCT/JPX/CCITT/JBIG2) are out of scope.
+  * shipping no ToUnicode. Encrypted PDFs using the standard security
+  * handler with an empty user password (RC4 `/V 1`/`2` and AES-128
+  * `/AESV2`) decrypt via [[PdfCrypt]] — the `reader.decrypt('')` case of
+  * the reference; other handlers, non-empty passwords, and the image
+  * codecs (DCT/JPX/CCITT/JBIG2) are out of scope.
   *
   * Page splitting: the real page tree is walked — Catalog → /Pages →
   * /Kids (depth-first, the PDF page order) → each /Page's /Contents
@@ -49,10 +52,19 @@ object PdfText {
   private def pageTreeTexts(bytes: Array[Byte]): Option[Seq[String]] = {
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
     val objRe = """(?s)(\d+)\s+0\s+obj\b(.*?)\bendobj""".r
+    val direct: Map[Int, String] =
+      objRe.findAllMatchIn(s).map(m => m.group(1).toInt -> m.group(2)).toMap
+    // standard-security-handler decryption (empty user password): dec(num)
+    // is the pre-filter stream transform for object `num` — identity when
+    // the file is unencrypted or the handler is unsupported
+    val dec: Int => Array[Byte] => Array[Byte] =
+      PdfCrypt.detect(s, direct) match {
+        case Some(d) => d(_)
+        case None    => _ => identity
+      }
     // direct object definitions win over object-stream copies (the spec
     // forbids the conflict, but be deterministic about it)
-    val objs: Map[Int, String] = objStmObjects(bytes) ++
-      objRe.findAllMatchIn(s).map(m => m.group(1).toInt -> m.group(2)).toMap
+    val objs: Map[Int, String] = objStmObjects(direct, dec) ++ direct
     if (objs.isEmpty) return None
     val refRe = """(\d+)\s+0\s+R""".r
     def refsIn(body: String): Seq[Int] =
@@ -86,11 +98,12 @@ object PdfText {
           .orElse("""/Contents\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(body)
             .map(m => Seq(m.group(1).toInt)))
           .getOrElse(Seq.empty)
-      val fonts = pageFonts(body, objs)
-      val text = contentRefs.flatMap(objs.get).flatMap { cBody =>
-        findStreams(cBody.getBytes(StandardCharsets.ISO_8859_1)).map { st =>
-          extractTextOps(decodeStream(st), fonts)
-        }
+      val fonts = pageFonts(body, objs, dec)
+      val text = contentRefs.flatMap(r => objs.get(r).map(r -> _)).flatMap {
+        case (cNum, cBody) =>
+          findStreams(cBody.getBytes(StandardCharsets.ISO_8859_1)).map { st =>
+            extractTextOps(decodeStream(st, dec(cNum)), fonts)
+          }
       }.mkString
       if (text.trim.nonEmpty) Some(text) else None
     })
@@ -109,7 +122,8 @@ object PdfText {
     * refs). Fonts without a ToUnicode CMap (standard-encoding fonts) are
     * absent — their strings pass through byte-wise, the pre-CMap behavior.
     */
-  private def pageFonts(pageBody: String, objs: Map[Int, String]): Map[String, UniMap] = {
+  private def pageFonts(pageBody: String, objs: Map[Int, String],
+                        dec: Int => Array[Byte] => Array[Byte]): Map[String, UniMap] = {
     def deref(body: String, key: String): Option[String] =
       (key + """\s+(\d+)\s+0\s+R""").r.findFirstMatchIn(body)
         .flatMap(m => objs.get(m.group(1).toInt))
@@ -120,9 +134,11 @@ object PdfText {
       m <- """/([^\s/<>\[\]()%]+)\s+(\d+)\s+0\s+R""".r.findAllMatchIn(fontDict)
       fontBody <- objs.get(m.group(2).toInt)
       tuRef <- """/ToUnicode\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(fontBody)
-      tuBody <- objs.get(tuRef.group(1).toInt)
+      tuNum = tuRef.group(1).toInt
+      tuBody <- objs.get(tuNum)
       st <- findStreams(tuBody.getBytes(StandardCharsets.ISO_8859_1)).headOption
-      cm <- parseToUnicode(new String(decodeStream(st), StandardCharsets.ISO_8859_1))
+      cm <- parseToUnicode(
+        new String(decodeStream(st, dec(tuNum)), StandardCharsets.ISO_8859_1))
     } yield m.group(1) -> cm).toMap
   }
 
@@ -253,9 +269,12 @@ object PdfText {
     * remaining ones are image codecs: DCT/JPX/CCITT/JBIG2). Unknown
     * filters pass the data through — best-effort, like the rest of this
     * extractor. PNG predictors (/DecodeParms /Predictor) are not applied;
-    * they appear on xref/image streams, not the content streams we walk. */
-  private def decodeStream(st: Stream): Array[Byte] =
-    filtersOf(st.dict).foldLeft(st.data) { (d, f) =>
+    * they appear on xref/image streams, not the content streams we walk.
+    * `pre` is the per-object decryption transform — spec order: decrypt
+    * first, THEN the filters (ISO 32000 §7.6.2). */
+  private def decodeStream(st: Stream,
+                           pre: Array[Byte] => Array[Byte] = identity): Array[Byte] =
+    filtersOf(st.dict).foldLeft(pre(st.data)) { (d, f) =>
       f match {
         case "FlateDecode" | "Fl"      => inflate(d)
         case "LZWDecode" | "LZW"       => lzwDecode(d)
@@ -402,10 +421,13 @@ object PdfText {
     * (no obj/endobj wrappers; ObjStm entries cannot themselves contain
     * streams, so body slicing by the next offset is exact).
     */
-  private def objStmObjects(bytes: Array[Byte]): Map[Int, String] =
-    findStreams(bytes).filter(_.dict.contains("/ObjStm")).flatMap { st =>
+  private def objStmObjects(direct: Map[Int, String],
+                            dec: Int => Array[Byte] => Array[Byte]): Map[Int, String] =
+    direct.toSeq.filter(_._2.contains("/ObjStm")).flatMap { case (num, body) =>
+      findStreams(body.getBytes(StandardCharsets.ISO_8859_1))
+        .filter(_.dict.contains("/ObjStm")).flatMap { st =>
       try {
-        val text = new String(decodeStream(st), StandardCharsets.ISO_8859_1)
+        val text = new String(decodeStream(st, dec(num)), StandardCharsets.ISO_8859_1)
         val nOpt = """/N\s+(\d+)""".r.findFirstMatchIn(st.dict).map(_.group(1).toInt)
         val firstOpt = """/First\s+(\d+)""".r.findFirstMatchIn(st.dict).map(_.group(1).toInt)
         (nOpt, firstOpt) match {
@@ -423,6 +445,7 @@ object PdfText {
           case _ => Seq.empty
         }
       } catch { case _: Exception => Seq.empty }
+      }
     }.toMap
 
   /** Locate `stream ... endstream` blocks, whether the preceding dict
@@ -440,7 +463,13 @@ object PdfText {
       if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
       val end = s.indexOf("endstream", dataStart)
       if (end < 0) return out.toSeq
-      val data = bytes.slice(dataStart, end)
+      val raw = bytes.slice(dataStart, end)
+      // honor a direct /Length (the EOL before `endstream` is not stream
+      // data — ciphertexts must be exact for AES padding / RC4 tails);
+      // indirect `/Length N 0 R` is excluded by the lookahead
+      val data = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r.findFirstMatchIn(dict)
+        .map(_.group(1).toInt).filter(l => l >= 0 && l <= raw.length)
+        .map(raw.take).getOrElse(raw)
       out += Stream(data, dict)
       idx = s.indexOf("stream", end + 9)
     }
@@ -510,6 +539,12 @@ object PdfText {
     }
     sb.toString
   }
+
+  /** The literal `(...)` string starting at `start`, bytes-as-chars — the
+    * escape-aware parse [[PdfCrypt]] needs for a literal-form `/O` entry.
+    */
+  private[ingest] def readLiteralString(s: String, start: Int): String =
+    readLiteral(s, start)._1
 
   private def readLiteral(s: String, start: Int): (String, Int) = {
     val sb = new StringBuilder

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.{PdfCrypt, PdfText}
+
+/** Standard-security-handler decryption: RC4 against its published test
+  * vector, AES round trip, and full encrypted-PDF extraction through the
+  * page tree for both V2/R3 (RC4-128) and V4/R4 (AESV2).
+  */
+class PdfCryptSpec extends AnyFunSuite {
+
+  test("rc4 matches the published Key/Plaintext vector and round-trips") {
+    val key = "Key".getBytes(StandardCharsets.US_ASCII)
+    val pt = "Plaintext".getBytes(StandardCharsets.US_ASCII)
+    val ct = PdfCrypt.rc4(key, pt)
+    assert(ct.map(b => f"${b & 0xff}%02X").mkString == "BBF316E8D940AF0AD3")
+    assert(PdfCrypt.rc4(key, ct).sameElements(pt))
+  }
+
+  test("aes encrypt/decrypt round-trips and bad input yields empty") {
+    val key = Array.tabulate(16)(_.toByte)
+    val iv = Array.tabulate(16)(i => (255 - i).toByte)
+    val pt = "BT (hello) Tj ET".getBytes(StandardCharsets.US_ASCII)
+    val ct = PdfCrypt.aesEncrypt(key, iv, pt)
+    assert(PdfCrypt.aesDecrypt(key, ct).sameElements(pt))
+    assert(PdfCrypt.aesDecrypt(key, ct.take(20)).isEmpty) // truncated
+    assert(PdfCrypt.aesDecrypt(key.reverse, ct).isEmpty)  // wrong key
+  }
+
+  test("RC4-encrypted PDF (V2/R3) extracts all pages in tree order") {
+    val texts = Seq("Secret alpha", "Secret beta", "Secret gamma")
+    val pages = PdfText.extractPages(PdfCrypt.samplePdf(texts, aes = false))
+    assert(pages == texts.map(_ + " "))
+  }
+
+  test("AES-encrypted PDF (V4/R4 AESV2) extracts all pages in tree order") {
+    val texts = Seq("Vault delta", "Vault epsilon")
+    val pages = PdfText.extractPages(PdfCrypt.samplePdf(texts, aes = true))
+    assert(pages == texts.map(_ + " "))
+  }
+
+  test("corrupted /O never throws — best-effort garbage like the rest") {
+    val bytes = PdfCrypt.samplePdf(Seq("Secret alpha"), aes = false)
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    val oAt = s.indexOf("/O <") + 4
+    val mangled = (s.substring(0, oAt) + "00" + s.substring(oAt + 2))
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val pages = PdfText.extractPages(mangled) // wrong file key → garbage
+    assert(!pages.contains("Secret alpha "))
+  }
+}
