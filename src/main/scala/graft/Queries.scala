@@ -143,23 +143,27 @@ object Queries {
       pdf.toString.getBytes(StandardCharsets.ISO_8859_1))
    }
 
-  /** Encrypted-PDF fixtures: one RC4-128 (V2/R3) and one AES-128 (V4/R4
-    * AESV2) document, standard security handler, empty user password —
-    * built by [[graft.ingest.PdfCrypt.samplePdf]] with spec-correct
-    * `/O`/`/U`. Distinct page texts so one glob read covers both.
+  /** Encrypted-PDF fixtures: RC4-128 (V2/R3), AES-128 (V4/R4 AESV2), and
+    * AES-256 (V5/R6 AESV3) documents, standard security handler, empty
+    * user password — built by [[graft.ingest.PdfCrypt.samplePdf]] with
+    * spec-correct key material. Distinct page texts so one glob read
+    * covers all three.
     */
   private[graft] val encPdfRc4Texts =
     Seq("Cipher alpha page", "Cipher beta page", "Cipher gamma page")
   private[graft] val encPdfAesTexts = Seq("Vault delta page", "Vault epsilon page")
+  private[graft] val encPdfAes256Texts = Seq("Sealed zeta page", "Sealed eta page")
 
   private def encryptedPdfFixture(sfDir: String): String = {
     val dir = fixtureDir(sfDir).resolve("enc_pdf")
     if (!Files.exists(dir.resolve("done"))) {
       Files.createDirectories(dir)
       writeBytes(dir.resolve("rc4.pdf"),
-        graft.ingest.PdfCrypt.samplePdf(encPdfRc4Texts, aes = false))
+        graft.ingest.PdfCrypt.samplePdf(encPdfRc4Texts, v = 2))
       writeBytes(dir.resolve("aes.pdf"),
-        graft.ingest.PdfCrypt.samplePdf(encPdfAesTexts, aes = true))
+        graft.ingest.PdfCrypt.samplePdf(encPdfAesTexts, v = 4))
+      writeBytes(dir.resolve("aes256.pdf"),
+        graft.ingest.PdfCrypt.samplePdf(encPdfAes256Texts, v = 5))
       Files.write(dir.resolve("done"), Array.emptyByteArray)
     }
     s"$dir/*.pdf"
@@ -1000,7 +1004,8 @@ object Queries {
         val path = encryptedPdfFixture(d)
         Readers.pdf(s, path).orderBy("content")
       },
-      Some((encPdfRc4Texts ++ encPdfAesTexts).map(t => s"SELECT '$t ' AS content")
+      Some((encPdfRc4Texts ++ encPdfAesTexts ++ encPdfAes256Texts)
+        .map(t => s"SELECT '$t ' AS content")
         .mkString("", " UNION ALL ", " ORDER BY content"))),
 
     ("q_ingest_txt",

@@ -15,9 +15,14 @@ import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
   * the JDK alone (MD5 `MessageDigest`, `javax.crypto` AES) plus a 20-line
   * RC4, so the ingest path stays dependency-free.
   *
+  * `/V 5` AES-256 (`/AESV3`, revisions 5–6 — the PDF 2.0 scheme) is also
+  * handled: the file key comes from `/UE` via the SHA-256 (R5) or
+  * hardened Algorithm 2.B (R6) derivation and encrypts streams directly
+  * (no per-object keys in V5).
+  *
   * Out of scope: non-empty passwords (no password source in a bulk ingest
-  * pipeline), `/V 5` AES-256 (PDF 2.0), and crypt filters other than the
-  * standard `/StdCF` stream filter.
+  * pipeline) and crypt filters other than the standard `/StdCF` stream
+  * filter.
   */
 object PdfCrypt {
 
@@ -56,6 +61,52 @@ object PdfCrypt {
     parts.foreach(d.update)
     d.digest()
   }
+
+  private def sha(bits: Int, parts: Array[Byte]*): Array[Byte] = {
+    val d = MessageDigest.getInstance(s"SHA-$bits")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private def aesCbcNoPad(mode: Int, key: Array[Byte], iv: Array[Byte],
+                          data: Array[Byte]): Array[Byte] = {
+    val c = Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(mode, new SecretKeySpec(key, "AES"), new IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** Algorithm 2.B (ISO 32000-2 §7.6.4.3.4), the R6 hardened hash: ≥64
+    * AES-CBC + SHA-256/384/512 rounds, continuing until the last cipher
+    * byte is ≤ rounds−32. `udata` is the 48-byte `/U` value when hashing
+    * owner-password inputs, empty for user-password inputs.
+    */
+  private[graft] def hash2B(input: Array[Byte], pwd: Array[Byte],
+                            udata: Array[Byte]): Array[Byte] = {
+    var k = sha(256, input)
+    var e: Array[Byte] = Array.emptyByteArray
+    var i = 0
+    while (i < 64 || (e(e.length - 1) & 0xff) > i - 32) {
+      val unit = pwd ++ k ++ udata
+      val k1 = new Array[Byte](unit.length * 64)
+      var j = 0
+      while (j < 64) { System.arraycopy(unit, 0, k1, j * unit.length, unit.length); j += 1 }
+      e = aesCbcNoPad(Cipher.ENCRYPT_MODE, k.take(16), k.slice(16, 32), k1)
+      (e.take(16).map(_ & 0xff).sum % 3: @unchecked) match {
+        case 0 => k = sha(256, e)
+        case 1 => k = sha(384, e)
+        case 2 => k = sha(512, e)
+      }
+      i += 1
+    }
+    k.take(32)
+  }
+
+  /** V5 user-password hash: R6 uses [[hash2B]], R5 (the withdrawn Acrobat 9
+    * scheme) a single SHA-256. `input` = password ‖ salt [‖ U for owner].
+    */
+  private def v5Hash(r: Int, input: Array[Byte], pwd: Array[Byte],
+                     udata: Array[Byte]): Array[Byte] =
+    if (r >= 6) hash2B(input, pwd, udata) else sha(256, input)
 
   /** Pad-or-truncate a password to exactly 32 bytes (Algorithm 2 step a). */
   private def pad32(pwd: Array[Byte]): Array[Byte] = (pwd.take(32) ++ Pad).take(32)
@@ -130,10 +181,13 @@ object PdfCrypt {
     * decryptor for that object's streams (generation 0 — the only
     * generation a regex-table reader ever sees).
     */
-  private[graft] final case class Decryptor(fk: Array[Byte], aes: Boolean) {
+  private[graft] final case class Decryptor(fk: Array[Byte], aes: Boolean,
+                                            fileKeyDirect: Boolean = false) {
     def apply(num: Int): Array[Byte] => Array[Byte] =
-      data => if (aes) aesDecrypt(objKey(fk, num, 0, aes = true), data)
-              else rc4(objKey(fk, num, 0, aes = false), data)
+      data =>
+        if (fileKeyDirect) aesDecrypt(fk, data) // V5: one key for the whole file
+        else if (aes) aesDecrypt(objKey(fk, num, 0, aes = true), data)
+        else rc4(objKey(fk, num, 0, aes = false), data)
   }
 
   /** Detect `/Encrypt` in the file and derive the file key with the EMPTY
@@ -149,9 +203,17 @@ object PdfCrypt {
       dict <- objs.get(encRef.group(1).toInt)
       if dict.contains("/Standard")
       v = """/V\s+(\d+)""".r.findFirstMatchIn(dict).fold(0)(_.group(1).toInt)
-      aes = v == 4 && dict.contains("/AESV2")
-      if v == 1 || v == 2 || aes
       r <- """/R\s+(\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+      d <- if (v == 5 && dict.contains("/AESV3")) detectV5(dict, r)
+           else detectLegacy(s, dict, v, r)
+    } yield d
+
+  /** V1/V2 RC4 and V4 AESV2: Algorithm 2 file key, per-object keys. */
+  private def detectLegacy(s: String, dict: String, v: Int,
+                           r: Int): Option[Decryptor] = {
+    val aes = v == 4 && dict.contains("/AESV2")
+    if (v != 1 && v != 2 && !aes) return None
+    for {
       p <- """/P\s+(-?\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
       o <- stringAfter(dict, "/O")
       id0 = """/ID\s*\[\s*<([0-9A-Fa-f]*)>""".r.findFirstMatchIn(s)
@@ -160,6 +222,22 @@ object PdfCrypt {
                  else """/Length\s+(\d+)""".r.findFirstMatchIn(dict)
                    .fold(5)(_.group(1).toInt / 8)
     } yield Decryptor(fileKey(Array.emptyByteArray, o, p, id0, r, keyBytes), aes)
+  }
+
+  /** V5 AESV3: the 48-byte `/U` carries the validation and key salts; the
+    * file key decrypts out of `/UE` with the R5/R6 intermediate key
+    * (Algorithm 2.A, empty user password). Used directly for every stream.
+    */
+  private def detectV5(dict: String, r: Int): Option[Decryptor] =
+    for {
+      u <- stringAfter(dict, "/U") if u.length >= 48
+      ue <- stringAfter(dict, "/UE") if ue.length >= 32
+      keySalt = u.slice(40, 48)
+      ikey = v5Hash(r, keySalt, Array.emptyByteArray, Array.emptyByteArray)
+      fk <- try Some(aesCbcNoPad(Cipher.DECRYPT_MODE, ikey,
+              new Array[Byte](16), ue.take(32)))
+            catch { case _: Exception => None }
+    } yield Decryptor(fk, aes = true, fileKeyDirect = true)
 
   /** The PDF string value right after `key` — hex `<...>` or literal
     * `(...)` with the standard escapes (the two forms `/O` and `/U` are
@@ -187,19 +265,63 @@ object PdfCrypt {
   // --------------------------------------------------- fixture/spec support
 
   /** Build a complete encrypted PDF (catalog → page tree → one literal-Tj
-    * content stream per page) for fixtures and specs: RC4 128-bit (V2/R3)
-    * or AES-128 (V4/R4 AESV2), empty user and owner passwords, spec-correct
-    * `/O` and `/U`. Deterministic: the AES IVs derive from the object
-    * number.
+    * content stream per page) for fixtures and specs: `v` = 2 (RC4-128,
+    * R3), 4 (AES-128 AESV2, R4) or 5 (AES-256 AESV3, R6 by default —
+    * `rOverride` = 5 exercises the withdrawn Acrobat 9 SHA-256 scheme).
+    * Empty user and owner passwords, spec-correct `/O`/`/U` (and
+    * `/OE`/`/UE`/`/Perms` for V5). Deterministic throughout: fixed salts,
+    * IVs derived from object numbers.
     */
-  private[graft] def samplePdf(texts: Seq[String], aes: Boolean): Array[Byte] = {
-    val (v, r) = if (aes) (4, 4) else (2, 3)
-    val id0 = Array.tabulate(16)(i => (i * 17 + 3).toByte)
-    val o = ownerValue(Array.emptyByteArray, Array.emptyByteArray, r, 16)
+  private[graft] def samplePdf(texts: Seq[String], v: Int,
+                               rOverride: Int = 0): Array[Byte] = {
+    require(v == 2 || v == 4 || v == 5, s"unsupported sample version $v")
+    val r = if (rOverride > 0) rOverride else if (v == 5) 6 else if (v == 4) 4 else 3
+    val aes = v >= 4
     val p = -44
-    val fk = fileKey(Array.emptyByteArray, o, p, id0, r, 16)
-    val u = userValue(fk, id0, r)
+    val id0 = Array.tabulate(16)(i => (i * 17 + 3).toByte)
     def hx(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+
+    // key material + the encrypt-dict body, per scheme
+    val built: ((Int, Array[Byte]) => Array[Byte], String) =
+      if (v == 5) {
+        val fk = Array.tabulate(32)(i => (i * 7 + 1).toByte)
+        val (vSalt, kSalt) = (Array.tabulate(8)(i => (i + 1).toByte),
+          Array.tabulate(8)(i => (i + 9).toByte))
+        val empty = Array.emptyByteArray
+        val u48 = v5Hash(r, vSalt, empty, empty) ++ vSalt ++ kSalt
+        val ue = aesCbcNoPad(Cipher.ENCRYPT_MODE,
+          v5Hash(r, kSalt, empty, empty), new Array[Byte](16), fk)
+        val (oVSalt, oKSalt) = (Array.tabulate(8)(i => (i + 17).toByte),
+          Array.tabulate(8)(i => (i + 25).toByte))
+        val o48 = v5Hash(r, oVSalt ++ u48, empty, u48) ++ oVSalt ++ oKSalt
+        val oe = aesCbcNoPad(Cipher.ENCRYPT_MODE,
+          v5Hash(r, oKSalt ++ u48, empty, u48), new Array[Byte](16), fk)
+        val permsBlock = le4(p) ++ Array(0xff, 0xff, 0xff, 0xff).map(_.toByte) ++
+          "TadbZZZZ".getBytes(StandardCharsets.ISO_8859_1)
+        val ecb = Cipher.getInstance("AES/ECB/NoPadding")
+        ecb.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(fk, "AES"))
+        val perms = ecb.doFinal(permsBlock)
+        val enc = (num: Int, pt: Array[Byte]) =>
+          aesEncrypt(fk, md5(s"iv$num".getBytes(StandardCharsets.ISO_8859_1)), pt)
+        (enc, s"/Filter /Standard /V 5 /R $r /Length 256 /P $p" +
+          s" /O <${hx(o48)}> /OE <${hx(oe)}> /U <${hx(u48)}> /UE <${hx(ue)}>" +
+          s" /Perms <${hx(perms)}>" +
+          " /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF")
+      } else {
+        val o = ownerValue(Array.emptyByteArray, Array.emptyByteArray, r, 16)
+        val fk = fileKey(Array.emptyByteArray, o, p, id0, r, 16)
+        val u = userValue(fk, id0, r)
+        val cf = if (aes) " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>" +
+                          " /StmF /StdCF /StrF /StdCF" else ""
+        val enc = (num: Int, pt: Array[Byte]) =>
+          if (aes) aesEncrypt(objKey(fk, num, 0, aes = true),
+            md5(s"iv$num".getBytes(StandardCharsets.ISO_8859_1)), pt)
+          else rc4(objKey(fk, num, 0, aes = false), pt)
+        (enc, s"/Filter /Standard /V $v /R $r /Length 128 /P $p" +
+          s" /O <${hx(o)}> /U <${hx(u)}>$cf")
+      }
+
+    val (encrypt, encDict) = built
     val nP = texts.length
     val encNum = 3 + 2 * nP
     val sb = new StringBuilder("%PDF-1.4\n")
@@ -214,18 +336,12 @@ object PdfCrypt {
       val num = 3 + nP + i
       val pt = s"BT /F1 12 Tf 72 720 Td ($t) Tj ET"
         .getBytes(StandardCharsets.ISO_8859_1)
-      val ct =
-        if (aes) aesEncrypt(objKey(fk, num, 0, aes = true),
-          md5(s"iv$num".getBytes(StandardCharsets.ISO_8859_1)), pt)
-        else rc4(objKey(fk, num, 0, aes = false), pt)
+      val ct = encrypt(num, pt)
       sb.append(s"$num 0 obj << /Length ${ct.length} >>\nstream\n")
       sb.append(new String(ct, StandardCharsets.ISO_8859_1))
       sb.append("\nendstream\nendobj\n")
     }
-    val cf = if (aes) " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>" +
-                      " /StmF /StdCF /StrF /StdCF" else ""
-    sb.append(s"$encNum 0 obj << /Filter /Standard /V $v /R $r /Length 128" +
-      s" /P $p /O <${hx(o)}> /U <${hx(u)}>$cf >> endobj\n")
+    sb.append(s"$encNum 0 obj << $encDict >> endobj\n")
     sb.append(s"trailer << /Size ${encNum + 1} /Root 1 0 R " +
       s"/Encrypt $encNum 0 R /ID [<${hx(id0)}> <${hx(id0)}>] >>\n%%EOF\n")
     sb.toString.getBytes(StandardCharsets.ISO_8859_1)

@@ -32,18 +32,30 @@ class PdfCryptSpec extends AnyFunSuite {
 
   test("RC4-encrypted PDF (V2/R3) extracts all pages in tree order") {
     val texts = Seq("Secret alpha", "Secret beta", "Secret gamma")
-    val pages = PdfText.extractPages(PdfCrypt.samplePdf(texts, aes = false))
+    val pages = PdfText.extractPages(PdfCrypt.samplePdf(texts, v = 2))
     assert(pages == texts.map(_ + " "))
   }
 
   test("AES-encrypted PDF (V4/R4 AESV2) extracts all pages in tree order") {
     val texts = Seq("Vault delta", "Vault epsilon")
-    val pages = PdfText.extractPages(PdfCrypt.samplePdf(texts, aes = true))
+    val pages = PdfText.extractPages(PdfCrypt.samplePdf(texts, v = 4))
+    assert(pages == texts.map(_ + " "))
+  }
+
+  test("AES-256 PDF (V5/R6 AESV3, hardened 2.B derivation) extracts") {
+    val texts = Seq("Sealed zeta", "Sealed eta")
+    val pages = PdfText.extractPages(PdfCrypt.samplePdf(texts, v = 5))
+    assert(pages == texts.map(_ + " "))
+  }
+
+  test("AES-256 PDF (V5/R5, withdrawn SHA-256 scheme) extracts") {
+    val texts = Seq("Sealed theta")
+    val pages = PdfText.extractPages(PdfCrypt.samplePdf(texts, v = 5, rOverride = 5))
     assert(pages == texts.map(_ + " "))
   }
 
   test("corrupted /O never throws — best-effort garbage like the rest") {
-    val bytes = PdfCrypt.samplePdf(Seq("Secret alpha"), aes = false)
+    val bytes = PdfCrypt.samplePdf(Seq("Secret alpha"), v = 2)
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
     val oAt = s.indexOf("/O <") + 4
     val mangled = (s.substring(0, oAt) + "00" + s.substring(oAt + 2))
