@@ -271,15 +271,21 @@ object Queries {
     writeBytes(dir.resolve("cp1252.txt"),
       "sm€rt “quotes” café".getBytes(
         java.nio.charset.Charset.forName("windows-1252")))
-    // GBK / Big5 (chardet's other common catches — reference
-    // requirements.txt:6) deliberately FALL THROUGH the ladder; these
-    // fixtures pin the current fallback output as DATA (mojibake included),
-    // so a future detector upgrade surfaces as an intentional oracle edit,
-    // not silent drift.
+    // GBK / Big5 / EUC-JP / KOI8-R / cp1251 (chardet's other common
+    // catches — reference requirements.txt:6) are DETECTED by the
+    // CJK/Cyrillic ladder tail (Readers.decodeCjkOrCyrillic: strict decode
+    // + script/frequency/case scoring) and pin the decoded original text.
     writeBytes(dir.resolve("gbk.txt"),
       "中文编码测试".getBytes(java.nio.charset.Charset.forName("GBK")))
     writeBytes(dir.resolve("big5.txt"),
       "繁體中文測試".getBytes(java.nio.charset.Charset.forName("Big5")))
+    writeBytes(dir.resolve("eucjp.txt"),
+      "日本語のテキストです".getBytes(java.nio.charset.Charset.forName("EUC-JP")))
+    writeBytes(dir.resolve("koi8.txt"),
+      "привет мир как дела".getBytes(java.nio.charset.Charset.forName("KOI8-R")))
+    writeBytes(dir.resolve("cp1251.txt"),
+      "добрый день всем привет".getBytes(
+        java.nio.charset.Charset.forName("windows-1251")))
     dir.toString
   }
 
@@ -1038,11 +1044,14 @@ object Queries {
               | UNION ALL SELECT 'plain utf16le no bom'
               | UNION ALL SELECT '\u65e5\u672c\u8a9e\u30c6\u30ad\u30b9\u30c8'
               | UNION ALL SELECT 'sm\u20acrt \u201cquotes\u201d caf\u00e9'
-              | -- GBK and Big5 fall through to the Latin-1 floor (no C1-range
-              | -- lead bytes, so neither the SJIS nor cp1252 step fires):
-              | -- their mojibake is the PINNED contract (see encodedTxtFixture)
-              | UNION ALL SELECT '\u00d6\u00d0\u00ce\u00c4\u00b1\u00e0\u00c2\u00eb\u00b2\u00e2\u00ca\u00d4'
-              | UNION ALL SELECT '\u00c1c\u00c5\u00e9\u00a4\u00a4\u00a4\u00e5\u00b4\u00fa\u00b8\u00d5'
+              | -- GBK / Big5 / EUC-JP / KOI8-R / cp1251 are DETECTED by the
+              | -- chardet-lite CJK/Cyrillic tail (Readers.decodeCjkOrCyrillic)
+              | -- and decode to the original text:
+              | UNION ALL SELECT '\u4e2d\u6587\u7f16\u7801\u6d4b\u8bd5'
+              | UNION ALL SELECT '\u7e41\u9ad4\u4e2d\u6587\u6e2c\u8a66'
+              | UNION ALL SELECT '\u65e5\u672c\u8a9e\u306e\u30c6\u30ad\u30b9\u30c8\u3067\u3059'
+              | UNION ALL SELECT '\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u043a\u0430\u043a \u0434\u0435\u043b\u0430'
+              | UNION ALL SELECT '\u0434\u043e\u0431\u0440\u044b\u0439 \u0434\u0435\u043d\u044c \u0432\u0441\u0435\u043c \u043f\u0440\u0438\u0432\u0435\u0442'
               |) ORDER BY content""".stripMargin)),
 
     // ------------------------------------------------ F1/F2 extraction

@@ -94,9 +94,11 @@ object Readers {
     *     cp1252's five undefined slots. For streams without 0x80–0x9F
     *     bytes cp1252 and Latin-1 agree, so the Latin-1 floor is used.
     *
-    * Residual divergence from chardet (SURVEY §7.4): other legacy families
-    * (Big5, GBK, KOI8-R, ...) fall through — Big5 can even strict-decode as
-    * Shift-JIS mojibake. All ladder behavior is PINNED by the
+    * The [[decodeCjkOrCyrillic]] tail then covers chardet's remaining
+    * common catches — EUC-JP, GBK, Big5, KOI8-R, windows-1251 — via strict
+    * decoding plus script/frequency/case scoring. Residual divergence from
+    * chardet (SURVEY §7.4): rarer families (EUC-KR, ISO-8859-5/7, ...)
+    * still floor to Latin-1. All ladder behavior is PINNED by the
     * `q_ingest_txt_encodings` fixture, so a future detector upgrade shows
     * up as a deliberate oracle change, not drift.
     */
@@ -177,7 +179,100 @@ object Readers {
     if (cp1252Specific && !cp1252Undefined)
       new String(bytes, java.nio.charset.Charset.forName("windows-1252"))
     else
-      new String(bytes, StandardCharsets.ISO_8859_1)
+      decodeCjkOrCyrillic(bytes)
+        .getOrElse(new String(bytes, StandardCharsets.ISO_8859_1))
+  }
+
+  /** Union of the most frequent simplified and traditional Han characters
+    * (standard public frequency lists). Scoring a candidate decode against
+    * this set separates a CORRECT GBK/Big5 decode — running Chinese text is
+    * dominated by frequent characters — from the random-looking hanzi a
+    * wrong decode produces (~2% expected hit rate over the ~21k-ideograph
+    * block). Both scripts live in one set on purpose: the choice being made
+    * is byte layout (GBK vs Big5), not language, and GBK can carry
+    * traditional text too.
+    */
+  private val commonHan: Set[Char] =
+    ("的一是不了人我在有他这中大来上国个到说们为子和你地出道也时年得就那要下以生会自着去之过家学对可她里后小么心多天而能好都然没日于起还发成事只作当想看文无开手十用主行方又如前所本见经头面公同三已老从动两长知民样现分将外但身些与高意进把法此实回二理美点月明其种声全工己话儿者向情部正名定问力机给等几很业最间新什打便位因重被走电四第门相次东政海口使教西再平真听世气信北少关并内加化由却代军产入先山五太水万市眼体别处总才场师书比住员九笑性通目华报立马命张活党带行周期码编测试" +
+     "這為來個們說國時後學進將還沒關於會東動問開頭實體點現應該讓對馬風龍門長書見貝車金經濟臺灣變邊辦權觀歡舊點間兩萬機發當給從業樣總處確報立聲等電號眾園圖專鄉戰愛綿繁體測試縈統過達選證請謝讀語誰雖然臽歷歸濃獲環繼續聽聴").toSet
+
+  private def strictDecode(bytes: Array[Byte], cs: String): Option[String] = {
+    val dec = java.nio.charset.Charset.forName(cs).newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+    catch { case _: java.nio.charset.CharacterCodingException => None }
+  }
+
+  /** The CJK / Cyrillic tail of the chardet-lite ladder (runs only after
+    * UTF-8/UTF-16/Shift-JIS/cp1252 have all declined — i.e. on streams with
+    * non-C1 high bytes):
+    *
+    *   - EUC-JP: strict decode + kana present (≥2 chars in U+3040–U+30FF —
+    *     real Japanese text always carries kana; a GB/Big5 stream
+    *     mis-decoded as EUC-JP yields kanji-only output) + ≥80% of
+    *     non-ASCII output inside the CJK blocks.
+    *   - GBK vs Big5: both strict-decoded (their byte layouts overlap, so
+    *     validity alone cannot choose); the decode whose hanzi hit the
+    *     [[commonHan]] frequency set at ≥50% wins — a wrong-layout decode
+    *     scores ~2%. Ties prefer GBK (the more common encoding).
+    *   - KOI8-R vs windows-1251: gated on high-byte density ≥25% and mean
+    *     high-byte run length ≥3 (Cyrillic words are whole high-byte runs;
+    *     Latin-1 accents are isolated). The two layouts swap the case
+    *     blocks (0xC0–0xDF is KOI8-R lowercase but cp1251 uppercase), so
+    *     the decode yielding predominantly LOWERCASE Cyrillic (≥70%) is the
+    *     right one — real prose is lowercase-dominated, and the wrong
+    *     decode comes out upper-case.
+    *
+    * None → caller falls to the Latin-1 floor. Isolated accents (<4 high
+    * bytes) never enter: западноевропейские texts stay Latin-1.
+    */
+  private def decodeCjkOrCyrillic(bytes: Array[Byte]): Option[String] = {
+    def u(b: Byte): Int = b & 0xff
+    val high = bytes.count(u(_) >= 0x80)
+    if (high < 4) return None
+    // EUC-JP
+    val eucjp = strictDecode(bytes, "EUC-JP").filter { t =>
+      val nonAscii = t.filter(_ > '\u007f')
+      val kana = nonAscii.count(c => c >= 0x3040 && c <= 0x30ff)
+      val cjk = nonAscii.count(c => (c >= 0x3000 && c <= 0x30ff) ||
+        (c >= 0x4e00 && c <= 0x9fff) || (c >= 0xff00 && c <= 0xffef))
+      kana >= 2 && nonAscii.nonEmpty && cjk * 10 >= nonAscii.length * 8
+    }
+    if (eucjp.isDefined) return eucjp
+    // GBK vs Big5
+    val zh = Seq("GBK", "Big5").flatMap { cs =>
+      strictDecode(bytes, cs).flatMap { t =>
+        val han = t.filter(c => c >= 0x4e00 && c <= 0x9fff)
+        val hits = han.count(commonHan)
+        if (han.length >= 3 && hits * 2 >= han.length)
+          Some((hits.toDouble / han.length, cs == "GBK", t))
+        else None
+      }
+    }
+    if (zh.nonEmpty) return Some(zh.maxBy(z => (z._1, z._2))._3)
+    // Cyrillic: density + run-length gate, then case-structure scoring
+    var i = 0
+    var highRuns = 0
+    while (i < bytes.length) {
+      if (u(bytes(i)) >= 0x80 &&
+          (i + 1 >= bytes.length || u(bytes(i + 1)) < 0x80)) highRuns += 1
+      i += 1
+    }
+    if (high * 4 >= bytes.length && highRuns > 0 && high >= highRuns * 3) {
+      val cyr = Seq("KOI8-R", "windows-1251").flatMap { cs =>
+        val t = new String(bytes, java.nio.charset.Charset.forName(cs))
+        val nonAscii = t.filter(_ > '\u007f')
+        val letters = nonAscii.filter(c => c >= 0x0400 && c <= 0x04ff)
+        val lower = letters.count(c => (c >= 0x0430 && c <= 0x044f) || c == 0x0451)
+        if (letters.length >= 4 && letters.length * 10 >= nonAscii.length * 9 &&
+            lower * 10 >= letters.length * 7)
+          Some((lower.toDouble / letters.length, t))
+        else None
+      }
+      if (cyr.nonEmpty) return Some(cyr.maxBy(_._1)._2)
+    }
+    None
   }
 
   /** Fraction of the stream belonging to well-formed Shift-JIS multi-byte

@@ -46,6 +46,23 @@ class ReadersSpec extends SparkSpec {
     assert(rows.contains("j k"), s"junk not floored to latin-1: $rows")
   }
 
+  test("chardet-lite CJK/Cyrillic tail: EUC-JP, GBK, Big5, KOI8-R, cp1251") {
+    def dec(text: String, cs: String): String =
+      Readers.decodeFallbackForTest(
+        text.getBytes(java.nio.charset.Charset.forName(cs)))
+    assert(dec("日本語のテキストです", "EUC-JP") == "日本語のテキストです")
+    assert(dec("中文编码测试", "GBK") == "中文编码测试")
+    assert(dec("繁體中文測試", "Big5") == "繁體中文測試")
+    assert(dec("привет мир как дела", "KOI8-R") == "привет мир как дела")
+    assert(dec("добрый день всем привет", "windows-1251") == "добрый день всем привет")
+    // Latin-1 stays Latin-1: adjacent high bytes that happen to form valid
+    // GBK pairs must not turn Nordic text into hanzi (frequency gate), and
+    // isolated accents never enter the detector at all (<4 high bytes)
+    assert(dec("blåbærsyltetøy på brød", "ISO-8859-1") == "blåbærsyltetøy på brød")
+    assert(dec("café résumé naïve", "ISO-8859-1") == "café résumé naïve")
+    assert(dec("déjà vu très tôt café", "ISO-8859-1") == "déjà vu très tôt café")
+  }
+
   test("txtSafe: good file has null _ingest_error; rows survive") {
     val dir = tmpDir("txt_")
     write(dir, "ok.txt", "hello\nworld\n".getBytes(StandardCharsets.UTF_8))
