@@ -3398,7 +3398,125 @@ object Queries {
               |SELECT host, count(*) AS n_urls,
               |  count(DISTINCT url) AS n_distinct_urls,
               |  sum(n_tokens)::BIGINT AS weight_sum
-              |FROM u GROUP BY host ORDER BY host""".stripMargin))
+              |FROM u GROUP BY host ORDER BY host""".stripMargin)),
+
+    // Crawl-politeness gate: RFC 9309 robots.txt longest-match-wins verdict
+    // per URL — agent-specific groups, * wildcards, terminal $ anchors,
+    // allow-beats-disallow ties, hosts without robots allowed. The oracle
+    // reimplements the whole pipeline (group assembly via window functions,
+    // LIKE-pattern translation) in DuckDB SQL.
+    ("q_robots_filter",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val robots = Seq(
+          ("a.example.com", "User-agent: *\nDisallow: /p/1\nAllow: /p/12"),
+          ("b.example.org",
+            "User-agent: graftbot\nDisallow: /\n\nUser-agent: *\nDisallow:"),
+          ("cdn.example.net", "User-agent: *\nDisallow: /*/7$"),
+          ("static.example.io", "User-agent: otherbot\nDisallow: /")
+        ).toDF("host", "body")
+        val urls = tbl(s, d, "documents")
+          .withColumn("host",
+            when(col("doc_id") % 5 === 0, "a.example.com")
+              .when(col("doc_id") % 5 === 1, "b.example.org")
+              .when(col("doc_id") % 5 === 2, "cdn.example.net")
+              .when(col("doc_id") % 5 === 3, "example.com")
+              .otherwise("static.example.io"))
+          .select(concat(lit("https://"), col("host"), lit("/p/"),
+            (col("doc_id") % 97).cast("string")).as("url"))
+        Urls.robotsVerdict(urls, "url", robots, "host", "body", "graftbot")
+          .orderBy("url")
+      },
+      Some("""WITH robots(host, body) AS (VALUES
+             |  ('a.example.com', 'User-agent: *' || chr(10) ||
+             |     'Disallow: /p/1' || chr(10) || 'Allow: /p/12'),
+             |  ('b.example.org', 'User-agent: graftbot' || chr(10) ||
+             |     'Disallow: /' || chr(10) || chr(10) ||
+             |     'User-agent: *' || chr(10) || 'Disallow:'),
+             |  ('cdn.example.net', 'User-agent: *' || chr(10) || 'Disallow: /*/7$'),
+             |  ('static.example.io', 'User-agent: otherbot' || chr(10) || 'Disallow: /')),
+             |t AS (SELECT host, string_split(body, chr(10)) AS ls FROM robots),
+             |x AS (SELECT host, unnest(range(0, len(ls))) AS ln, ls FROM t),
+             |l AS (SELECT host, ln,
+             |        trim(regexp_replace(ls[ln + 1], '#.*$', '')) AS line FROM x),
+             |f AS (SELECT host, ln,
+             |        lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) AS field,
+             |        trim(regexp_extract(line, ':\s*(.*)$', 1)) AS value
+             |      FROM l
+             |      WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1))
+             |        IN ('user-agent', 'allow', 'disallow')),
+             |g AS (SELECT *, CASE WHEN field = 'user-agent' THEN 1 ELSE 0 END AS is_ua
+             |      FROM f),
+             |h AS (SELECT *, CASE WHEN is_ua = 1 AND coalesce(
+             |          lag(is_ua) OVER (PARTITION BY host ORDER BY ln), 0) = 0
+             |        THEN 1 ELSE 0 END AS new_grp FROM g),
+             |i AS (SELECT *, sum(new_grp) OVER (
+             |        PARTITION BY host ORDER BY ln) AS grp FROM h),
+             |agents AS (SELECT DISTINCT host, grp, lower(value) AS agent
+             |           FROM i WHERE field = 'user-agent'),
+             |ra AS (SELECT r.host, a.agent, r.field AS rule_type, r.value AS pattern
+             |       FROM i r JOIN agents a ON r.host = a.host AND r.grp = a.grp
+             |       WHERE r.field <> 'user-agent' AND r.value <> ''
+             |         AND a.agent IN ('graftbot', '*')),
+             |hx AS (SELECT host,
+             |         max(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS has_exact
+             |       FROM ra GROUP BY host),
+             |rr AS (SELECT host, rule_type, pat_len,
+             |         CASE WHEN right(p2, 1) = '$' THEN left(p2, len(p2) - 1)
+             |              ELSE p2 || '%' END AS like_pat
+             |       FROM (SELECT ra.host, ra.rule_type, len(ra.pattern) AS pat_len,
+             |               replace(replace(replace(replace(ra.pattern,
+             |                 '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') AS p2,
+             |               ra.agent, hx.has_exact
+             |             FROM ra JOIN hx ON ra.host = hx.host)
+             |       WHERE (agent = 'graftbot') = (has_exact = 1)),
+             |u AS (SELECT DISTINCT 'https://' ||
+             |        (CASE doc_id % 5 WHEN 0 THEN 'a.example.com'
+             |          WHEN 1 THEN 'b.example.org' WHEN 2 THEN 'cdn.example.net'
+             |          WHEN 3 THEN 'example.com' ELSE 'static.example.io' END) ||
+             |        '/p/' || (doc_id % 97)::VARCHAR AS url
+             |      FROM documents),
+             |up AS (SELECT url,
+             |        lower(regexp_extract(url,
+             |          '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1)) AS uhost,
+             |        coalesce(nullif(regexp_extract(url,
+             |          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), ''), '/') AS upath
+             |       FROM u),
+             |j AS (SELECT up.url, rr.rule_type, rr.pat_len,
+             |        CASE WHEN rr.like_pat IS NOT NULL
+             |               AND up.upath LIKE rr.like_pat ESCAPE '\'
+             |             THEN 1 ELSE 0 END AS hit
+             |      FROM up LEFT JOIN rr ON up.uhost = rr.host),
+             |wnr AS (SELECT url, max(CASE WHEN hit = 1 THEN struct_pack(
+             |          l := pat_len,
+             |          a := CASE WHEN rule_type = 'allow' THEN 1 ELSE 0 END) END) AS win
+             |        FROM j GROUP BY url)
+             |SELECT url, (win IS NULL OR win.a = 1) AS allowed
+             |FROM wnr ORDER BY url""".stripMargin)),
+
+    // Sitemap ingestion (sitemaps.org): <url>/<sitemap> blocks → (loc,
+    // lastmod). The fixture assembles four sitemap documents from the
+    // documents table; the oracle recomputes loc/lastmod arithmetically.
+    ("q_sitemap",
+      (s: SparkSession, d: String) => {
+        val blocks = tbl(s, d, "documents").filter(col("doc_id") < 100)
+          .select((col("doc_id") % 4).as("g"), col("doc_id"),
+            concat(lit("<url><loc> https://site.example/d/"),
+              col("doc_id").cast("string"),
+              lit(" </loc><lastmod>2026-0"),
+              (col("doc_id") % 9 + 1).cast("string"),
+              lit("-15</lastmod></url>")).as("block"))
+        val sitemaps = blocks.groupBy("g")
+          .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("doc_id"), col("block")))),
+              x => x.getField("block")), "\n"),
+            lit("</urlset>")).as("xml"))
+        Urls.sitemapUrls(sitemaps, "xml").select("loc", "lastmod").orderBy("loc")
+      },
+      Some("""SELECT 'https://site.example/d/' || doc_id::VARCHAR AS loc,
+             |  '2026-0' || (doc_id % 9 + 1)::VARCHAR || '-15' AS lastmod
+             |FROM documents WHERE doc_id < 100 ORDER BY loc""".stripMargin))
   )
 
   val queries: Map[String, Q] = battery.map(b => (b._1, b._2)).toMap

@@ -118,4 +118,108 @@ object Urls {
       weightCol.map(w => sum(col(w)).as("weight_sum"))
     base.agg(aggs.head, aggs.tail: _*)
   }
+
+  // -------------------------------------------------- robots.txt (RFC 9309)
+
+  /** Parse robots.txt bodies into flat per-agent rules: one row per
+    * (host, agent, rule_type, path_pattern, ln). Group structure per RFC
+    * 9309 §2.2.1 — consecutive `User-agent` lines share the rule block that
+    * follows; comments are stripped; empty Disallow/Allow values are
+    * dropped (an empty pattern matches nothing). Column expressions plus
+    * two narrow windows over (host, line№) — robots tables are KBs per
+    * host, control-plane scale next to the URL table they gate.
+    */
+  def robotsRules(robots: DataFrame, hostCol: String, bodyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robots.select(col(hostCol).as("host"),
+        posexplode(split(col(bodyCol), "\n")).as(Seq("ln", "line")))
+      .withColumn("line", trim(regexp_replace(col("line"), "#.*$", "")))
+      .withColumn("field", lower(regexp_extract(col("line"), "^([A-Za-z-]+)\\s*:", 1)))
+      .withColumn("value", trim(regexp_extract(col("line"), ":\\s*(.*)$", 1)))
+      .filter(col("field").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy("host").orderBy("ln")
+    val grouped = lines
+      .withColumn("is_ua", (col("field") === "user-agent").cast("int"))
+      .withColumn("new_grp", (col("is_ua") === 1 &&
+        coalesce(lag("is_ua", 1).over(w), lit(0)) === 0).cast("int"))
+      .withColumn("grp", sum("new_grp").over(w))
+    val agents = grouped.filter(col("field") === "user-agent")
+      .select(col("host"), col("grp"), lower(col("value")).as("agent")).distinct()
+    grouped.filter(col("field") =!= "user-agent" && col("value") =!= "")
+      .select(col("host"), col("grp"), col("field").as("rule_type"),
+        col("value").as("path_pattern"), col("ln"))
+      .join(agents, Seq("host", "grp"))
+      .select("host", "agent", "rule_type", "path_pattern", "ln")
+  }
+
+  /** A robots path pattern as a SQL LIKE pattern: `%`/`_`/`\` escaped, `*`
+    * → `%`, a terminal `$` anchors the end (a LIKE with no trailing `%` is
+    * already end-anchored), otherwise the prefix match gets a trailing `%`.
+    * Identical construction exists in the DuckDB oracle (both engines
+    * default the LIKE escape to backslash — DuckDB via explicit ESCAPE).
+    */
+  private def robotsLikePattern(p: Column): Column = {
+    val esc = replace(replace(replace(p, lit("\\"), lit("\\\\")),
+      lit("%"), lit("\\%")), lit("_"), lit("\\_"))
+    val starred = replace(esc, lit("*"), lit("%"))
+    when(starred.endsWith("$"), starred.substr(lit(1), length(starred) - 1))
+      .otherwise(concat(starred, lit("%")))
+  }
+
+  /** Per-URL crawl verdict for `agent` under RFC 9309 longest-match-wins:
+    * (url, allowed) over the DISTINCT URLs of `urls`. The agent's own
+    * group is used when the host defines one, else the `*` group; among
+    * matching rules the longest original pattern decides and ties prefer
+    * Allow; no matching rule — including hosts with no robots.txt at all —
+    * means allowed. `*` wildcards and terminal `$` anchors supported.
+    *
+    * Scale shape: the rules table (KBs/host) is broadcast; the URL side
+    * pays one distinct + one hash-agg on the url — no all-pairs, no
+    * skew-prone shuffle (rules fan-out per URL is the host's rule count,
+    * bounded and tiny).
+    */
+  def robotsVerdict(urls: DataFrame, urlCol: String, robots: DataFrame,
+                    hostCol: String, bodyCol: String, agent: String): DataFrame = {
+    val a = agent.toLowerCase
+    val rules0 = robotsRules(robots, hostCol, bodyCol)
+      .filter(col("agent").isin(a, "*"))
+    val hostHasExact = rules0.groupBy("host")
+      .agg(max((col("agent") === a).cast("int")).as("has_exact"))
+    val rules = rules0.join(hostHasExact, Seq("host"))
+      .filter((col("agent") === a) === (col("has_exact") === 1))
+      .select(col("host").as("rhost"), col("rule_type"),
+        robotsLikePattern(col("path_pattern")).as("like_pat"),
+        length(col("path_pattern")).as("pat_len"))
+    val withPath = urls.select(col(urlCol).as("url")).distinct()
+      .withColumn("uhost", host(col("url")))
+      .withColumn("upath", {
+        val p = regexp_extract(col("url"),
+          "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+        when(p === "", lit("/")).otherwise(p)
+      })
+    withPath.join(broadcast(rules), col("uhost") === col("rhost"), "left")
+      .withColumn("hit", col("like_pat").isNotNull &&
+        expr("upath LIKE like_pat"))
+      .groupBy("url")
+      .agg(max(when(col("hit"), struct(col("pat_len").as("l"),
+        (col("rule_type") === "allow").cast("int").as("a")))).as("win"))
+      .select(col("url"),
+        (col("win").isNull || col("win.a") === 1).as("allowed"))
+  }
+
+  // ----------------------------------------------------------- sitemap XML
+
+  /** URLs from sitemap bodies (the sitemaps.org protocol): one row per
+    * `<url>` / `<sitemap>` block — (…input cols…, loc, lastmod) with
+    * lastmod "" when absent. Linear regex scan with (?s) blocks (crawled
+    * sitemaps are rarely well-formed XML end-to-end — same zero-dep ethos
+    * as the HTML scanner), map-only, no shuffle.
+    */
+  def sitemapUrls(df: DataFrame, xmlCol: String): DataFrame =
+    df.withColumn("_block", explode(expr(
+        s"regexp_extract_all($xmlCol, '(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1)")))
+      .withColumn("loc", trim(regexp_extract(col("_block"), "(?s)<loc>([^<]*)</loc>", 1)))
+      .withColumn("lastmod",
+        trim(regexp_extract(col("_block"), "(?s)<lastmod>([^<]*)</lastmod>", 1)))
+      .filter(col("loc") =!= "").drop("_block")
 }

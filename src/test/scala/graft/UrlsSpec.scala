@@ -69,6 +69,55 @@ class UrlsSpec extends SparkSpec {
     assert(idx == Seq(("/x", 2L, "home|start"), ("/y", 1L, "to Y")))
   }
 
+  test("robotsVerdict: longest-match-wins, agent groups, wildcards, anchors") {
+    val robots = Seq(
+      // Allow /p/12 (len 6... actually 5) outranks Disallow /p/1
+      ("a.example.com", "User-agent: *\nDisallow: /p/1\nAllow: /p/12"),
+      // agent-specific group beats the catch-all; empty Disallow = allow-all
+      ("b.example.org", "User-agent: graftbot\nDisallow: /\n\nUser-agent: *\nDisallow:"),
+      // * wildcard + terminal $ anchor
+      ("cdn.example.net", "User-agent: *\nDisallow: /*/7$"),
+      // no group for us or * → unrestricted
+      ("static.example.io", "User-agent: otherbot\nDisallow: /")
+    ).toDF("host", "body")
+    val urls = Seq(
+      "https://a.example.com/p/15",  // Disallow /p/1 prefix → blocked
+      "https://a.example.com/p/12",  // longer Allow wins → allowed
+      "https://a.example.com/p/120", // Allow /p/12 still longest → allowed
+      "https://a.example.com/q/1",   // no rule matches → allowed
+      "https://b.example.org/x",     // exact-agent Disallow / → blocked
+      "https://cdn.example.net/p/7", // /*/7$ → blocked
+      "https://cdn.example.net/p/77",// $ anchor: not /7 at end → allowed
+      "https://static.example.io/z", // otherbot-only rules → allowed
+      "https://no-robots.example/y"  // host absent from robots → allowed
+    ).toDF("url")
+    val out = Urls.robotsVerdict(urls, "url", robots, "host", "body", "GraftBot")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(!out("https://a.example.com/p/15"))
+    assert(out("https://a.example.com/p/12"))
+    assert(out("https://a.example.com/p/120"))
+    assert(out("https://a.example.com/q/1"))
+    assert(!out("https://b.example.org/x"))
+    assert(!out("https://cdn.example.net/p/7"))
+    assert(out("https://cdn.example.net/p/77"))
+    assert(out("https://static.example.io/z"))
+    assert(out("https://no-robots.example/y"))
+  }
+
+  test("sitemapUrls: url and sitemap blocks, lastmod optional, junk skipped") {
+    val xml = """<?xml version="1.0"?><urlset>
+      |<url><loc> https://e.com/a </loc><lastmod>2026-01-15</lastmod></url>
+      |<url><loc>https://e.com/b</loc></url>
+      |<url><priority>0.5</priority></url>
+      |<sitemap><loc>https://e.com/maps/2.xml</loc></sitemap>
+      |</urlset>""".stripMargin
+    val out = Urls.sitemapUrls(Seq(xml).toDF("xml"), "xml")
+      .select("loc", "lastmod").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(("https://e.com/a", "2026-01-15"),
+      ("https://e.com/b", ""), ("https://e.com/maps/2.xml", "")))
+  }
+
   test("host extracts the lowercased host; domainStats aggregates counts and mass") {
     val urls = Seq(
       ("https://A.Example.COM:8443/x?q=1", 10L),
