@@ -154,6 +154,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), s"expected codegen'd projection:\n$plan")
   }
 
+  test("dedupParagraphs: para + doc-id shuffles only — no cartesian, no driver funnel") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.ops.Dedup.dedupParagraphs(docs, "doc_id", "text"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs crept in:\n$plan")
+    // the design's two key shuffles: the para window and the doc-id hash-agg
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"unexpected extra shuffles ($exchanges):\n$plan")
+  }
+
+  test("robotsVerdict: rules broadcast; the URL side never broadcasts") {
+    import spark.implicits._
+    val robots = Seq(("example.com", "User-agent: *\nDisallow: /p")).toDF("host", "body")
+    val urls = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("https://example.com/p/"), col("doc_id")).as("url"))
+    val df = graft.ops.Urls.robotsVerdict(urls, "url", robots, "host", "body", "bot")
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rules must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop crept in:\n$plan")
+  }
+
+  test("sitemapUrls is map-only: no Exchange before the explode") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("<urlset><url><loc>https://e.com/"), col("doc_id"),
+        lit("</loc></url></urlset>")).as("xml"))
+    val plan = planOf(graft.ops.Urls.sitemapUrls(docs, "xml"))
+    assert(!plan.contains("Exchange"), s"sitemap scan must be map-only:\n$plan")
+  }
+
   test("5-way join broadcasts every dimension table") {
     val df = Queries.queries("q_sql_multijoin")(spark, sf)
     assert(df.count() > 0)
