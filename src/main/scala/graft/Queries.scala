@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.Readers
-import graft.ops.{Bloom, Bpe, Bucketing, Chunking, Corpus, Curate, Dedup, InferSchema, Layout, Multimodal, Nums, Similarity, SubstringDedup, TextAnalysis, Urls, Validate, Warehouse}
+import graft.ops.{Bloom, Bpe, Bucketing, Chunking, Corpus, Curate, Dedup, InferSchema, Layout, Multimodal, Nums, Similarity, Sketches, SubstringDedup, TextAnalysis, Urls, Validate, Warehouse}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -3516,7 +3516,84 @@ object Queries {
       },
       Some("""SELECT 'https://site.example/d/' || doc_id::VARCHAR AS loc,
              |  '2026-0' || (doc_id % 9 + 1)::VARCHAR || '-15' AS lastmod
-             |FROM documents WHERE doc_id < 100 ORDER BY loc""".stripMargin))
+             |FROM documents WHERE doc_id < 100 ORDER BY loc""".stripMargin)),
+
+    // Engine-exact mergeable HLL: the registers AND the estimate replay
+    // bit-identically in DuckDB (polynomial hash, integer register sum over
+    // a common 2^33 denominator, one double division; the linear-counting
+    // ln rides the 1e-6 grid). Complements q_approx_distinct's
+    // tolerance-bound check of Spark's built-in HLL.
+    ("q_hll_distinct",
+      (s: SparkSession, d: String) => {
+        val sk = Sketches.hllSketch(tbl(s, d, "lineitem"), "l_partkey", p = 10)
+        Sketches.hllEstimate(sk, p = 10)
+      },
+      Some("""WITH h AS (SELECT ('0x' || substring(md5(l_partkey::VARCHAR), 1, 15))::BIGINT
+             |    AS h FROM lineitem),
+             |b AS (SELECT h % 1024 AS bucket, (h // 1024) % 4294967296 AS w FROM h),
+             |s1 AS (SELECT bucket, w | (w >> 1) AS s FROM b),
+             |s2 AS (SELECT bucket, s | (s >> 2) AS s FROM s1),
+             |s3 AS (SELECT bucket, s | (s >> 4) AS s FROM s2),
+             |s4 AS (SELECT bucket, s | (s >> 8) AS s FROM s3),
+             |s5 AS (SELECT bucket, s | (s >> 16) AS s FROM s4),
+             |r AS (SELECT bucket, 33 - bit_count(s) AS rho FROM s5),
+             |reg AS (SELECT bucket, max(rho) AS rho FROM r GROUP BY bucket),
+             |agg AS (SELECT sum(1::BIGINT << (33 - rho))::BIGINT AS s,
+             |          count(*) AS nz FROM reg),
+             |est AS (SELECT nz, 1024 - nz AS v,
+             |          (0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024 * 8589934592
+             |            / (s + (1024 - nz) * 8589934592) AS raw
+             |        FROM agg)
+             |SELECT floor((CASE WHEN v > 0 AND raw <= 2.5 * 1024
+             |    THEN 1024 * ln(1024 / v::DOUBLE) ELSE raw END) * 1e6 + 0.5) / 1e6
+             |  AS estimate, nz AS registers_used
+             |FROM est""".stripMargin)),
+
+    // Deterministic weighted sampling without replacement (A-ES): top-k by
+    // u^(1/w) on the shared md5-fraction u — the oracle recomputes the
+    // identical priorities and takes the same top-k.
+    ("q_sample_weighted",
+      (s: SparkSession, d: String) => {
+        val docs = tbl(s, d, "documents")
+          .select(col("doc_id"), (col("doc_id") % 10 + 1).cast("double").as("w"))
+        TextAnalysis.sampleWeighted(docs, "doc_id", "w", k = 100)
+      },
+      Some("""WITH d AS (SELECT doc_id, (doc_id % 10 + 1)::DOUBLE AS w FROM documents),
+             |p AS (SELECT doc_id, w,
+             |        floor(pow((('0x' || substring(md5(doc_id::VARCHAR), 1, 7))::BIGINT
+             |            + 1.0) / 268435456.0, 1.0 / w) * 1e6 + 0.5) / 1e6
+             |          AS priority
+             |      FROM d)
+             |SELECT doc_id, w, priority FROM p
+             |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin)),
+
+    // Earliest-anchor funnel over the events stream: view → click →
+    // purchase within 3 days of the first view. One row of per-step reach
+    // counts; the oracle chains the same per-step min-aggregates.
+    ("q_funnel",
+      (s: SparkSession, d: String) =>
+        graft.ops.Sessionize.funnel(
+          tbl(s, d, "events").select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("ts_us")),
+          "user_id", "event_type", "ts_us",
+          Seq("view", "click", "purchase"), windowUs = 259200000000L),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+             |s1 AS (SELECT user_id AS u, min(tsu) AS t1 FROM e
+             |       WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT s1.u, s1.t1,
+             |         min(CASE WHEN c.tsu > s1.t1
+             |               AND c.tsu <= s1.t1 + 259200000000 THEN c.tsu END) AS t2
+             |       FROM s1 LEFT JOIN (SELECT user_id, tsu FROM e
+             |         WHERE event_type = 'click') c ON c.user_id = s1.u
+             |       GROUP BY 1, 2),
+             |s3 AS (SELECT s2.u, s2.t1, s2.t2,
+             |         min(CASE WHEN p.tsu > s2.t2
+             |               AND p.tsu <= s2.t1 + 259200000000 THEN p.tsu END) AS t3
+             |       FROM s2 LEFT JOIN (SELECT user_id, tsu FROM e
+             |         WHERE event_type = 'purchase') p ON p.user_id = s2.u
+             |       GROUP BY 1, 2, 3)
+             |SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3
+             |FROM s3""".stripMargin))
   )
 
   val queries: Map[String, Q] = battery.map(b => (b._1, b._2)).toMap

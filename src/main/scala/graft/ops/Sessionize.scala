@@ -103,6 +103,38 @@ object Sessionize {
     * while any session is open (that is what evaluates timeouts); bounded
     * drains (Trigger.AvailableNow) should run with `idleTimeout=false`.
     */
+  /** Earliest-anchor funnel analysis — the product-analytics staple over
+    * the same event stream: per user, the FIRST `steps.head` event anchors
+    * the attempt; each later step needs an event strictly after the
+    * previous step's time and within `windowUs` of the anchor (greedy
+    * earliest-match semantics — the convention funnels report; a later
+    * anchor that would have completed is not searched). Returns ONE row of
+    * per-step reach counts `n1..nk` (users whose t_i exists).
+    *
+    * Shape: one filtered hash-agg on the user key per step (steps are few
+    * and fixed) — partial aggregation map-side, no window over the whole
+    * stream, no per-user event arrays (bot users with millions of events
+    * cost nothing beyond their aggregate row).
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("user"))
+      .agg(min(col(tsCol).cast("long")).as("t1"))
+    val staged = steps.zipWithIndex.tail.foldLeft(first) { case (cur, (st, i)) =>
+      val nxt = events.filter(col(typeCol) === st)
+        .select(col(userCol).as("user"), col(tsCol).cast("long").as("__ts"))
+      cur.join(nxt, Seq("user"), "left")
+        .groupBy(("user" +: (1 to i).map(j => s"t$j")).map(col): _*)
+        .agg(min(when(col("__ts") > col(s"t$i") &&
+          col("__ts") <= col("t1") + windowUs, col("__ts"))).as(s"t${i + 1}"))
+    }
+    val counts = steps.indices.map(i =>
+      count(col(s"t${i + 1}")).as(s"n${i + 1}"))
+    staged.agg(counts.head, counts.tail: _*)
+  }
+
   def streamingByGap(events: Dataset[SessionEvent], gapMicros: Long,
                      idleTimeout: Boolean = true)
                     (implicit spark: SparkSession): Dataset[ClosedSession] = {

@@ -81,4 +81,62 @@ object Sketches {
       .groupBy(keyCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  // -------------------------------------------------------- HyperLogLog
+
+  /** Engine-exact HyperLogLog registers (Flajolet et al. 2007): the
+    * registers — not just a tolerance bound like `q_approx_distinct`'s —
+    * replay bit-identically in SQL. The hash is the repo's md5-fraction
+    * idiom (15 hex digits = 60 uniform bits; the CMS-style polynomial is
+    * fine for bucket INDICES but its high bits are lattice-structured,
+    * which biases leading-zero statistics — measured +40% on dense keys):
+    * bucket = h mod 2ᵖ, w = the next 32 hash bits, register = max over the
+    * bucket of rho(w) = 33 − bitlength(w). `(bucket, rho)` rows are the
+    * sketch: MERGEABLE by `groupBy(bucket).max(rho)` across shards /
+    * batches / days — the 100 TB count-distinct shape (union = max-merge,
+    * never a re-scan). Bitlength is a PROGRESSIVE bit-smear (each shift
+    * applies to the accumulated value) + popcount — pure integer ops,
+    * identical in DuckDB.
+    */
+  def hllSketch(df: DataFrame, keyCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"HLL precision $p outside [4,16]")
+    val m = (1L << p).toString
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    df.select(h.as("h"))
+      .select(expr(s"h % $m").as("bucket"),
+        expr(s"(h div $m) % 4294967296").as("w"))
+      .withColumn("s", expr("w | shiftright(w, 1)"))
+      .withColumn("s", expr("s | shiftright(s, 2)"))
+      .withColumn("s", expr("s | shiftright(s, 4)"))
+      .withColumn("s", expr("s | shiftright(s, 8)"))
+      .withColumn("s", expr("s | shiftright(s, 16)"))
+      .select(col("bucket"), (lit(33) - bit_count(col("s"))).as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("rho"))
+  }
+
+  /** The HLL cardinality estimate from a register table: exact-integer
+    * register sum (Σ 2^(33−rho) over a common 2³³ denominator — never
+    * overflows: ≤ 2⁴⁸ at p=16), ONE double division, the standard bias
+    * correction alpha and the small-range linear-counting branch. The only
+    * cross-libm float ops are that division and the linear-counting `ln`,
+    * both absorbed by the 1e-6 rounding grid.
+    */
+  def hllEstimate(sketch: DataFrame, p: Int): DataFrame = {
+    val m = 1L << p
+    val alpha =
+      if (p == 4) 0.673 else if (p == 5) 0.697 else if (p == 6) 0.709
+      else 0.7213 / (1.0 + 1.079 / m)
+    sketch
+      .agg(sum(expr("shiftleft(cast(1 as bigint), 33 - rho)")).as("s"),
+        count(lit(1)).as("nz"))
+      .select(col("s"), col("nz"), (lit(m) - col("nz")).as("v"),
+        (lit(alpha * m.toDouble * m) * lit(8589934592.0) /* 2^33 */ /
+          (col("s") + (lit(m) - col("nz")) * lit(8589934592L))).as("raw"))
+      .select(
+        Nums.round6(when(col("v") > 0 && col("raw") <= lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(col("raw"))).as("estimate"),
+        col("nz").as("registers_used"))
+  }
 }

@@ -207,6 +207,26 @@ object TextAnalysis {
       .drop("__rn")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, A-ES): k rows drawn with probability proportional to
+    * `weightCol`, by taking the top-k of the key u^(1/w) where u ∈ (0,1]
+    * is the md5-fraction of the id — the same engine-neutral u as
+    * [[sampleMixture]], so runs, engines, and cluster layouts all agree.
+    * The key rides the 1e-6 rounding grid with an id tie-break (absorbs
+    * cross-libm pow ulps); selection is one TakeOrderedAndProject — no
+    * global sort, no RNG state, and the top-k property makes it mergeable:
+    * the top-k of a union is the top-k of per-shard top-ks.
+    */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
+      .cast("double") + 1.0) / lit((1L << 28).toDouble)
+    df.withColumn("priority",
+        Nums.round6(pow(u, lit(1.0) / col(weightCol).cast("double"))))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-document corpus-commonness signal (the CCNet-family quality
     * dial, kept engine-exact): for each document, the SUM of its tokens'
     * corpus frequencies plus its token count — rare-vocabulary documents

@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.Sessionize
+
+/** Earliest-anchor funnel semantics on hand-built event streams. */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String, Long)], window: Long = 100L) =
+    Sessionize.funnel(rows.toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", Seq("view", "click", "buy"), window)
+      .collect()(0)
+
+  test("complete funnel counts every stage; order and window enforced") {
+    val r = run(Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "buy", 30L),   // completes
+      (2L, "view", 10L), (2L, "click", 40L),                     // stops at click
+      (3L, "click", 5L), (3L, "view", 10L),                      // click BEFORE view: no step 2
+      (4L, "view", 10L), (4L, "click", 20L), (4L, "buy", 200L),  // buy outside window
+      (5L, "buy", 10L)                                           // never entered
+    ))
+    // n1: users 1-4 viewed; n2: users 1, 2, 4 clicked after viewing;
+    // n3: only user 1 bought inside the window
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 3L, 1L)))
+  }
+
+  test("anchor is the FIRST step-1 event (greedy semantics, documented)") {
+    // first view at t=0 anchors; click at 50 and buy at 90 fit the window
+    // measured from t=0, not from the second view at t=60
+    val r = run(Seq((1L, "view", 0L), (1L, "view", 60L),
+      (1L, "click", 50L), (1L, "buy", 90L)))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 1L, 1L)))
+    // but a click that only follows the SECOND view is still counted iff
+    // it is after t1 and inside the window — greedy means anchor fixed,
+    // not that later step-1 events consume events
+    val r2 = run(Seq((2L, "view", 0L), (2L, "view", 60L), (2L, "click", 70L)))
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == ((1L, 1L, 0L)))
+  }
+
+  test("same-timestamp events do not satisfy the strictly-after rule") {
+    val r = run(Seq((1L, "view", 10L), (1L, "click", 10L)))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 0L, 0L)))
+  }
+}

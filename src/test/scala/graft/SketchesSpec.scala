@@ -60,4 +60,30 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(est == Map(1L -> 15L, 2L -> 7L), s"got $est")
   }
+
+  test("HLL estimate lands within 10% on a 20k-key set (p=10)") {
+    val keys = (1L to 20000L).toDF("k")
+    val sk = Sketches.hllSketch(keys, "k", p = 10)
+    val est = Sketches.hllEstimate(sk, p = 10).collect()(0).getDouble(0)
+    assert(math.abs(est - 20000.0) / 20000.0 <= 0.10, s"estimate $est")
+  }
+
+  test("HLL small-range: linear counting kicks in and is near-exact") {
+    val keys = (1L to 50L).toDF("k")
+    val est = Sketches.hllEstimate(Sketches.hllSketch(keys, "k", p = 10), p = 10)
+      .collect()(0).getDouble(0)
+    assert(math.abs(est - 50.0) <= 5.0, s"estimate $est")
+  }
+
+  test("HLL registers are mergeable: sketch(A ∪ B) == max-merge of shards") {
+    val a = (1L to 5000L).toDF("k")
+    val b = (3000L to 9000L).toDF("k") // overlapping
+    val whole = Sketches.hllSketch(a.union(b), "k", p = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val merged = Sketches.hllSketch(a, "k", p = 8)
+      .union(Sketches.hllSketch(b, "k", p = 8))
+      .groupBy("bucket").agg(max(col("rho")).as("rho"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(whole == merged)
+  }
 }

@@ -150,6 +150,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again == half)
   }
 
+  test("sampleWeighted: k rows, deterministic, heavy weights overrepresented") {
+    val rows = (0L until 2000L).map(i => (i, if (i < 1000) 1.0 else 10.0))
+      .toDF("id", "w")
+    val s1 = TextAnalysis.sampleWeighted(rows, "id", "w", k = 200)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1.length == 200 && s1.distinct.length == 200)
+    // weight-10 ids (1000+) should dominate the sample decisively
+    val heavy = s1.count(_ >= 1000L)
+    assert(heavy > 150, s"expected weight-10 dominance, got $heavy/200")
+    // reproducible, order included
+    val s2 = TextAnalysis.sampleWeighted(rows, "id", "w", k = 200)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s2 == s1)
+  }
+
   test("normalizeText: NFC composes, casefolds, collapses whitespace") {
     val rows = Seq(
       (1L, "Café  du\tMonde"), // e + combining acute, run + tab
