@@ -3593,7 +3593,49 @@ object Queries {
              |         WHERE event_type = 'purchase') p ON p.user_id = s2.u
              |       GROUP BY 1, 2, 3)
              |SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3
-             |FROM s3""".stripMargin))
+             |FROM s3""".stripMargin)),
+
+    // Daily cohort retention over the 30-day events stream: (cohort day,
+    // days-since-cohort, distinct active users).
+    ("q_retention",
+      (s: SparkSession, d: String) =>
+        graft.ops.Sessionize.retention(
+          tbl(s, d, "events").select(col("user_id"), expr("ts div 1000").as("ts_us")),
+          "user_id", "ts_us", periodUs = 86400000000L)
+          .orderBy("cohort", "offset"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS per
+             |           FROM events),
+             |f AS (SELECT user_id, min(per) AS cohort FROM e GROUP BY 1),
+             |a AS (SELECT DISTINCT user_id, per FROM e)
+             |SELECT f.cohort, a.per - f.cohort AS offset,
+             |  count(DISTINCT a.user_id) AS n_users
+             |FROM a JOIN f ON a.user_id = f.user_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Unpivot (melt): wide measure columns → (key, metric, value) rows —
+    // map-only in Spark (Expand), a 4-way UNION ALL for the oracle.
+    ("q_unpivot",
+      (s: SparkSession, d: String) => {
+        val wide = tbl(s, d, "lineitem").filter(col("l_orderkey") < 100)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        wide.unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")),
+          "metric", "value")
+          .orderBy("l_orderkey", "l_linenumber", "metric")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, metric, value FROM (
+             |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+             |    l_quantity AS value FROM lineitem WHERE l_orderkey < 100
+             |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+             |    l_extendedprice FROM lineitem WHERE l_orderkey < 100
+             |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+             |    l_discount FROM lineitem WHERE l_orderkey < 100
+             |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+             |    l_tax FROM lineitem WHERE l_orderkey < 100)
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin))
   )
 
   val queries: Map[String, Q] = battery.map(b => (b._1, b._2)).toMap

@@ -135,6 +135,25 @@ object Sessionize {
     staged.agg(counts.head, counts.tail: _*)
   }
 
+  /** Cohort retention — the other product-analytics staple over the event
+    * stream: users are bucketed into cohorts by the period of their FIRST
+    * activity (`ts div periodUs`); for each (cohort, periods-since-cohort)
+    * the count of distinct users active in that period. One per-user min
+    * aggregate + one per-(user, period) distinct + one final hash-agg —
+    * partial-aggregated throughout; a whale user with millions of events
+    * costs one row per active period, never a wide group.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                periodUs: Long): DataFrame = {
+    val per = expr(s"cast($tsCol as long) div $periodUs") // exact integer div
+    val firsts = events.groupBy(col(userCol).as("user"))
+      .agg(min(per).as("cohort"))
+    events.select(col(userCol).as("user"), per.as("per")).distinct()
+      .join(firsts, Seq("user"))
+      .groupBy(col("cohort"), (col("per") - col("cohort")).as("offset"))
+      .agg(countDistinct(col("user")).as("n_users"))
+  }
+
   def streamingByGap(events: Dataset[SessionEvent], gapMicros: Long,
                      idleTimeout: Boolean = true)
                     (implicit spark: SparkSession): Dataset[ClosedSession] = {

@@ -41,4 +41,18 @@ class FunnelSpec extends SparkSpec {
     val r = run(Seq((1L, "view", 10L), (1L, "click", 10L)))
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 0L, 0L)))
   }
+
+  test("retention: cohort by first activity, distinct users per offset") {
+    // period 10: u1 first in period 0, active 0 and 2; u2 first in 0,
+    // active 0 only (two events, one period); u3 first in 1, active 1 and 2
+    val events = Seq(
+      (1L, 5L), (1L, 25L),
+      (2L, 7L), (2L, 8L),
+      (3L, 12L), (3L, 27L)
+    ).toDF("user_id", "ts")
+    val out = Sessionize.retention(events, "user_id", "ts", periodUs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 0L) -> 2L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
 }
