@@ -89,6 +89,40 @@ object ProbeR8 {
     time("shard_summary(all)") {
       graft.ops.Bucketing.shardSummary(docs, "doc_id", 1024).count()
     }
+    // ---- late-r8 tranche: the new shuffle-bearing operators, unbounded
+    time("dedup_paragraphs(all)") {
+      graft.ops.Dedup.dedupParagraphs(docs, "doc_id", "text").count()
+    }
+    time("robots_verdict(synth)") {
+      import spark.implicits._
+      val robots = (0 until 200).map(i =>
+        (s"h$i.example.com", "User-agent: *\nDisallow: /p/1\nAllow: /p/12"))
+        .toDF("host", "body")
+      val urls = docs.select(concat(lit("https://h"),
+        (col("doc_id") % 500).cast("string"), lit(".example.com/p/"),
+        (col("doc_id") % 97).cast("string")).as("url"))
+      graft.ops.Urls.robotsVerdict(urls, "url", robots, "host", "body", "bot").count()
+    }
+    time("hll_sketch(lineitem)") {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      graft.ops.Sketches.hllEstimate(
+        graft.ops.Sketches.hllSketch(li, "l_partkey", p = 12), p = 12).count()
+    }
+    time("retention(events)") {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      graft.ops.Sessionize.retention(ev, "user_id", "ts_us", 86400000000L).count()
+    }
+    time("funnel(events)") {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      graft.ops.Sessionize.funnel(ev, "user_id", "event_type", "ts_us",
+        Seq("view", "click", "purchase"), 259200000000L).count()
+    }
+    time("sample_weighted(all)") {
+      val d = docs.select(col("doc_id"), (col("doc_id") % 10 + 1).cast("double").as("w"))
+      graft.ops.TextAnalysis.sampleWeighted(d, "doc_id", "w", k = 1000).count()
+    }
     spark.stop()
   }
 }
