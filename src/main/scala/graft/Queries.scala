@@ -3413,6 +3413,11 @@ object Queries {
           ("b.example.org",
             "User-agent: graftbot\nDisallow: /\n\nUser-agent: *\nDisallow:"),
           ("cdn.example.net", "User-agent: *\nDisallow: /*/7$"),
+          // textbook allow-this-bot file: graftbot's group is the EMPTY
+          // Disallow (allow-all) while * is blocked — the exact group must
+          // win even though it contributes zero rules
+          ("example.com",
+            "User-agent: graftbot\nDisallow:\n\nUser-agent: *\nDisallow: /"),
           ("static.example.io", "User-agent: otherbot\nDisallow: /")
         ).toDF("host", "body")
         val urls = tbl(s, d, "documents")
@@ -3434,6 +3439,8 @@ object Queries {
              |     'Disallow: /' || chr(10) || chr(10) ||
              |     'User-agent: *' || chr(10) || 'Disallow:'),
              |  ('cdn.example.net', 'User-agent: *' || chr(10) || 'Disallow: /*/7$'),
+             |  ('example.com', 'User-agent: graftbot' || chr(10) || 'Disallow:'
+             |     || chr(10) || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /'),
              |  ('static.example.io', 'User-agent: otherbot' || chr(10) || 'Disallow: /')),
              |t AS (SELECT host, string_split(body, chr(10)) AS ls FROM robots),
              |x AS (SELECT host, unnest(range(0, len(ls))) AS ln, ls FROM t),
@@ -3458,9 +3465,12 @@ object Queries {
              |       FROM i r JOIN agents a ON r.host = a.host AND r.grp = a.grp
              |       WHERE r.field <> 'user-agent' AND r.value <> ''
              |         AND a.agent IN ('graftbot', '*')),
+             |-- group presence from the AGENTS table (an exact group whose
+             |-- only directive is the empty allow-all Disallow has no rule
+             |-- rows but must still shadow the * group)
              |hx AS (SELECT host,
              |         max(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS has_exact
-             |       FROM ra GROUP BY host),
+             |       FROM agents GROUP BY host),
              |rr AS (SELECT host, rule_type, pat_len,
              |         CASE WHEN right(p2, 1) = '$' THEN left(p2, len(p2) - 1)
              |              ELSE p2 || '%' END AS like_pat

@@ -64,7 +64,7 @@ object PdfText {
       }
     // direct object definitions win over object-stream copies (the spec
     // forbids the conflict, but be deterministic about it)
-    val objs: Map[Int, String] = objStmObjects(direct, dec) ++ direct
+    val objs: Map[Int, String] = objStmObjects(bytes, s, dec) ++ direct
     if (objs.isEmpty) return None
     val refRe = """(\d+)\s+0\s+R""".r
     def refsIn(body: String): Seq[Int] =
@@ -249,7 +249,9 @@ object PdfText {
       sb.toString
     }
 
-  private case class Stream(data: Array[Byte], dict: String)
+  /** `at` = byte offset of the dict's `<<` in the scanned buffer — lets
+    * the ObjStm walker recover the container's object number. */
+  private case class Stream(data: Array[Byte], dict: String, at: Int = 0)
 
   // ------------------------------------------------------- stream filters
 
@@ -421,13 +423,19 @@ object PdfText {
     * (no obj/endobj wrappers; ObjStm entries cannot themselves contain
     * streams, so body slicing by the next offset is exact).
     */
-  private def objStmObjects(direct: Map[Int, String],
-                            dec: Int => Array[Byte] => Array[Byte]): Map[Int, String] =
-    direct.toSeq.filter(_._2.contains("/ObjStm")).flatMap { case (num, body) =>
-      findStreams(body.getBytes(StandardCharsets.ISO_8859_1))
-        .filter(_.dict.contains("/ObjStm")).flatMap { st =>
+  private def objStmObjects(bytes: Array[Byte], s: String,
+                            dec: Int => Array[Byte] => Array[Byte]): Map[Int, String] = {
+    // scan the WHOLE byte buffer (an ObjStm payload containing the literal
+    // bytes 'endobj' would truncate an objRe body slice); the container's
+    // object number — needed for decryption — is recovered from the nearest
+    // 'N 0 obj' header before the stream dict
+    val hdr = """(\d+)\s+0\s+obj\s*$""".r
+    findStreams(bytes).filter(_.dict.contains("/ObjStm")).flatMap { st =>
+      val pre = s.substring(math.max(0, st.at - 48), st.at)
+      val decFn = hdr.findFirstMatchIn(pre)
+        .map(m => dec(m.group(1).toInt)).getOrElse(identity[Array[Byte]] _)
       try {
-        val text = new String(decodeStream(st, dec(num)), StandardCharsets.ISO_8859_1)
+        val text = new String(decodeStream(st, decFn), StandardCharsets.ISO_8859_1)
         val nOpt = """/N\s+(\d+)""".r.findFirstMatchIn(st.dict).map(_.group(1).toInt)
         val firstOpt = """/First\s+(\d+)""".r.findFirstMatchIn(st.dict).map(_.group(1).toInt)
         (nOpt, firstOpt) match {
@@ -445,8 +453,8 @@ object PdfText {
           case _ => Seq.empty
         }
       } catch { case _: Exception => Seq.empty }
-      }
     }.toMap
+  }
 
   /** Locate `stream ... endstream` blocks, whether the preceding dict
     * mentions FlateDecode, and the dict text itself.
@@ -466,11 +474,13 @@ object PdfText {
       val raw = bytes.slice(dataStart, end)
       // honor a direct /Length (the EOL before `endstream` is not stream
       // data — ciphertexts must be exact for AES padding / RC4 tails);
-      // indirect `/Length N 0 R` is excluded by the lookahead
-      val data = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r.findFirstMatchIn(dict)
+      // indirect `/Length N 0 R` is excluded by the lookahead, with \b so
+      // backtracking can't shrink the number to dodge it ('/Length 745 0 R'
+      // must not match as '74')
+      val data = """/Length\s+(\d+)\b(?!\s+\d+\s+R)""".r.findFirstMatchIn(dict)
         .map(_.group(1).toInt).filter(l => l >= 0 && l <= raw.length)
         .map(raw.take).getOrElse(raw)
-      out += Stream(data, dict)
+      out += Stream(data, dict, dictStart)
       idx = s.indexOf("stream", end + 9)
     }
     out.toSeq

@@ -145,10 +145,13 @@ object Sessionize {
     */
   def retention(events: DataFrame, userCol: String, tsCol: String,
                 periodUs: Long): DataFrame = {
-    val per = expr(s"cast($tsCol as long) div $periodUs") // exact integer div
-    val firsts = events.groupBy(col(userCol).as("user"))
-      .agg(min(per).as("cohort"))
-    events.select(col(userCol).as("user"), per.as("per")).distinct()
+    // exact integer div on a safely-aliased column — no raw column-name
+    // interpolation (names needing backticks would break or mis-resolve)
+    val base = events.select(col(userCol).as("user"),
+      col(tsCol).cast("long").as("__ts"))
+    val per = expr(s"__ts div $periodUs")
+    val firsts = base.groupBy("user").agg(min(per).as("cohort"))
+    base.select(col("user"), per.as("per")).distinct()
       .join(firsts, Seq("user"))
       .groupBy(col("cohort"), (col("per") - col("cohort")).as("offset"))
       .agg(countDistinct(col("user")).as("n_users"))

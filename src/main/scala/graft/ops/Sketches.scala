@@ -128,8 +128,10 @@ object Sketches {
       if (p == 4) 0.673 else if (p == 5) 0.697 else if (p == 6) 0.709
       else 0.7213 / (1.0 + 1.079 / m)
     sketch
-      .agg(sum(expr("shiftleft(cast(1 as bigint), 33 - rho)")).as("s"),
-        count(lit(1)).as("nz"))
+      .agg(coalesce(sum(expr("shiftleft(cast(1 as bigint), 33 - rho)")),
+        lit(0L)).as("s"), count(lit(1)).as("nz"))
+      // empty sketch: s=0, nz=0 → raw = alpha·m ≤ 2.5m and v=m → linear
+      // counting m·ln(1) = 0, the right answer for an empty input
       .select(col("s"), col("nz"), (lit(m) - col("nz")).as("v"),
         (lit(alpha * m.toDouble * m) * lit(8589934592.0) /* 2^33 */ /
           (col("s") + (lit(m) - col("nz")) * lit(8589934592L))).as("raw"))

@@ -221,7 +221,11 @@ object TextAnalysis {
                      k: Int): DataFrame = {
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
       .cast("double") + 1.0) / lit((1L << 28).toDouble)
-    df.withColumn("priority",
+    // A-ES is defined for w > 0 only: a negative weight flips the exponent
+    // sign (priority ≥ 1, outranking every valid row) and zero divides —
+    // non-positive-weight rows are simply ineligible
+    df.filter(col(weightCol).cast("double") > 0.0)
+      .withColumn("priority",
         Nums.round6(pow(u, lit(1.0) / col(weightCol).cast("double"))))
       .orderBy(col("priority").desc, col(idCol))
       .limit(k)

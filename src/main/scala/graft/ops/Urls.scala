@@ -129,7 +129,13 @@ object Urls {
     * two narrow windows over (host, line№) — robots tables are KBs per
     * host, control-plane scale next to the URL table they gate.
     */
-  def robotsRules(robots: DataFrame, hostCol: String, bodyCol: String): DataFrame = {
+  /** (rules, agentGroups): non-empty rules flattened per agent, AND the
+    * full (host, grp, agent) group table — the latter includes groups whose
+    * only directive is the canonical empty `Disallow:` (allow-all), which
+    * the rules table by definition cannot represent.
+    */
+  private def parsedRobots(robots: DataFrame, hostCol: String,
+                           bodyCol: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val lines = robots.select(col(hostCol).as("host"),
         posexplode(split(col(bodyCol), "\n")).as(Seq("ln", "line")))
@@ -145,12 +151,17 @@ object Urls {
       .withColumn("grp", sum("new_grp").over(w))
     val agents = grouped.filter(col("field") === "user-agent")
       .select(col("host"), col("grp"), lower(col("value")).as("agent")).distinct()
-    grouped.filter(col("field") =!= "user-agent" && col("value") =!= "")
+    val rules = grouped
+      .filter(col("field") =!= "user-agent" && col("value") =!= "")
       .select(col("host"), col("grp"), col("field").as("rule_type"),
         col("value").as("path_pattern"), col("ln"))
       .join(agents, Seq("host", "grp"))
       .select("host", "agent", "rule_type", "path_pattern", "ln")
+    (rules, agents)
   }
+
+  def robotsRules(robots: DataFrame, hostCol: String, bodyCol: String): DataFrame =
+    parsedRobots(robots, hostCol, bodyCol)._1
 
   /** A robots path pattern as a SQL LIKE pattern: `%`/`_`/`\` escaped, `*`
     * → `%`, a terminal `$` anchors the end (a LIKE with no trailing `%` is
@@ -181,9 +192,13 @@ object Urls {
   def robotsVerdict(urls: DataFrame, urlCol: String, robots: DataFrame,
                     hostCol: String, bodyCol: String, agent: String): DataFrame = {
     val a = agent.toLowerCase
-    val rules0 = robotsRules(robots, hostCol, bodyCol)
-      .filter(col("agent").isin(a, "*"))
-    val hostHasExact = rules0.groupBy("host")
+    val (allRules, agentGroups) = parsedRobots(robots, hostCol, bodyCol)
+    val rules0 = allRules.filter(col("agent").isin(a, "*"))
+    // group presence comes from the AGENT table, not surviving rules: a
+    // host whose agent-specific group is the canonical empty `Disallow:`
+    // (allow-all) has an exact group with zero rules — it must NOT fall
+    // back to the `*` rules (the textbook allow-this-bot-block-others file)
+    val hostHasExact = agentGroups.groupBy("host")
       .agg(max((col("agent") === a).cast("int")).as("has_exact"))
     val rules = rules0.join(hostHasExact, Seq("host"))
       .filter((col("agent") === a) === (col("has_exact") === 1))

@@ -291,6 +291,50 @@ class ReadersSpec extends SparkSpec {
     assert(rows.toSeq == Seq("First page ", "Second page "), s"got ${rows.toSeq}")
   }
 
+  test("pdf: ObjStm payload containing literal 'endobj' bytes still parses fully") {
+    // regression: the ObjStm walker must scan stream bytes to `endstream`,
+    // not an obj-body regex slice that a payload 'endobj' would truncate
+    val dir = tmpDir("pdfobjstm2_")
+    val bodies = Seq(
+      "<</Type/Catalog/Pages 2 0 R/X(endobj)>>", // the poison bytes
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>",
+      "<</Type/Page/Parent 2 0 R/Contents 5 0 R>>")
+    val offsets = bodies.scanLeft(0)(_ + _.length).init
+    val header = offsets.zipWithIndex.map { case (off, i) => s"${i + 1} $off" }.mkString(" ")
+    val first = header.length + 1
+    val objstm = header + "\n" + bodies.mkString // uncompressed ObjStm
+    val bout = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bout.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w("5 0 obj\n<< /Length 22 >>\nstream\nBT (Only page) Tj ET\nendstream\nendobj\n")
+    w(s"4 0 obj\n<< /Type /ObjStm /N 3 /First $first /Length ${objstm.length} >>\nstream\n")
+    w(objstm)
+    w("\nendstream\nendobj\n%%EOF\n")
+    write(dir, "objstm2.pdf", bout.toByteArray)
+    val rows = Readers.pdf(spark, dir).collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("Only page "), s"got ${rows.toSeq}")
+  }
+
+  test("pdf: an indirect multi-digit /Length must not truncate the stream") {
+    // regression: '/Length 745 0 R' once backtracked to a match of '74'
+    // and sliced the stream to garbage — indirect lengths fall back to the
+    // endstream scan
+    val dir = tmpDir("pdfindlen_")
+    val content = "BT /F1 12 Tf 72 720 Td (Indirect length page) Tj ET"
+    val pdf = s"""%PDF-1.4
+      |4 0 obj << /Length 745 0 R >>
+      |stream
+      |$content
+      |endstream
+      |endobj
+      |745 0 obj ${content.length} endobj
+      |%%EOF
+      |""".stripMargin
+    write(dir, "indlen.pdf", pdf.getBytes(StandardCharsets.ISO_8859_1))
+    val rows = Readers.pdf(spark, dir).collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("Indirect length page "), s"got ${rows.toSeq}")
+  }
+
   test("pdf: ToUnicode CMap maps CID-font hex text to real characters") {
     // subset font: code 0001->H 0002->e (bfchar), 0003..0005 -> l,m,n via
     // the bfrange increment form; without the CMap the hex decodes to

@@ -75,6 +75,13 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - 50.0) <= 5.0, s"estimate $est")
   }
 
+  test("HLL of an empty input estimates 0, not NULL") {
+    val none = spark.emptyDataFrame.selectExpr("cast(1 as bigint) as k").limit(0)
+    val r = Sketches.hllEstimate(Sketches.hllSketch(none, "k", p = 10), p = 10)
+      .collect()(0)
+    assert(!r.isNullAt(0) && r.getDouble(0) == 0.0 && r.getLong(1) == 0L)
+  }
+
   test("HLL registers are mergeable: sketch(A ∪ B) == max-merge of shards") {
     val a = (1L to 5000L).toDF("k")
     val b = (3000L to 9000L).toDF("k") // overlapping

@@ -163,6 +163,12 @@ class TextAnalysisSpec extends SparkSpec {
     val s2 = TextAnalysis.sampleWeighted(rows, "id", "w", k = 200)
       .collect().map(_.getLong(0)).toSeq
     assert(s2 == s1)
+    // non-positive weights are ineligible, never top-ranked
+    val poisoned = rows.withColumn("w",
+      when(col("id") < 10, -1.0).when(col("id") < 20, 0.0).otherwise(col("w")))
+    val s3 = TextAnalysis.sampleWeighted(poisoned, "id", "w", k = 200)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!s3.exists(_ < 20L), "non-positive-weight rows must be excluded")
   }
 
   test("normalizeText: NFC composes, casefolds, collapses whitespace") {

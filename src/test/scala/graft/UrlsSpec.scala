@@ -78,7 +78,11 @@ class UrlsSpec extends SparkSpec {
       // * wildcard + terminal $ anchor
       ("cdn.example.net", "User-agent: *\nDisallow: /*/7$"),
       // no group for us or * → unrestricted
-      ("static.example.io", "User-agent: otherbot\nDisallow: /")
+      ("static.example.io", "User-agent: otherbot\nDisallow: /"),
+      // textbook allow-this-bot file: the agent's own group is the EMPTY
+      // Disallow (allow-all) — it must shadow the blocking * group even
+      // though it contributes zero rule rows
+      ("open.example.dev", "User-agent: graftbot\nDisallow:\n\nUser-agent: *\nDisallow: /")
     ).toDF("host", "body")
     val urls = Seq(
       "https://a.example.com/p/15",  // Disallow /p/1 prefix → blocked
@@ -89,7 +93,8 @@ class UrlsSpec extends SparkSpec {
       "https://cdn.example.net/p/7", // /*/7$ → blocked
       "https://cdn.example.net/p/77",// $ anchor: not /7 at end → allowed
       "https://static.example.io/z", // otherbot-only rules → allowed
-      "https://no-robots.example/y"  // host absent from robots → allowed
+      "https://no-robots.example/y", // host absent from robots → allowed
+      "https://open.example.dev/q"   // empty exact group shadows blocking *
     ).toDF("url")
     val out = Urls.robotsVerdict(urls, "url", robots, "host", "body", "GraftBot")
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
@@ -102,6 +107,7 @@ class UrlsSpec extends SparkSpec {
     assert(out("https://cdn.example.net/p/77"))
     assert(out("https://static.example.io/z"))
     assert(out("https://no-robots.example/y"))
+    assert(out("https://open.example.dev/q"))
   }
 
   test("sitemapUrls: url and sitemap blocks, lastmod optional, junk skipped") {
