@@ -3645,7 +3645,47 @@ object Queries {
              |    l_discount FROM lineitem WHERE l_orderkey < 100
              |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
              |    l_tax FROM lineitem WHERE l_orderkey < 100)
-             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin))
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+
+    // Time-series gap-fill: per-user purchase series resampled to a daily
+    // grid, gaps forward-filled — values are raw parquet doubles picked by
+    // a deterministic (ts, value) struct-max, so the fill replays exactly.
+    ("q_gapfill",
+      (s: SparkSession, d: String) =>
+        graft.ops.TimeSeries.gapFill(
+          tbl(s, d, "events").filter(col("event_type") === "purchase")
+            .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value")),
+          "user_id", "ts_us", "value", periodUs = 86400000000L)
+          .orderBy("key", "per"),
+      Some("""WITH base AS (SELECT user_id AS key, epoch_us(ts) AS tsu, value AS v
+             |              FROM events WHERE event_type = 'purchase'),
+             |b2 AS (SELECT key, tsu // 86400000000 AS per, tsu, v FROM base),
+             |obs AS (SELECT key, per,
+             |          max(struct_pack(t := tsu, v := v)).v AS obs_v
+             |        FROM b2 GROUP BY 1, 2),
+             |rng AS (SELECT key, min(per) AS p0, max(per) AS p1 FROM b2 GROUP BY 1),
+             |grid AS (SELECT key, unnest(range(p0, p1 + 1)) AS per FROM rng),
+             |j AS (SELECT g.key, g.per, o.obs_v
+             |      FROM grid g LEFT JOIN obs o ON g.key = o.key AND g.per = o.per)
+             |SELECT key, per,
+             |  last_value(obs_v IGNORE NULLS) OVER (PARTITION BY key ORDER BY per
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+             |  obs_v IS NOT NULL AS observed
+             |FROM j ORDER BY key, per""".stripMargin)),
+
+    // Pairwise Pearson correlations in one aggregation pass, tidy output.
+    ("q_corr",
+      (s: SparkSession, d: String) =>
+        graft.ops.Profile.corrMatrix(tbl(s, d, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount")).orderBy("col_a", "col_b"),
+      Some("""SELECT col_a, col_b, floor(c * 1e6 + 0.5) / 1e6 AS corr FROM (
+             |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             |    corr(l_quantity, l_extendedprice) AS c FROM lineitem
+             |  UNION ALL SELECT 'l_quantity', 'l_discount',
+             |    corr(l_quantity, l_discount) FROM lineitem
+             |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+             |    corr(l_extendedprice, l_discount) FROM lineitem)
+             |ORDER BY col_a, col_b""".stripMargin))
   )
 
   val queries: Map[String, Q] = battery.map(b => (b._1, b._2)).toMap
