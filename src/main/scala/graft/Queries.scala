@@ -289,6 +289,21 @@ object Queries {
     dir.toString
   }
 
+  /** The 64 dHash bits of the `demoBmpTable` pixel formula as DuckDB CASE
+    * terms over columns (k, w, h): bit(x,y) = p(x+1,y) > p(x,y) on the 9×8
+    * nearest-neighbor grid, p(i,j) = (k·31 + (i·w div 9)·7 + (j·h div 8)·13)
+    * mod 256 — mirrors `Multimodal.dHash` exactly (integer div both sides).
+    */
+  private val dhashTerms: String =
+    (for { y <- 0 until 8; x <- 0 until 8 } yield {
+      val sy = s"(($y * h) // 8)"
+      def g(xi: Int) = s"((k*31 + (($xi * w) // 9)*7 + $sy*13) % 256)"
+      // DuckDB's checked shift rejects 1<<63; spell the sign bit directly
+      val bit = if (y * 8 + x == 63) "(-9223372036854775807 - 1)"
+                else s"(1::BIGINT << ${y * 8 + x})"
+      s"(CASE WHEN ${g(x + 1)} > ${g(x)} THEN $bit ELSE 0::BIGINT END)"
+    }).mkString(" + ")
+
   // ------------------------------------------------------- shared SQL pieces
 
   /** DuckDB: whitespace tokens of lower(trim(text)) — mirrors
@@ -3672,6 +3687,30 @@ object Queries {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
              |  obs_v IS NOT NULL AS observed
              |FROM j ORDER BY key, per""".stripMargin)),
+
+    // Perceptual image dedup: decode the BMP fixtures, 64-bit dHash each,
+    // group exact perceptual dups. The oracle recomputes every hash from
+    // the fixture's pixel formula — 64 generated CASE terms, pure integer.
+    ("q_image_dedup",
+      (s: SparkSession, d: String) => {
+        val media = Multimodal.demoBmpTable(
+          tbl(s, d, "documents").filter(col("doc_id") < 300), "doc_id", cycle = 50)
+        Multimodal.imageDHash(s, media)
+          .groupBy("dhash")
+          .agg(count(lit(1)).as("n"),
+            array_join(transform(array_sort(collect_list(col("media_id"))),
+              _.cast("string")), "|").as("members"))
+          .filter(col("n") >= 2)
+          .orderBy("dhash")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, (doc_id % 50) AS k FROM documents
+              |           WHERE doc_id < 300),
+              |p AS (SELECT doc_id, k, 16 + k % 7 AS w, 16 + k % 5 AS h FROM d),
+              |hh AS (SELECT doc_id, ($dhashTerms) AS dhash FROM p)
+              |SELECT dhash, count(*) AS n,
+              |  array_to_string(list(doc_id ORDER BY doc_id), '|') AS members
+              |FROM hh GROUP BY dhash HAVING count(*) >= 2
+              |ORDER BY dhash""".stripMargin)),
 
     // Pairwise Pearson correlations in one aggregation pass, tidy output.
     ("q_corr",

@@ -467,6 +467,42 @@ object MediaCodecs {
     Some(BmpInfo(width, h, bpp, sumR / n, sumG / n, sumB / n))
   }
 
+  /** 24-bit BMP → top-down row-major integer grayscale (ITU-R BT.601
+    * integer luma: (299·R + 587·G + 114·B) div 1000 — exact, so a gray
+    * BMP (R=G=B=v) decodes back to exactly v). Handles both bottom-up
+    * (positive height) and top-down (negative height) rows.
+    */
+  def decodeBmpGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes == null || bytes.length < 54) return None
+    if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOff = b.getInt(10)
+    if (b.getInt(14) < 40) return None
+    val width = b.getInt(18)
+    val height = b.getInt(22)
+    if (width <= 0 || height == 0 || b.getShort(28).toInt != 24 ||
+        b.getInt(30) != 0) return None
+    val h = math.abs(height)
+    val stride = width * 3 + (4 - (width * 3) % 4) % 4
+    if (dataOff < 54 || dataOff.toLong + stride.toLong * h > bytes.length) return None
+    val gray = new Array[Int](width * h)
+    var dy = 0
+    while (dy < h) {
+      val iy = if (height > 0) h - 1 - dy else dy // disk row → image row
+      val row = dataOff + dy * stride
+      var x = 0
+      while (x < width) {
+        val bb = bytes(row + x * 3) & 0xff
+        val g = bytes(row + x * 3 + 1) & 0xff
+        val r = bytes(row + x * 3 + 2) & 0xff
+        gray(iy * width + x) = (299 * r + 587 * g + 114 * bb) / 1000
+        x += 1
+      }
+      dy += 1
+    }
+    Some((width, h, gray))
+  }
+
   // ------------------------------------------------------------------ AVI
 
   /** Synthesize a minimal MJPEG-in-AVI: RIFF('AVI ') with a LIST('hdrl')

@@ -375,4 +375,73 @@ object Multimodal {
       .withColumn("meta", struct(
         col("meta.format").as("format"), lit(w).as("width"),
         lit(h).as("height"), col("meta.n_frames").as("n_frames")))
+
+  // --------------------------------------------------- perceptual hashing
+
+  /** 64-bit dHash (difference hash) of a grayscale image: nearest-neighbor
+    * downsample to a 9×8 grid (integer sampling: sx = x·w div 9,
+    * sy = y·h div 8), bit(x,y) = p(x+1,y) > p(x,y) — the standard
+    * perceptual fingerprint for IMAGE near-dup detection (robust to
+    * re-encoding and resizing, integer end-to-end so it replays in SQL).
+    */
+  private[graft] def dHash(w: Int, h: Int, gray: Array[Int]): Long = {
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var x = 0
+      while (x < 8) {
+        val a = gray(sy * w + (x * w / 9))
+        val b = gray(sy * w + ((x + 1) * w / 9))
+        if (b > a) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** (media_id, dhash) for every decodable image payload: 24-bit BMP via
+    * the exact integer parser (oracle-replayable), other formats via the
+    * ImageIO path's pixels. Non-images are dropped. Map-only — the hash is
+    * the JOIN KEY for image dedup: exact perceptual dups groupBy(dhash);
+    * near-dups band the 64 bits pigeonhole-style like SimHash.
+    */
+  def imageDHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import graft.functions.MediaCodecs
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        MediaCodecs.decodeBmpGray(bytes).map { case (w, h, gray) =>
+          (r.getLong(idIdx), dHash(w, h, gray))
+        }
+      }
+    }(enc).toDF("media_id", "dhash")
+  }
+
+  /** Demo IMAGE table: deterministic gray 24-bit BMPs whose pixel values,
+    * like the audio fixtures, are pure integer arithmetic on a repetition
+    * key (`id mod cycle`) — ids sharing the key render IDENTICAL images,
+    * so perceptual-dedup results are recomputable in SQL from the formula
+    * alone: v(x,y) = (k·31 + x·7 + y·13) mod 256, w = 16 + k mod 7,
+    * h = 16 + k mod 5.
+    */
+  def demoBmpTable(df: DataFrame, idCol: String, cycle: Int): DataFrame = {
+    val bmp = udf { (id: Long) =>
+      val k = (id % cycle).toInt
+      val w = 16 + k % 7
+      val h = 16 + k % 5
+      val px = Array.tabulate(w * h) { i =>
+        val v = ((k * 31 + (i % w) * 7 + (i / w) * 13) % 256).toByte
+        (v, v, v)
+      }
+      graft.functions.MediaCodecs.encodeBmp(w, h, px)
+    }
+    df.select(col(idCol).cast("long").as("media_id"),
+      bmp(col(idCol).cast("long")).as("payload"))
+  }
 }

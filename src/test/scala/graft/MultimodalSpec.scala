@@ -256,6 +256,39 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.decodeAviFrames(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("dHash: identical images hash equal; a local edit flips few bits") {
+    import graft.functions.MediaCodecs
+    def grayBmp(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] =
+      MediaCodecs.encodeBmp(w, h, Array.tabulate(w * h) { i =>
+        val v = f(i % w, i / w).toByte; (v, v, v)
+      })
+    def hashOf(bytes: Array[Byte]): Long = {
+      val Some((w, h, g)) = MediaCodecs.decodeBmpGray(bytes)
+      Multimodal.dHash(w, h, g)
+    }
+    val base = grayBmp(20, 17, (x, y) => (x * 11 + y * 5) % 256)
+    assert(hashOf(base) == hashOf(grayBmp(20, 17, (x, y) => (x * 11 + y * 5) % 256)))
+    // a single-pixel change perturbs at most a couple of grid cells
+    val tweaked = grayBmp(20, 17, (x, y) =>
+      if (x == 3 && y == 3) 255 else (x * 11 + y * 5) % 256)
+    val dist = java.lang.Long.bitCount(hashOf(base) ^ hashOf(tweaked))
+    assert(dist <= 4, s"hamming $dist after one-pixel edit")
+    // a different image is far away
+    val other = grayBmp(20, 17, (x, y) => (x * 37 + y * 101 + 7) % 256)
+    assert(java.lang.Long.bitCount(hashOf(base) ^ hashOf(other)) > 10)
+  }
+
+  test("decodeBmpGray: exact luma on a gray image, top-down orientation") {
+    import graft.functions.MediaCodecs
+    val bytes = MediaCodecs.encodeBmp(3, 2, Array.tabulate(6) { i =>
+      val v = (i * 40).toByte; (v, v, v)
+    })
+    val Some((w, h, g)) = MediaCodecs.decodeBmpGray(bytes)
+    assert((w, h) == ((3, 2)))
+    // encodeBmp takes top-down pixels; gray must come back in that order
+    assert(g.toSeq == Seq(0, 40, 80, 120, 160, 200))
+  }
+
   test("videoFrames: one row per frame, deterministic frame count from text") {
     val docs = Seq((1L, "abcdef"), (2L, "xy")).toDF("id", "text")
     val media = Multimodal.demoAviTable(docs, "id", "text")
