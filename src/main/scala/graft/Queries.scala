@@ -3712,6 +3712,28 @@ object Queries {
               |FROM hh GROUP BY dhash HAVING count(*) >= 2
               |ORDER BY dhash""".stripMargin)),
 
+    // User-journey transition matrix: adjacent event-type pairs per user,
+    // fixed-point transition probabilities — 25 rows, integer end-to-end.
+    ("q_transitions",
+      (s: SparkSession, d: String) =>
+        graft.ops.Sessionize.transitions(
+          tbl(s, d, "events").select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("ts_us"), col("event_id")),
+          "user_id", "event_type", "ts_us", "event_id")
+          .orderBy("from_type", "to_type"),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id
+             |           FROM events),
+             |p AS (SELECT event_type AS from_type,
+             |        lead(event_type) OVER (PARTITION BY user_id
+             |          ORDER BY tsu, event_id) AS to_type
+             |      FROM e),
+             |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+             |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  (n * 1000000 // sum(n) OVER (PARTITION BY from_type))::BIGINT
+             |    AS p_ppm
+             |FROM c ORDER BY from_type, to_type""".stripMargin)),
+
     // Pairwise Pearson correlations in one aggregation pass, tidy output.
     ("q_corr",
       (s: SparkSession, d: String) =>

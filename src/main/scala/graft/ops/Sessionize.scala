@@ -157,6 +157,27 @@ object Sessionize {
       .agg(countDistinct(col("user")).as("n_users"))
   }
 
+  /** Event-type transition matrix (user-journey Markov counts): adjacent
+    * event pairs per user in (ts, tie) order → per (from, to): pair count
+    * and the fixed-point transition probability ⌊10⁶·n/Σ_from⌋ — integer
+    * end-to-end, so it replays exactly in SQL. One per-user sequence window
+    * (the sessionize shuffle shape) + one tiny hash-agg on the pair.
+    */
+  def transitions(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).cast("long"), col(tieCol))
+    val pairs = events
+      .withColumn("__to", lead(col(typeCol), 1).over(w))
+      .filter(col("__to").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("__tot", sum(col("n")).over(Window.partitionBy("from_type")))
+      .withColumn("p_ppm", expr("n * 1000000 div __tot"))
+      .drop("__tot")
+  }
+
   def streamingByGap(events: Dataset[SessionEvent], gapMicros: Long,
                      idleTimeout: Boolean = true)
                     (implicit spark: SparkSession): Dataset[ClosedSession] = {

@@ -42,6 +42,23 @@ class FunnelSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 0L, 0L)))
   }
 
+  test("transitions: per-user adjacency, ppm rows sum to ~1e6 per from-state") {
+    val events = Seq(
+      (1L, "a", 1L, 1L), (1L, "b", 2L, 2L), (1L, "a", 3L, 3L), (1L, "c", 4L, 4L),
+      (2L, "a", 1L, 5L), (2L, "b", 2L, 6L),
+      (3L, "b", 1L, 7L) // single event: no pair
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Sessionize.transitions(events, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // a→b twice (u1, u2), b→a once, a→c once
+    assert(out(("a", "b")) == ((2L, 666666L)))
+    assert(out(("a", "c")) == ((1L, 333333L)))
+    assert(out(("b", "a")) == ((1L, 1000000L)))
+    assert(out.size == 3)
+    // pairs never cross users: user 2's trailing 'b' and user 3's 'b' pair nothing
+  }
+
   test("retention: cohort by first activity, distinct users per offset") {
     // period 10: u1 first in period 0, active 0 and 2; u2 first in 0,
     // active 0 only (two events, one period); u3 first in 1, active 1 and 2
