@@ -3695,7 +3695,7 @@ object Queries {
       (s: SparkSession, d: String) => {
         val media = Multimodal.demoBmpTable(
           tbl(s, d, "documents").filter(col("doc_id") < 300), "doc_id", cycle = 50)
-        Multimodal.imageDHash(s, media)
+        Multimodal.imageDHash(media)
           .groupBy("dhash")
           .agg(count(lit(1)).as("n"),
             array_join(transform(array_sort(collect_list(col("media_id"))),

@@ -434,22 +434,34 @@ object MediaCodecs {
   /** Parse a 24-bit uncompressed BITMAPINFOHEADER BMP; channel means over
     * all pixels.
     */
-  def decodeBmp(bytes: Array[Byte]): Option[BmpInfo] = {
+  /** Validated 24-bit-BMP header: (width, height signed as stored, dataOff,
+    * stride). All size math in Long so hostile headers (width·3 wrapping
+    * Int, height = Int.MinValue) fail the bounds check instead of passing a
+    * negative stride — shared by [[decodeBmp]] and [[decodeBmpGray]].
+    */
+  private def bmpHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (bytes == null || bytes.length < 54) return None
     if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
     val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val dataOff = b.getInt(10)
-    val hdrSize = b.getInt(14)
-    if (hdrSize < 40) return None
+    if (b.getInt(14) < 40) return None
     val width = b.getInt(18)
     val height = b.getInt(22)
-    val bpp = b.getShort(28).toInt
-    val compression = b.getInt(30)
-    if (width <= 0 || height == 0 || bpp != 24 || compression != 0) return None
-    val h = math.abs(height)
-    val rowBytes = width * 3
+    if (width <= 0 || height == 0 || height == Int.MinValue ||
+        b.getShort(28).toInt != 24 || b.getInt(30) != 0) return None
+    val h = math.abs(height).toLong
+    val rowBytes = width.toLong * 3
     val stride = rowBytes + (4 - rowBytes % 4) % 4
-    if (dataOff < 54 || dataOff.toLong + stride.toLong * h > bytes.length) return None
+    if (dataOff < 54 || stride > Int.MaxValue ||
+        width.toLong * h > Int.MaxValue ||
+        dataOff.toLong + stride * h > bytes.length) return None
+    Some((width, height, dataOff, stride.toInt))
+  }
+
+  def decodeBmp(bytes: Array[Byte]): Option[BmpInfo] = {
+    val (width, height, dataOff, stride) = bmpHeader(bytes).getOrElse(return None)
+    val bpp = 24
+    val h = math.abs(height)
     var (sumR, sumG, sumB) = (0.0, 0.0, 0.0)
     var y = 0
     while (y < h) {
@@ -473,18 +485,8 @@ object MediaCodecs {
     * (positive height) and top-down (negative height) rows.
     */
   def decodeBmpGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
-    if (bytes == null || bytes.length < 54) return None
-    if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
-    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val dataOff = b.getInt(10)
-    if (b.getInt(14) < 40) return None
-    val width = b.getInt(18)
-    val height = b.getInt(22)
-    if (width <= 0 || height == 0 || b.getShort(28).toInt != 24 ||
-        b.getInt(30) != 0) return None
+    val (width, height, dataOff, stride) = bmpHeader(bytes).getOrElse(return None)
     val h = math.abs(height)
-    val stride = width * 3 + (4 - (width * 3) % 4) % 4
-    if (dataOff < 54 || dataOff.toLong + stride.toLong * h > bytes.length) return None
     val gray = new Array[Int](width * h)
     var dy = 0
     while (dy < h) {
@@ -502,6 +504,36 @@ object MediaCodecs {
     }
     Some((width, h, gray))
   }
+
+  /** Grayscale pixels of ANY supported image payload: the exact integer
+    * BMP parser first (oracle-replayable), else the JDK ImageIO path
+    * (PNG/JPEG/GIF) with the same integer luma — so perceptual hashing
+    * covers every format [[decodeImage]] sniffs. Never throws.
+    */
+  def decodeImageGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodeBmpGray(bytes).orElse {
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0 ||
+            img.getWidth.toLong * img.getHeight > Int.MaxValue) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val gray = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              gray(y * w + x) = (299 * ((rgb >> 16) & 0xff) +
+                587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, gray))
+        }
+      } catch { case _: Throwable => None }
+    }
 
   // ------------------------------------------------------------------ AVI
 

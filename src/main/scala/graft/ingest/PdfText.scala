@@ -427,13 +427,15 @@ object PdfText {
                             dec: Int => Array[Byte] => Array[Byte]): Map[Int, String] = {
     // scan the WHOLE byte buffer (an ObjStm payload containing the literal
     // bytes 'endobj' would truncate an objRe body slice); the container's
-    // object number — needed for decryption — is recovered from the nearest
-    // 'N 0 obj' header before the stream dict
-    val hdr = """(\d+)\s+0\s+obj\s*$""".r
+    // object number — needed for decryption — is the LAST 'N G obj' header
+    // before the stream dict (objects cannot nest, so the nearest preceding
+    // header is by definition the container; any generation, comments and
+    // whitespace between header and dict tolerated)
+    val hdr = """(\d+)\s+\d+\s+obj\b""".r
     findStreams(bytes).filter(_.dict.contains("/ObjStm")).flatMap { st =>
-      val pre = s.substring(math.max(0, st.at - 48), st.at)
-      val decFn = hdr.findFirstMatchIn(pre)
-        .map(m => dec(m.group(1).toInt)).getOrElse(identity[Array[Byte]] _)
+      val decFn = hdr.findAllMatchIn(s.substring(0, st.at)).foldLeft(
+        Option.empty[Int])((_, m) => Some(m.group(1).toInt))
+        .map(dec).getOrElse(identity[Array[Byte]] _)
       try {
         val text = new String(decodeStream(st, decFn), StandardCharsets.ISO_8859_1)
         val nOpt = """/N\s+(\d+)""".r.findFirstMatchIn(st.dict).map(_.group(1).toInt)

@@ -402,12 +402,13 @@ object Multimodal {
   }
 
   /** (media_id, dhash) for every decodable image payload: 24-bit BMP via
-    * the exact integer parser (oracle-replayable), other formats via the
-    * ImageIO path's pixels. Non-images are dropped. Map-only — the hash is
-    * the JOIN KEY for image dedup: exact perceptual dups groupBy(dhash);
-    * near-dups band the 64 bits pigeonhole-style like SimHash.
+    * the exact integer parser (oracle-replayable), PNG/JPEG/GIF via the
+    * ImageIO pixels with the same integer luma. Non-images are dropped.
+    * Map-only — the hash is the JOIN KEY for image dedup: exact perceptual
+    * dups groupBy(dhash); near-dups band the 64 bits pigeonhole-style like
+    * SimHash.
     */
-  def imageDHash(spark: SparkSession, media: DataFrame): DataFrame = {
+  def imageDHash(media: DataFrame): DataFrame = {
     import graft.functions.MediaCodecs
     val enc = org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
@@ -416,7 +417,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
-        MediaCodecs.decodeBmpGray(bytes).map { case (w, h, gray) =>
+        MediaCodecs.decodeImageGray(bytes).map { case (w, h, gray) =>
           (r.getLong(idIdx), dHash(w, h, gray))
         }
       }

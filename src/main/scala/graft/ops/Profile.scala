@@ -83,24 +83,26 @@ object Profile {
   /** Pairwise Pearson correlation of numeric columns — the profiling
     * companion every feature audit runs: one aggregation job computes all
     * C(n,2) pairs (Spark plans the `corr` aggregates into a single pass),
-    * stacked driver-side into the tidy (col_a, col_b, corr) table like
-    * [[profile]]. Values ride the 1e-6 rounding grid: `corr` sums products
-    * of doubles, whose parallel-vs-sequential accumulation order differs
-    * across engines by ulps.
+    * then a `stack` unpivots the single row into the tidy
+    * (col_a, col_b, corr) table — fully LAZY, unlike [[profile]]'s
+    * driver-side stacking, so plans compose and nothing runs until acted
+    * on. Degenerate pairs (zero variance) come out NULL (Spark's NaN is
+    * normalized to match SQL `corr`). Values ride the 1e-6 rounding grid:
+    * `corr` sums products of doubles, whose parallel-vs-sequential
+    * accumulation order differs across engines by ulps.
     */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.length >= 2, "corrMatrix: need at least two columns")
-    val spark = df.sparkSession
-    import spark.implicits._
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i), cols(j))
-    val aggs = pairs.map { case (a, b) =>
-      Nums.round6(corr(col(a), col(b))).as(s"__c_${a}_$b")
+    val aggs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val c = corr(col(a), col(b))
+      Nums.round6(when(isnan(c), lit(null)).otherwise(c)).as(s"__c$i")
     }
-    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    pairs.zipWithIndex.map { case ((a, b), i) =>
-      (a, b, if (r.isNullAt(i)) Double.NaN else r.getDouble(i))
-    }.toDF("col_a", "col_b", "corr")
+    val stackArgs = pairs.zipWithIndex
+      .map { case ((a, b), i) => s"'$a', '$b', __c$i" }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${pairs.length}, $stackArgs) AS (col_a, col_b, corr)"))
   }
 }

@@ -128,8 +128,8 @@ object Urls {
     * dropped (an empty pattern matches nothing). Column expressions plus
     * two narrow windows over (host, line№) — robots tables are KBs per
     * host, control-plane scale next to the URL table they gate.
-    */
-  /** (rules, agentGroups): non-empty rules flattened per agent, AND the
+    *
+    * (rules, agentGroups): non-empty rules flattened per agent, AND the
     * full (host, grp, agent) group table — the latter includes groups whose
     * only directive is the canonical empty `Disallow:` (allow-all), which
     * the rules table by definition cannot represent.
@@ -160,6 +160,10 @@ object Urls {
     (rules, agents)
   }
 
+  /** Parse robots.txt bodies into flat per-agent rules: one row per
+    * (host, agent, rule_type, path_pattern, ln) — the rules half of
+    * [[parsedRobots]] (see there for the RFC 9309 group semantics).
+    */
   def robotsRules(robots: DataFrame, hostCol: String, bodyCol: String): DataFrame =
     parsedRobots(robots, hostCol, bodyCol)._1
 

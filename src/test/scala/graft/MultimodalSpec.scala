@@ -289,6 +289,37 @@ class MultimodalSpec extends SparkSpec {
     assert(g.toSeq == Seq(0, 40, 80, 120, 160, 200))
   }
 
+  test("decodeImageGray: PNG round-trips to the same gray as the BMP path") {
+    import graft.functions.MediaCodecs
+    val px = Array.tabulate(20 * 17) { i =>
+      val v = ((i * 11) % 256).toByte; (v, v, v)
+    }
+    val bmp = MediaCodecs.encodeBmp(20, 17, px)
+    val png = MediaCodecs.encodePng(20, 17, px)
+    val Some((bw, bh, bg)) = MediaCodecs.decodeImageGray(bmp)
+    val Some((pw, ph, pg)) = MediaCodecs.decodeImageGray(png)
+    assert((bw, bh) == ((pw, ph)) && bg.toSeq == pg.toSeq,
+      "PNG (lossless) must yield identical gray → identical dHash")
+    assert(Multimodal.dHash(bw, bh, bg) == Multimodal.dHash(pw, ph, pg))
+  }
+
+  test("decodeBmpGray: hostile headers return None, never throw") {
+    import graft.functions.MediaCodecs
+    val hostile = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hostile.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+      .putInt(40).putInt(715827883).putInt(3) // width*3 wraps Int
+      .putShort(1.toShort).putShort(24.toShort).putInt(0)
+    assert(MediaCodecs.decodeBmpGray(hostile.array()).isEmpty)
+    val minH = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    minH.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+      .putInt(40).putInt(4).putInt(Int.MinValue) // |height| overflows
+      .putShort(1.toShort).putShort(24.toShort).putInt(0)
+    assert(MediaCodecs.decodeBmpGray(minH.array()).isEmpty)
+    assert(MediaCodecs.decodeBmp(minH.array()).isEmpty)
+  }
+
   test("videoFrames: one row per frame, deterministic frame count from text") {
     val docs = Seq((1L, "abcdef"), (2L, "xy")).toDF("id", "text")
     val media = Multimodal.demoAviTable(docs, "id", "text")
