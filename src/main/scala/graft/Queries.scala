@@ -294,15 +294,26 @@ object Queries {
     * nearest-neighbor grid, p(i,j) = (k·31 + (i·w div 9)·7 + (j·h div 8)·13)
     * mod 256 — mirrors `Multimodal.dHash` exactly (integer div both sides).
     */
-  private val dhashTerms: String =
+  private def dhashTermsSql(tweakAware: Boolean): String =
     (for { y <- 0 until 8; x <- 0 until 8 } yield {
       val sy = s"(($y * h) // 8)"
-      def g(xi: Int) = s"((k*31 + (($xi * w) // 9)*7 + $sy*13) % 256)"
+      def g(xi: Int) = {
+        val sx = s"(($xi * w) // 9)"
+        // the near-dup fixture's one-pixel nudge: +64 iff the sampled pixel
+        // is (3,3) and the row is a tweaked variant (t = 1)
+        val tw = if (tweakAware)
+          s" + 64 * (CASE WHEN t = 1 AND $sx = 3 AND $sy = 3 THEN 1 ELSE 0 END)"
+        else ""
+        s"((k*31 + $sx*7 + $sy*13$tw) % 256)"
+      }
       // DuckDB's checked shift rejects 1<<63; spell the sign bit directly
       val bit = if (y * 8 + x == 63) "(-9223372036854775807 - 1)"
                 else s"(1::BIGINT << ${y * 8 + x})"
       s"(CASE WHEN ${g(x + 1)} > ${g(x)} THEN $bit ELSE 0::BIGINT END)"
     }).mkString(" + ")
+
+  private val dhashTerms: String = dhashTermsSql(tweakAware = false)
+  private val dhashTweakTerms: String = dhashTermsSql(tweakAware = true)
 
   // ------------------------------------------------------- shared SQL pieces
 
@@ -3711,6 +3722,40 @@ object Queries {
               |  array_to_string(list(doc_id ORDER BY doc_id), '|') AS members
               |FROM hh GROUP BY dhash HAVING count(*) >= 2
               |ORDER BY dhash""".stripMargin)),
+
+    // Image NEAR-dup: base images (doc_id < 50) + one-pixel-tweaked
+    // variants (50–99, same repetition key) — pigeonhole-banded hamming
+    // join over the 64-bit dHashes, every pair ≤ 3 bits apart. The oracle
+    // rebuilds both hash variants from the pixel formulas and replays the
+    // band join + popcount verify.
+    ("q_image_neardup",
+      (s: SparkSession, d: String) => {
+        val docs = tbl(s, d, "documents")
+        val plain = Multimodal.demoBmpTable(
+          docs.filter(col("doc_id") < 50), "doc_id", cycle = 50)
+        val tweaked = Multimodal.demoBmpTable(
+          docs.filter(col("doc_id") >= 50 && col("doc_id") < 100), "doc_id",
+          cycle = 50, tweaked = true)
+        Multimodal.imageNearDuplicates(
+          Multimodal.imageDHash(plain.unionByName(tweaked)), maxDistance = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, doc_id % 50 AS k,
+              |             CASE WHEN doc_id >= 50 THEN 1 ELSE 0 END AS t
+              |           FROM documents WHERE doc_id < 100),
+              |p AS (SELECT doc_id, k, t, 16 + k % 7 AS w, 16 + k % 5 AS h FROM d),
+              |hh AS (SELECT doc_id, ($dhashTweakTerms) AS dhash FROM p),
+              |segs AS (SELECT doc_id, dhash, s,
+              |           (dhash >> (48 - s * 16)) & 65535 AS segval
+              |         FROM hh, (VALUES (0), (1), (2), (3)) v(s)),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              |           a.dhash AS ha, b.dhash AS hb
+              |         FROM segs a JOIN segs b
+              |           ON a.s = b.s AND a.segval = b.segval
+              |         WHERE a.doc_id < b.doc_id)
+              |SELECT id_a, id_b, bit_count(xor(ha, hb))::INT AS distance
+              |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+              |ORDER BY id_a, id_b""".stripMargin)),
 
     // User-journey transition matrix: adjacent event-type pairs per user,
     // fixed-point transition probabilities — 25 rows, integer end-to-end.

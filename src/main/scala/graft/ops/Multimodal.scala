@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -431,18 +431,57 @@ object Multimodal {
     * alone: v(x,y) = (k·31 + x·7 + y·13) mod 256, w = 16 + k mod 7,
     * h = 16 + k mod 5.
     */
-  def demoBmpTable(df: DataFrame, idCol: String, cycle: Int): DataFrame = {
+  def demoBmpTable(df: DataFrame, idCol: String, cycle: Int,
+                   tweaked: Boolean = false): DataFrame = {
     val bmp = udf { (id: Long) =>
       val k = (id % cycle).toInt
       val w = 16 + k % 7
       val h = 16 + k % 5
       val px = Array.tabulate(w * h) { i =>
-        val v = ((k * 31 + (i % w) * 7 + (i / w) * 13) % 256).toByte
+        val base = (k * 31 + (i % w) * 7 + (i / w) * 13) % 256
+        // the tweaked variant nudges ONE pixel — a visually-near image
+        // whose dHash sits a few bits away, the near-dup fixture case
+        val v = (if (tweaked && i % w == 3 && i / w == 3) (base + 64) % 256
+                 else base).toByte
         (v, v, v)
       }
       graft.functions.MediaCodecs.encodeBmp(w, h, px)
     }
     df.select(col(idCol).cast("long").as("media_id"),
       bmp(col(idCol).cast("long")).as("payload"))
+  }
+
+  /** Image NEAR-dup pairs over a (media_id, dhash) table — EXACT under the
+    * same pigeonhole multi-blocking as `Dedup.simhashNearDuplicates`, on
+    * the full 64-bit hash: `maxDistance + 1` segments, per-segment
+    * equi-join, exact Hamming verify. Never an all-pairs join; bucket
+    * entropy is 64/(d+1) bits per segment.
+    */
+  def imageNearDuplicates(hashes: DataFrame, maxDistance: Int = 3): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 16, s"bad maxDistance $maxDistance")
+    val nSeg = maxDistance + 1
+    val segLen = 64 / nSeg
+    def segOf(sig: Column, s: Int): Column = {
+      val width = if (s == nSeg - 1) 64 - segLen * (nSeg - 1) else segLen
+      shiftrightunsigned(sig, 64 - s * segLen - width)
+        .bitwiseAND(lit((1L << width) - 1L))
+    }
+    val segmented = hashes.select(col("media_id").as("id"), col("dhash").as("sig"),
+      posexplode(array((0 until nSeg).map(segOf(col("dhash"), _)): _*))
+        .as(Seq("seg", "segval")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstAgreement = (0 until nSeg - 1).map { t =>
+      when(col("seg") > t, segOf(col("sig_a"), t) =!= segOf(col("sig_b"), t))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    segmented
+      .select(col("seg"), col("segval"), col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(segmented.select(col("seg"), col("segval"),
+        col("id").as("id_b"), col("sig").as("sig_b")), Seq("seg", "segval"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(firstAgreement)
+      .withColumn("distance", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("distance") <= maxDistance)
+      .select("id_a", "id_b", "distance")
   }
 }

@@ -303,6 +303,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash(bw, bh, bg) == Multimodal.dHash(pw, ph, pg))
   }
 
+  test("imageNearDuplicates: tweaked variant pairs with its base, far images don't") {
+    import spark.implicits._
+    val base = Multimodal.demoBmpTable(Seq(0L, 1L, 2L).toDF("id"), "id", cycle = 10)
+    val tweaked = Multimodal.demoBmpTable(Seq(10L, 11L, 12L).toDF("id"), "id",
+      cycle = 10, tweaked = true)
+    val pairs = Multimodal.imageNearDuplicates(
+      Multimodal.imageDHash(base.unionByName(tweaked)), maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every base must find its tweaked sibling within 3 bits
+    val siblings = pairs.filter(p => p._2 - p._1 == 10).map(p => p._1 -> p._3).toMap
+    assert(siblings.keySet == Set(0L, 1L, 2L), s"pairs: ${pairs.toSeq}")
+    assert(siblings.values.forall(_ <= 3))
+  }
+
   test("decodeBmpGray: hostile headers return None, never throw") {
     import graft.functions.MediaCodecs
     val hostile = java.nio.ByteBuffer.allocate(54)
