@@ -123,6 +123,30 @@ object ProbeR8 {
       val d = docs.select(col("doc_id"), (col("doc_id") % 10 + 1).cast("double").as("w"))
       graft.ops.TextAnalysis.sampleWeighted(d, "doc_id", "w", k = 1000).count()
     }
+    time("image_dhash(all)") {
+      // 50k synthesized BMPs: encode + decode + hash, end to end
+      graft.ops.Multimodal.imageDHash(
+        graft.ops.Multimodal.demoBmpTable(docs, "doc_id", cycle = 5000)).count()
+    }
+    time("image_neardup(all)") {
+      val media = graft.ops.Multimodal.demoBmpTable(docs, "doc_id", cycle = 5000)
+      graft.ops.Multimodal.imageNearDuplicates(
+        graft.ops.Multimodal.imageDHash(media), maxDistance = 3).count()
+    }
+    time("transitions(events)") {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"), col("event_id"))
+      graft.ops.Sessionize.transitions(ev, "user_id", "event_type",
+        "ts_us", "event_id").count()
+    }
+    time("gapfill(events)") {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      graft.ops.TimeSeries.gapFill(ev, "user_id", "ts_us", "value",
+        86400000000L).count()
+    }
     spark.stop()
   }
 }
