@@ -3723,6 +3723,39 @@ object Queries {
               |FROM hh GROUP BY dhash HAVING count(*) >= 2
               |ORDER BY dhash""".stripMargin)),
 
+    // Sentence segmentation: protected abbreviations, RE2-compatible split
+    // (no lookbehind — the identical protect → extract → restore chain runs
+    // in both engines), post-filter sentence numbering.
+    ("q_sentences",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.sentences(
+          tbl(s, d, "documents").filter(col("doc_id") < 200)
+            .withColumn("text", concat(col("text"),
+              lit(". Dr. Smith agrees! Was it enough? e.g. a fragment"))),
+          "doc_id", "text")
+          .orderBy("id", "sent_no"),
+      Some {
+        val prot = TextAnalysis.sentenceAbbrevs.foldLeft(
+          "text || '. Dr. Smith agrees! Was it enough? e.g. a fragment'") {
+          (acc, a) =>
+            val repl = a.stripSuffix(".").split("\\.")
+              .map(piece => s"'$piece' || chr(1)").mkString(" || ")
+            s"replace($acc, '$a', $repl)"
+        }
+        s"""WITH pr AS (SELECT doc_id, $prot AS t
+           |            FROM documents WHERE doc_id < 200),
+           |x AS (SELECT doc_id, regexp_extract_all(t,
+           |        '[^.!?]+(?:[.!?]+|$$)') AS ss FROM pr),
+           |u AS (SELECT doc_id, unnest(range(0, len(ss))) AS i, ss FROM x),
+           |r AS (SELECT doc_id AS id, i,
+           |        trim(replace(ss[i + 1], chr(1), '.')) AS sentence FROM u)
+           |SELECT id,
+           |  (row_number() OVER (PARTITION BY id ORDER BY i) - 1)::INT AS sent_no,
+           |  sentence
+           |FROM r WHERE sentence <> ''
+           |ORDER BY id, sent_no""".stripMargin
+      }),
+
     // Image NEAR-dup: base images (doc_id < 50) + one-pixel-tweaked
     // variants (50–99, same repetition key) — pigeonhole-banded hamming
     // join over the 64-bit dHashes, every pair ≤ 3 bits apart. The oracle

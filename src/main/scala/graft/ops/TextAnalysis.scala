@@ -207,6 +207,39 @@ object TextAnalysis {
       .drop("__rn")
   }
 
+  /** Abbreviations whose trailing dot must NOT end a sentence — protected
+    * by swapping the dot for a control char before the split and restoring
+    * it after (RE2 has no lookbehind, so the DuckDB oracle replays the
+    * identical protect → extract → restore chain).
+    */
+  private[graft] val sentenceAbbrevs = Seq(
+    "Dr.", "Mr.", "Mrs.", "Ms.", "Prof.", "St.", "e.g.", "i.e.", "etc.",
+    "vs.", "No.", "U.S.")
+
+  /** Rule-based sentence segmentation — the boundary every RAG chunker and
+    * sentence-level dedup wants: sentences end at a run of `.!?`; common
+    * abbreviations are protected; a trailing fragment with no terminal
+    * punctuation still counts. Pure codegen'd expressions (replace chains +
+    * one regexp_extract_all + transform), map-only; identical construction
+    * in the oracle.
+    */
+  def sentenceArray(text: Column): Column = {
+    val protect = sentenceAbbrevs.foldLeft(text) { (c, a) =>
+      // EVERY dot of the abbreviation is protected ("e.g." has an inner one)
+      replace(c, lit(a), lit(a.replace(".", "\u0001")))
+    }
+    val restore = (x: Column) => trim(replace(x, lit("\u0001"), lit(".")))
+    filter(
+      transform(regexp_extract_all(protect,
+        lit("[^.!?]+(?:[.!?]+|$)"), lit(0)), restore),
+      s => s =!= "")
+  }
+
+  /** One row per sentence: (id, sent_no, sentence), in document order. */
+  def sentences(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(sentenceArray(col(textCol))).as(Seq("sent_no", "sentence")))
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
     * Spirakis 2006, A-ES): k rows drawn with probability proportional to
     * `weightCol`, by taking the top-k of the key u^(1/w) where u ∈ (0,1]

@@ -171,6 +171,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!s3.exists(_ < 20L), "non-positive-weight rows must be excluded")
   }
 
+  test("sentences: splits on terminal runs, protects abbreviations, keeps fragments") {
+    val out = TextAnalysis.sentences(
+      Seq((1L, "Dr. Smith arrived. It was late!? e.g. very late. A fragment"))
+        .toDF("id", "t"), "id", "t")
+      .collect().map(r => (r.getInt(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (0, "Dr. Smith arrived."),
+      (1, "It was late!?"),
+      (2, "e.g. very late."),
+      (3, "A fragment")))
+    // no text → no rows; punctuation-only text trims away entirely
+    assert(TextAnalysis.sentences(Seq((2L, "...")).toDF("id", "t"), "id", "t")
+      .count() == 0)
+  }
+
   test("normalizeText: NFC composes, casefolds, collapses whitespace") {
     val rows = Seq(
       (1L, "Café  du\tMonde"), // e + combining acute, run + tab
