@@ -513,17 +513,23 @@ object MediaCodecs {
   def decodeImageGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     decodeBmpGray(bytes).orElse {
       try {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        // memory-backed input stream (the default FileCache one writes a
+        // temp file per payload on the executor) + bulk per-row getRGB
+        val img = javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
         if (img == null || img.getWidth <= 0 || img.getHeight <= 0 ||
             img.getWidth.toLong * img.getHeight > Int.MaxValue) None
         else {
           val (w, h) = (img.getWidth, img.getHeight)
           val gray = new Array[Int](w * h)
+          val row = new Array[Int](w)
           var y = 0
           while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
             var x = 0
             while (x < w) {
-              val rgb = img.getRGB(x, y)
+              val rgb = row(x)
               gray(y * w + x) = (299 * ((rgb >> 16) & 0xff) +
                 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
               x += 1
@@ -532,7 +538,9 @@ object MediaCodecs {
           }
           Some((w, h, gray))
         }
-      } catch { case _: Throwable => None }
+        // NonFatal only: an ImageIO OutOfMemoryError must fail the task,
+        // not silently drop the image
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
 
   // ------------------------------------------------------------------ AVI

@@ -430,12 +430,23 @@ object PdfText {
     // object number — needed for decryption — is the LAST 'N G obj' header
     // before the stream dict (objects cannot nest, so the nearest preceding
     // header is by definition the container; any generation, comments and
-    // whitespace between header and dict tolerated)
-    val hdr = """(\d+)\s+\d+\s+obj\b""".r
+    // whitespace between header and dict tolerated). Headers are collected
+    // in ONE pass up front — a per-stream prefix rescan would be
+    // O(docSize × nObjStms) on header-heavy documents.
+    val headers: Array[(Int, Int)] = """(\d+)\s+\d+\s+obj\b""".r
+      .findAllMatchIn(s).map(m => (m.start, m.group(1).toInt)).toArray
+    def containerOf(at: Int): Option[Int] = {
+      var lo = 0
+      var hi = headers.length - 1
+      var best = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (headers(mid)._1 < at) { best = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      if (best >= 0) Some(headers(best)._2) else None
+    }
     findStreams(bytes).filter(_.dict.contains("/ObjStm")).flatMap { st =>
-      val decFn = hdr.findAllMatchIn(s.substring(0, st.at)).foldLeft(
-        Option.empty[Int])((_, m) => Some(m.group(1).toInt))
-        .map(dec).getOrElse(identity[Array[Byte]] _)
+      val decFn = containerOf(st.at).map(dec).getOrElse(identity[Array[Byte]] _)
       try {
         val text = new String(decodeStream(st, decFn), StandardCharsets.ISO_8859_1)
         val nOpt = """/N\s+(\d+)""".r.findFirstMatchIn(st.dict).map(_.group(1).toInt)

@@ -451,37 +451,14 @@ object Multimodal {
       bmp(col(idCol).cast("long")).as("payload"))
   }
 
-  /** Image NEAR-dup pairs over a (media_id, dhash) table — EXACT under the
-    * same pigeonhole multi-blocking as `Dedup.simhashNearDuplicates`, on
-    * the full 64-bit hash: `maxDistance + 1` segments, per-segment
-    * equi-join, exact Hamming verify. Never an all-pairs join; bucket
-    * entropy is 64/(d+1) bits per segment.
+  /** Image NEAR-dup pairs over a (media_id, dhash) table: the shared
+    * pigeonhole multi-blocking core (`Dedup.bandedHammingJoin`) on the
+    * full 64-bit hash — `maxDistance + 1` segments, per-segment equi-join,
+    * exact Hamming verify; never an all-pairs join. maxDistance = 0 is an
+    * exact-hash equi-join.
     */
-  def imageNearDuplicates(hashes: DataFrame, maxDistance: Int = 3): DataFrame = {
-    require(maxDistance >= 0 && maxDistance < 16, s"bad maxDistance $maxDistance")
-    val nSeg = maxDistance + 1
-    val segLen = 64 / nSeg
-    def segOf(sig: Column, s: Int): Column = {
-      val width = if (s == nSeg - 1) 64 - segLen * (nSeg - 1) else segLen
-      shiftrightunsigned(sig, 64 - s * segLen - width)
-        .bitwiseAND(lit((1L << width) - 1L))
-    }
-    val segmented = hashes.select(col("media_id").as("id"), col("dhash").as("sig"),
-      posexplode(array((0 until nSeg).map(segOf(col("dhash"), _)): _*))
-        .as(Seq("seg", "segval")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val firstAgreement = (0 until nSeg - 1).map { t =>
-      when(col("seg") > t, segOf(col("sig_a"), t) =!= segOf(col("sig_b"), t))
-        .otherwise(lit(true))
-    }.reduce(_ && _)
-    segmented
-      .select(col("seg"), col("segval"), col("id").as("id_a"), col("sig").as("sig_a"))
-      .join(segmented.select(col("seg"), col("segval"),
-        col("id").as("id_b"), col("sig").as("sig_b")), Seq("seg", "segval"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(firstAgreement)
-      .withColumn("distance", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("distance") <= maxDistance)
-      .select("id_a", "id_b", "distance")
-  }
+  def imageNearDuplicates(hashes: DataFrame, maxDistance: Int = 3): DataFrame =
+    Dedup.bandedHammingJoin(
+      hashes.select(col("media_id").as("id"), col("dhash").as("sig")),
+      bits = 64, maxDistance = maxDistance)
 }

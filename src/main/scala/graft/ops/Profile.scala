@@ -100,8 +100,9 @@ object Profile {
       val c = corr(col(a), col(b))
       Nums.round6(when(isnan(c), lit(null)).otherwise(c)).as(s"__c$i")
     }
+    def q(name: String) = "'" + name.replace("'", "''") + "'" // SQL-escape
     val stackArgs = pairs.zipWithIndex
-      .map { case ((a, b), i) => s"'$a', '$b', __c$i" }.mkString(", ")
+      .map { case ((a, b), i) => s"${q(a)}, ${q(b)}, __c$i" }.mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${pairs.length}, $stackArgs) AS (col_a, col_b, corr)"))
   }
