@@ -3723,6 +3723,34 @@ object Queries {
               |FROM hh GROUP BY dhash HAVING count(*) >= 2
               |ORDER BY dhash""".stripMargin)),
 
+    // Deterministic train/val/test split: cumulative md5-fraction
+    // thresholds, one label per doc, leakage-proof across reruns. The
+    // oracle replays the same thresholds on the same md5 fraction.
+    ("q_split_corpus",
+      (s: SparkSession, d: String) =>
+        Curate.splitCorpus(tbl(s, d, "documents"), "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("first_id"), max(col("doc_id")).as("last_id"))
+          .orderBy("split"),
+      Some {
+        // the SAME cumulative doubles the Spark side compares against
+        // (0.8 + 0.1 is 0.9000000000000001 in IEEE — never hand-write it)
+        val c = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+        s"""WITH f AS (SELECT doc_id,
+           |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 7))::BIGINT
+           |      / 268435456.0 AS frac
+           |  FROM documents),
+           |l AS (SELECT doc_id,
+           |    CASE WHEN frac < ${c(0)} THEN 'train'
+           |         WHEN frac < ${c(1)} THEN 'val' ELSE 'test' END AS split
+           |  FROM f)
+           |SELECT split, count(*) AS n_docs,
+           |  min(doc_id) AS first_id, max(doc_id) AS last_id
+           |FROM l GROUP BY split ORDER BY split""".stripMargin
+      }),
+
     // Sentence segmentation: protected abbreviations, RE2-compatible split
     // (no lookbehind — the identical protect → extract → restore chain runs
     // in both engines), post-filter sentence numbering.

@@ -75,6 +75,29 @@ object Curate {
     * at 100 TB the stratum is (language × shard), never a global window.
     * All arithmetic is exact integers — the DuckDB oracle replays it.
     */
+  /** Deterministic train/val/test corpus split: the id's md5-fraction is
+    * compared against cumulative thresholds, so every row gets exactly ONE
+    * label, the same label on every run/engine/cluster, and resizing a
+    * fraction moves only boundary documents (nested like [[TextAnalysis
+    * .sampleMixture]]'s samples). Map-only codegen'd expression — the
+    * eval-leakage-proof split every training pipeline needs (membership is
+    * a pure function of the id, so a doc can never drift between train
+    * and test across reruns or incremental additions).
+    */
+  def splitCorpus(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "need positive fractions")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val frac = conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
+      .cast("double") / lit((1L << 28).toDouble)
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail
+    val label = splits.init.zip(cums.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), cum), rest) =>
+      when(frac < cum, name).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     partitionCol: String, seqLen: Long): DataFrame = {
     val w = Window.partitionBy(col(partitionCol))

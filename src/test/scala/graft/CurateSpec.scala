@@ -68,4 +68,28 @@ class CurateSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(lout == Seq((0L, 1L, 12L)), s"got $lout")
   }
+
+  test("splitCorpus: exhaustive, disjoint, deterministic, ~proportional") {
+    import spark.implicits._
+    val docs = (0L until 2000L).toDF("id")
+    val out = graft.ops.Curate.splitCorpus(docs, "id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(out.length == 2000, "every row labeled exactly once")
+    val byLabel = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > 1500 && byLabel("val") > 120 && byLabel("test") > 120,
+      s"proportions off: $byLabel")
+    // reproducible
+    val again = graft.ops.Curate.splitCorpus(docs, "id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(again.toSeq == out.toSeq)
+    // nested: growing train 0.8 -> 0.9 never moves a train doc out
+    val bigger = graft.ops.Curate.splitCorpus(docs, "id",
+      Seq(("train", 0.9), ("rest", 0.1))).collect()
+      .filter(_.getString(1) == "train").map(_.getLong(0)).toSet
+    val trainIds = out.filter(_._2 == "train").map(_._1).toSet
+    assert(trainIds.subsetOf(bigger))
+  }
 }
