@@ -3818,6 +3818,21 @@ object Queries {
               |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Grouped statistical mode: each user's most frequent event type,
+    // deterministic smallest-value tie-break.
+    ("q_mode",
+      (s: SparkSession, d: String) =>
+        graft.ops.Sessionize.modeByKey(
+          tbl(s, d, "events"), "user_id", "event_type")
+          .orderBy("key"),
+      Some("""WITH c AS (SELECT user_id AS key, event_type AS value,
+             |             count(*) AS n
+             |           FROM events GROUP BY 1, 2),
+             |r AS (SELECT key, value, n, row_number() OVER (
+             |        PARTITION BY key ORDER BY n DESC, value) AS rn FROM c)
+             |SELECT key, value, n FROM r WHERE rn = 1
+             |ORDER BY key""".stripMargin)),
+
     // User-journey transition matrix: adjacent event-type pairs per user,
     // fixed-point transition probabilities — 25 rows, integer end-to-end.
     ("q_transitions",

@@ -157,6 +157,19 @@ object Sessionize {
       .agg(countDistinct(col("user")).as("n_users"))
   }
 
+  /** Grouped statistical mode: the most frequent `valueCol` per key, ties
+    * broken to the smallest value (deterministic, engine-neutral). One
+    * hash-agg on (key, value) + a window over the per-key value counts —
+    * the aggregated side only, never the raw stream.
+    */
+  def modeByKey(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"), col(valueCol).as("value"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("key").orderBy(col("n").desc, col("value"))
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Event-type transition matrix (user-journey Markov counts): adjacent
     * event pairs per user in (ts, tie) order → per (from, to): pair count
     * and the fixed-point transition probability ⌊10⁶·n/Σ_from⌋ — integer

@@ -59,6 +59,17 @@ class FunnelSpec extends SparkSpec {
     // pairs never cross users: user 2's trailing 'b' and user 3's 'b' pair nothing
   }
 
+  test("modeByKey: most frequent value per key, ties to the smallest value") {
+    val events = Seq(
+      (1L, "b"), (1L, "b"), (1L, "a"),          // clear winner b
+      (2L, "z"), (2L, "a"),                     // tie → a (smallest)
+      (3L, "x")                                 // singleton
+    ).toDF("user_id", "event_type")
+    val out = Sessionize.modeByKey(events, "user_id", "event_type")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> (("b", 2L)), 2L -> (("a", 1L)), 3L -> (("x", 1L))))
+  }
+
   test("retention: cohort by first activity, distinct users per offset") {
     // period 10: u1 first in period 0, active 0 and 2; u2 first in 0,
     // active 0 only (two events, one period); u3 first in 1, active 1 and 2
