@@ -57,6 +57,23 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.catalog.clearCache()
+    // Machine-load canary (the r8 lesson: a final bench ran ~60% slow with
+    // TIGHT per-query spreads — sustained external contention is invisible
+    // to spread-based noise flags). A fixed, data-independent micro-workload
+    // (CPU-bound scan-agg + one small shuffle) is timed before and after
+    // the battery; its cost never changes across rounds, so an inflated
+    // canary marks the RUN as contaminated, not the code as regressed.
+    def canary(): Double = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(20000000L).selectExpr("sum(id * 3)").collect()
+        spark.range(2000000L).groupBy(org.apache.spark.sql.functions.expr("id % 997"))
+          .count().orderBy("count").limit(5).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runs.sorted.apply(1) // median of 3
+    }
+    val canaryPre = canary()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val dts = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
@@ -72,6 +89,7 @@ object Bench {
       val warm = if (dts.length > 1) dts.drop(1) else dts
       (name, sorted(sorted.length / 2), warm.max - warm.min) // (median, warm spread)
     }
+    val canaryPost = canary()
     val total = results.map(_._2).sum
     val maxSpread = if (results.isEmpty) 0.0 else results.map(_._3).max
     val noisy = results.collect {
@@ -98,7 +116,11 @@ object Bench {
       // the stdout variant drops the constant "unit":"sec" (documented
       // contract; every value is seconds) to stay inside the tail budget
       val head = if (full) s""""unit":"sec","n_runs":$repeat,""" else ""
-      s"""{"metric":"total","value":${fmt(total)},$head""" +
+      // canary rides BOTH lines (cheap: ~22 chars): without it in stdout, a
+      // contaminated run can't be recognized from the tail capture alone
+      val cf = (v: Double) => strip(f"$v%.2f")
+      val can = s""""canary":[${cf(canaryPre)},${cf(canaryPost)}],"""
+      s"""{"metric":"total","value":${fmt(total)},$head$can""" +
         s""""queries":$qs$extra$omitted,"sf":"$sf"}"""
     }
     try {

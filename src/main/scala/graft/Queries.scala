@@ -451,7 +451,9 @@ object Queries {
     * rounds — pair count over the symbolized vocabulary, deterministic
     * argmax (count desc, pair asc), plain-`replace` merge — then the
     * learned merge table. Generated, because each round is one mechanical
-    * CTE triple.
+    * CTE triple. Symbols ride double-space-separated (each symbol owns one
+    * space per side) so the single-pass replace is exactly Sennrich greedy
+    * — see [[graft.ops.Bpe]].
     */
   private def dBpeSql(filter: String, steps: Int,
                       apply: Boolean = false): String = {
@@ -463,19 +465,19 @@ object Queries {
          |    FROM documents WHERE ($filter) AND len(trim(text)) > 0)
          |  GROUP BY word),
          |it0 AS (SELECT cnt,
-         |  ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sym
+         |  '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS sym
          |  FROM v)""".stripMargin)
     for (i <- 1 to steps) {
       sb.append(
         s""",
            |p$i AS (SELECT cnt, l, unnest(range(0, len(l) - 1)) AS i
-           |  FROM (SELECT cnt, string_split(trim(sym), ' ') AS l FROM it${i - 1})
+           |  FROM (SELECT cnt, string_split(trim(sym), '  ') AS l FROM it${i - 1})
            |  WHERE len(l) >= 2),
            |c$i AS (SELECT l[i+1] AS a, l[i+2] AS b, sum(cnt)::BIGINT AS n
            |  FROM p$i GROUP BY a, b),
            |b$i AS (SELECT a, b, n FROM c$i ORDER BY n DESC, a, b LIMIT 1),
            |it$i AS (SELECT cnt,
-           |  replace(sym, ' ' || b$i.a || ' ' || b$i.b || ' ',
+           |  replace(sym, ' ' || b$i.a || '  ' || b$i.b || ' ',
            |          ' ' || b$i.a || b$i.b || ' ') AS sym
            |  FROM it${i - 1} CROSS JOIN b$i)""".stripMargin)
     }
@@ -491,7 +493,7 @@ object Queries {
       // per-doc subword stats. Empty docs keep a zero row via the left join.
       val chained = (1 to steps).foldLeft("sym") { (acc, i) =>
         s"""replace($acc,
-           |  ' ' || (SELECT a FROM b$i) || ' ' || (SELECT b FROM b$i) || ' ',
+           |  ' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ',
            |  ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ')""".stripMargin
       }
       sb.append(
@@ -502,11 +504,11 @@ object Queries {
            |  FROM documents WHERE ($filter)),
            |dw AS (SELECT doc_id, unnest(tk) AS w FROM docs),
            |ds AS (SELECT doc_id,
-           |  ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS sym,
+           |  '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS sym,
            |  len(w)::BIGINT AS wchars FROM dw),
            |dm AS (SELECT doc_id, $chained AS msym, wchars FROM ds),
            |agg AS (SELECT doc_id, count(*)::BIGINT AS n_words,
-           |  sum(len(string_split(trim(msym), ' ')))::BIGINT AS n_subwords,
+           |  sum(len(string_split(trim(msym), '  ')))::BIGINT AS n_subwords,
            |  sum(wchars)::BIGINT AS n_chars
            |  FROM dm GROUP BY doc_id)
            |SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
@@ -2001,10 +2003,12 @@ object Queries {
       (s: SparkSession, d: String) => {
         // variant selector is coprime with the path modulus (7 vs 20), so
         // every path sees every raw variant and the http:80 / bare-http
-        // pair genuinely MERGES under one canonical key
+        // pair genuinely MERGES under one canonical key; variant 4 puts a
+        // '?' INSIDE the fragment — the whole fragment must drop, with no
+        // resurrected query
         val raw = tbl(s, d, "documents").filter(col("doc_id") < 500)
           .select((col("doc_id") % 20).cast("string").as("p"),
-            (col("doc_id") % 7 % 4).as("v"))
+            (col("doc_id") % 7 % 5).as("v"))
           .select(
             when(col("v") === 0,
               concat(lit("HTTP://Example.COM:80/p/"), col("p"), lit("?b=2&a=1#frag")))
@@ -2012,16 +2016,19 @@ object Queries {
               concat(lit("https://EXAMPLE.com:443/p/"), col("p"), lit("?a=1&b=2")))
             .when(col("v") === 2,
               concat(lit("http://example.com/p/"), col("p"), lit("?b=2&a=1")))
+            .when(col("v") === 4,
+              concat(lit("http://example.com/p/"), col("p"), lit("#sec?x=1")))
             .otherwise(
               concat(lit("https://cdn.example.com:8080/asset/"), col("p")))
             .as("url"))
         Urls.dedupByUrl(raw, "url").orderBy("canonical_url")
       },
       Some("""WITH raw AS (
-             |  SELECT CASE doc_id % 7 % 4
+             |  SELECT CASE doc_id % 7 % 5
              |    WHEN 0 THEN 'HTTP://Example.COM:80/p/' || (doc_id % 20) || '?b=2&a=1#frag'
              |    WHEN 1 THEN 'https://EXAMPLE.com:443/p/' || (doc_id % 20) || '?a=1&b=2'
              |    WHEN 2 THEN 'http://example.com/p/' || (doc_id % 20) || '?b=2&a=1'
+             |    WHEN 4 THEN 'http://example.com/p/' || (doc_id % 20) || '#sec?x=1'
              |    ELSE 'https://cdn.example.com:8080/asset/' || (doc_id % 20) END AS url
              |  FROM documents WHERE doc_id < 500),
              |c AS (
@@ -2029,7 +2036,7 @@ object Queries {
              |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
              |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
              |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-             |    regexp_extract(url, '\?([^#]*)', 1) AS query
+             |    regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS query
              |  FROM raw),
              |n AS (
              |  SELECT url,

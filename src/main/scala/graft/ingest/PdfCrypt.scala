@@ -126,10 +126,17 @@ object PdfCrypt {
     o
   }
 
-  /** Algorithm 2: the file encryption key from the user password. */
+  /** Algorithm 2: the file encryption key from the user password. Step f
+    * (ISO 32000-1): an R4+ document whose encrypt dict carries
+    * `/EncryptMetadata false` mixes 0xFFFFFFFF into the digest — omitting
+    * it derives a silently-wrong key and every stream decrypts to garbage.
+    */
   private[graft] def fileKey(userPwd: Array[Byte], o: Array[Byte], p: Int,
-                             id0: Array[Byte], r: Int, keyBytes: Int): Array[Byte] = {
-    var h = md5(pad32(userPwd), o.take(32), le4(p), id0)
+                             id0: Array[Byte], r: Int, keyBytes: Int,
+                             encMeta: Boolean = true): Array[Byte] = {
+    val noMetaTail = if (r >= 4 && !encMeta)
+      Array(0xff, 0xff, 0xff, 0xff).map(_.toByte) else Array.emptyByteArray
+    var h = md5(pad32(userPwd), o.take(32), le4(p), id0, noMetaTail)
     if (r >= 3) for (_ <- 0 until 50) h = md5(h.take(keyBytes))
     h.take(keyBytes)
   }
@@ -221,7 +228,11 @@ object PdfCrypt {
       keyBytes = if (v == 1) 5
                  else """/Length\s+(\d+)""".r.findFirstMatchIn(dict)
                    .fold(5)(_.group(1).toInt / 8)
-    } yield Decryptor(fileKey(Array.emptyByteArray, o, p, id0, r, keyBytes), aes)
+      // ISO 32000-1 Algorithm 2 step f: R4 dicts may disable metadata
+      // encryption, which changes the FILE key, not just metadata handling
+      encMeta = """/EncryptMetadata\s+false""".r.findFirstIn(dict).isEmpty
+    } yield Decryptor(
+      fileKey(Array.emptyByteArray, o, p, id0, r, keyBytes, encMeta), aes)
   }
 
   /** V5 AESV3: the 48-byte `/U` carries the validation and key salts; the
@@ -273,7 +284,8 @@ object PdfCrypt {
     * IVs derived from object numbers.
     */
   private[graft] def samplePdf(texts: Seq[String], v: Int,
-                               rOverride: Int = 0): Array[Byte] = {
+                               rOverride: Int = 0,
+                               encryptMetadata: Boolean = true): Array[Byte] = {
     require(v == 2 || v == 4 || v == 5, s"unsupported sample version $v")
     val r = if (rOverride > 0) rOverride else if (v == 5) 6 else if (v == 4) 4 else 3
     val aes = v >= 4
@@ -309,16 +321,18 @@ object PdfCrypt {
           " /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF")
       } else {
         val o = ownerValue(Array.emptyByteArray, Array.emptyByteArray, r, 16)
-        val fk = fileKey(Array.emptyByteArray, o, p, id0, r, 16)
+        val fk = fileKey(Array.emptyByteArray, o, p, id0, r, 16,
+          encMeta = encryptMetadata || r < 4)
         val u = userValue(fk, id0, r)
         val cf = if (aes) " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>" +
                           " /StmF /StdCF /StrF /StdCF" else ""
+        val em = if (!encryptMetadata && r >= 4) " /EncryptMetadata false" else ""
         val enc = (num: Int, pt: Array[Byte]) =>
           if (aes) aesEncrypt(objKey(fk, num, 0, aes = true),
             md5(s"iv$num".getBytes(StandardCharsets.ISO_8859_1)), pt)
           else rc4(objKey(fk, num, 0, aes = false), pt)
         (enc, s"/Filter /Standard /V $v /R $r /Length 128 /P $p" +
-          s" /O <${hx(o)}> /U <${hx(u)}>$cf")
+          s" /O <${hx(o)}> /U <${hx(u)}>$em$cf")
       }
 
     val (encrypt, encDict) = built

@@ -21,14 +21,21 @@ import org.apache.spark.sql.functions._
   * map-only string `replace`. k steps = k such rounds over an ever-smaller
   * symbol table. No driver-side data beyond the k winning pairs.
   *
-  * Symbol sequences ride as space-separated strings with sentinel padding
-  * (`' h e l l o '`), so a merge is a single codegen'd
-  * `replace(sym, ' a b ', ' ab ')` — non-overlapping left-to-right
-  * replacement is exactly BPE's greedy merge order (the replacement's own
-  * trailing space re-supplies the delimiter the match consumed, so runs
-  * like `a a a` merge `[aa, a]` — standard BPE behavior), and the
-  * identical `replace` exists in ANSI SQL, keeping the whole training run
-  * oracle-replayable.
+  * Symbol sequences ride as DOUBLE-space-separated strings with
+  * double-space sentinels (`'  h  e  l  l  o  '`): every symbol owns one
+  * space on each side, so a merge is a single codegen'd
+  * `replace(sym, ' a  b ', ' ab ')` that consumes only the owned spaces
+  * and restores them in the replacement. With that invariant, one
+  * non-overlapping left-to-right replace per step is EXACTLY Sennrich's
+  * greedy merge (his `(?<!\S)a b(?!\S)` regex pass — the lookarounds
+  * consume nothing, which the owned-space encoding reproduces without
+  * lookbehind, so it also runs verbatim in RE2-based engines): `abab`
+  * with (a,b) → `[ab, ab]`, `aaaaa` with (a,a) → `[aa, aa, a]`,
+  * `banana` with (a,n) → `[b, an, an, a]`. A single-space encoding would
+  * miss adjacent occurrences (the match eats the next occurrence's
+  * leading delimiter — `abab` would mis-merge to `[ab, a, b]`). The
+  * identical `replace` exists in ANSI SQL, keeping the whole training
+  * run oracle-replayable.
   */
 object Bpe {
 
@@ -39,10 +46,11 @@ object Bpe {
       .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
-  /** The symbol-string form of a word: chars joined and padded with single
-    * spaces (`"abc"` → `" a b c "`). */
+  /** The symbol-string form of a word: chars joined and padded with DOUBLE
+    * spaces (`"abc"` → `"  a  b  c  "`) — each symbol owns one space per
+    * side, which is what makes the single-pass merge replace exact. */
   private def symbolize(word: org.apache.spark.sql.Column) =
-    concat(lit(" "), array_join(split(word, ""), " "), lit(" "))
+    concat(lit("  "), array_join(split(word, ""), "  "), lit("  "))
 
   /** Learn `steps` BPE merges over the corpus vocabulary. Returns one row
     * per step: (step, left, right, pair_count) — the merge table a
@@ -62,7 +70,7 @@ object Bpe {
     var exhausted = false
     while (step <= steps && !exhausted) {
       val top = words
-        .select(col("cnt"), split(trim(col("sym")), " ").as("s"))
+        .select(col("cnt"), split(trim(col("sym")), "  ").as("s"))
         .filter(size(col("s")) >= 2) // fully-merged words carry no pairs
         .select(col("cnt"), explode(transform(
           sequence(lit(0), size(col("s")) - 2),
@@ -78,9 +86,11 @@ object Bpe {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((step, a, b, n))
         // plain (non-regex) replace — identical semantics to ANSI/DuckDB
-        // replace(), so the oracle chains the very same operation
+        // replace(), so the oracle chains the very same operation. The
+        // pattern spends the pair's inner owned spaces; the replacement
+        // restores the outer ones, preserving the double-space invariant.
         val next = words.select(col("cnt"),
-          replace(col("sym"), lit(s" $a $b "), lit(s" $a$b ")).as("sym"))
+          replace(col("sym"), lit(s" $a  $b "), lit(s" $a$b ")).as("sym"))
           .localCheckpoint()
         Dedup.unpersistCheckpointed(words)
         words = next
@@ -122,8 +132,8 @@ object Bpe {
   private def subwordsPerWord_(w: org.apache.spark.sql.Column,
                                merges: Seq[(String, String)]) = {
     val merged = merges.foldLeft(symbolize(w)) { case (c, (a, b)) =>
-      replace(c, lit(s" $a $b "), lit(s" $a$b "))
+      replace(c, lit(s" $a  $b "), lit(s" $a$b "))
     }
-    size(split(trim(merged), " ")).cast("long")
+    size(split(trim(merged), "  ")).cast("long")
   }
 }

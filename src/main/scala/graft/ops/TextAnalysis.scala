@@ -385,7 +385,13 @@ object TextAnalysis {
     * SQL — no FP log-sum ordering to diverge on. Fluent in-domain text
     * scores high; shuffled/foreign text scores near the floor.
     *
-    * Scale shape: two hash-aggregates (unigram, bigram counts) + two
+    * Scale shape: the per-document pair stream is FIRST collapsed to
+    * (id, w1, w2, cnt) — distinct bigrams per doc, typically 1.5–3×
+    * smaller than token positions on natural text, far more on repetitive
+    * corpora — and the corpus bigram table rolls up from that same
+    * aggregate, so the join inputs are distinct-bigram-grain, not
+    * token-grain, with an identical result (sum(cnt·⌊10⁶·cb/cu⌋) and
+    * n_bigrams = sum(cnt)). Total: two chained hash-aggregates + two
     * equi-joins on token keys + one per-doc aggregate — all linear. On a
     * Zipfian real-world corpus the unigram join key is skewed ("the"
     * carries ~5 % of rows); at 100 TB route it through [[SkewJoin]]'s
@@ -403,13 +409,17 @@ object TextAnalysis {
       .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val uni = toked.select(explode(col("t")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("cu"))
-    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    bigrams
+    // collapse to per-doc distinct-bigram grain before joining: the corpus
+    // bigram table is a roll-up of the same aggregate (partial-agg reuse),
+    // and both join inputs shrink from token scale to distinct-bigram scale
+    val docBi = bigrams.groupBy("id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+    val bi = docBi.groupBy("w1", "w2").agg(sum("cnt").as("cb"))
+    docBi
       .join(bi, Seq("w1", "w2"))
       .join(uni, Seq("w1"))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(expr("(1000000 * cb) div cu")).as("lm_score"))
+      .agg(sum("cnt").as("n_bigrams"),
+        sum(expr("cnt * ((1000000 * cb) div cu)")).as("lm_score"))
   }
 
   /** Collocation mining (phrase detection, the word2vec-phrases /

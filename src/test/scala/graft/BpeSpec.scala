@@ -30,6 +30,43 @@ class BpeSpec extends SparkSpec {
       s"got ${merges.toSeq}")
   }
 
+  test("adjacent pair occurrences all merge in one step (abab -> [ab, ab])") {
+    // the single-space encoding regression case: a match that consumed the
+    // next occurrence's leading delimiter would leave [ab, a, b] and
+    // re-learn (a, b) as step 2. Sennrich greedy merges BOTH: step 2 must
+    // see [ab, ab] and learn (ab, ab).
+    val docs = Seq((1L, "abab")).toDF("id", "text")
+    val merges = Bpe.learnMerges(docs, "text", steps = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq((1, "a", "b", 2L), (2, "ab", "ab", 1L)),
+      s"got ${merges.toSeq}")
+  }
+
+  test("banana with (a,n) merges both occurrences: [b, an, an, a]") {
+    // pairs: (b,a)=1 (a,n)=2 (n,a)=2 -> (a,n) wins the tie ('a' < 'n');
+    // greedy application must hit both occurrences -> [b, an, an, a],
+    // so step 2's argmax over {(b,an),(an,an),(an,a)} at n=1 is (an,a)
+    val docs = Seq((1L, "banana")).toDF("id", "text")
+    val merges = Bpe.learnMerges(docs, "text", steps = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq((1, "a", "n", 2L), (2, "an", "a", 1L)),
+      s"got ${merges.toSeq}")
+    // fertility after just (a,n): banana -> [b, an, an, a]
+    val out = Bpe.applyMerges(docs, "id", "text", Seq(("a", "n"))).collect()(0)
+    assert(out.getLong(2) == 4L, s"n_subwords ${out.getLong(2)}")
+  }
+
+  test("odd run of five: aaaaa with (a,a) -> [aa, aa, a], left-biased") {
+    // Sennrich's lookaround pass merges left-to-right without consuming
+    // delimiters: [aa, aa, a] — NOT [aa, a, aa]. Step 2's pair set is then
+    // {(aa,aa),(aa,a)} and the n=1 tie-break picks (aa, a) ('a' < 'aa').
+    val docs = Seq((1L, "aaaaa")).toDF("id", "text")
+    val merges = Bpe.learnMerges(docs, "text", steps = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq((1, "a", "a", 4L), (2, "aa", "a", 1L)),
+      s"got ${merges.toSeq}")
+  }
+
   test("learning stops when no pairs remain, short of the requested steps") {
     val docs = Seq((1L, "ab ab ab")).toDF("id", "text")
     val merges = Bpe.learnMerges(docs, "text", steps = 5).collect()

@@ -42,6 +42,19 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(pages == texts.map(_ + " "))
   }
 
+  test("V4/R4 with /EncryptMetadata false mixes 0xFFFFFFFF into the file key") {
+    // Algorithm 2 step f: the flag changes the FILE key. A reader that
+    // ignores it derives a wrong key and extracts garbage silently.
+    val texts = Seq("Plain-meta iota", "Plain-meta kappa")
+    val doc = PdfCrypt.samplePdf(texts, v = 4, encryptMetadata = false)
+    assert(PdfText.extractPages(doc) == texts.map(_ + " "))
+    // and the flag genuinely changed the key: the same document body built
+    // WITH metadata encryption decrypts differently
+    val withMeta = PdfCrypt.samplePdf(texts, v = 4)
+    assert(!new String(doc, StandardCharsets.ISO_8859_1)
+      .equals(new String(withMeta, StandardCharsets.ISO_8859_1)))
+  }
+
   test("AES-256 PDF (V5/R6 AESV3, hardened 2.B derivation) extracts") {
     val texts = Seq("Sealed zeta", "Sealed eta")
     val pages = PdfText.extractPages(PdfCrypt.samplePdf(texts, v = 5))

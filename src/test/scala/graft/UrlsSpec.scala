@@ -24,6 +24,11 @@ class UrlsSpec extends SparkSpec {
     // already-canonical input is a fixed point
     val c = "http://example.com/p/1?a=1&b=2"
     assert(canon(c) == Seq(c))
+    // a '?' INSIDE the fragment is fragment content, not a query — the
+    // whole fragment drops and nothing is resurrected as a query
+    assert(canon("http://h/p#sec?x=1") == Seq("http://h/p"))
+    // real query before the fragment still survives alongside a '?' inside it
+    assert(canon("http://h/p?b=2&a=1#sec?x=1") == Seq("http://h/p?a=1&b=2"))
   }
 
   test("canonicalUrl: non-URL strings pass through unchanged") {

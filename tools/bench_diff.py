@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Pairwise per-query bench diff: `bench_diff.py OLD.json NEW.json`.
+
+Compares two Bench artifacts (`graft_bench_full.json` / `BENCH_r*.json`)
+query by query and separates three things the r8 round-end conflated:
+
+  1. run contamination — the NEW artifact's canary (fixed micro-workload,
+     cost never changes across rounds) is inflated vs the OLD one: the
+     RUN is suspect and per-query diffs are meaningless;
+  2. noise — the delta is inside either run's recorded warm spread;
+  3. real regressions — delta beyond spread on a clean-canary run.
+
+Exit code 1 if real regressions exist on a clean run, 2 if the run is
+contaminated (canary ratio > 1.5), else 0.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        txt = f.read()
+    # BENCH_r*.json may wrap the line or be the raw stdout line
+    return json.loads(txt.strip().splitlines()[-1])
+
+
+def main():
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 0
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+
+    def norm(d):
+        # stdout-compact artifacts strip the "q_" prefix; full ones don't
+        return {(k if k.startswith("q") else "q_" + k): v
+                for k, v in d.get("queries", {}).items()}
+
+    oq, nq = norm(old), norm(new)
+    osp = {k: v for k, v in old.get("spread", {}).items()}
+    nsp = {k: v for k, v in new.get("spread", {}).items()}
+
+    ocan, ncan = old.get("canary"), new.get("canary")
+    contaminated = False
+    if ocan and ncan:
+        ratio = max(ncan) / max(min(ocan), 1e-9)
+        print(f"canary: old={ocan} new={ncan} ratio={ratio:.2f}")
+        if ratio > 1.5:
+            contaminated = True
+            print("!! NEW run canary is inflated vs OLD — machine "
+                  "contention; per-query diffs below are unreliable")
+    elif ncan:
+        print(f"canary (new only): {ncan}"
+              + ("  !! pre/post disagree >1.5x — load changed mid-run"
+                 if max(ncan) / max(min(ncan), 1e-9) > 1.5 else ""))
+
+    shared = sorted(set(oq) & set(nq))
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    regressions = []
+    improved = []
+    for k in shared:
+        o, n = float(oq[k]), float(nq[k])
+        tol = max(float(osp.get(k, 0)), float(nsp.get(k, 0)), 0.25, 0.25 * o)
+        if n - o > tol:
+            regressions.append((k, o, n))
+        elif o - n > tol:
+            improved.append((k, o, n))
+    tot_o = sum(float(v) for v in oq.values())
+    tot_n = sum(float(v) for v in nq.values())
+    shared_o = sum(float(oq[k]) for k in shared)
+    shared_n = sum(float(nq[k]) for k in shared)
+    print(f"shared {len(shared)}  added {len(added)}  removed {len(removed)}"
+          f"  | shared-total {shared_o:.1f} -> {shared_n:.1f}s"
+          f"  (full totals {tot_o:.1f} -> {tot_n:.1f}s)")
+    for k, o, n in sorted(regressions, key=lambda t: t[1] - t[2]):
+        print(f"  REGRESSED {k}: {o:.2f} -> {n:.2f}s")
+    for k, o, n in sorted(improved, key=lambda t: t[2] - t[1]):
+        print(f"  improved  {k}: {o:.2f} -> {n:.2f}s")
+    if added:
+        print("  new queries: " + ", ".join(
+            f"{k}={float(nq[k]):.2f}s" for k in added))
+    if removed:
+        print("  removed: " + ", ".join(removed))
+    if contaminated:
+        return 2
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
