@@ -2801,6 +2801,33 @@ object Queries {
              |  (1 + 2 * (n // 2))::DOUBLE * 1000 / 8000 AS duration_ms
              |FROM s ORDER BY media_id""".stripMargin)),
 
+    // REAL compressed-audio decode #3 — FLAC (lossless): text bytes become
+    // 16-bit samples ((b-128)·256), compressed by the real encoder (FIXED/
+    // LPC predictors, Rice residuals, CRC-8/16, STREAMINFO MD5) and decoded
+    // back by the full decoder. LOSSLESS means the oracle checks EVERY
+    // sample, not just headers: Σ sᵢ and the order-sensitive Σ (i+1)·sᵢ
+    // are closed forms over the text, and md5_ok pins the decoded PCM to
+    // the container signature.
+    ("q_multimodal_flac",
+      (s: SparkSession, d: String) =>
+        Multimodal.flacInfo(s,
+          Multimodal.demoFlacTable(
+            tbl(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text"))
+          .filter(col("n_samples") > 0)
+          .orderBy("media_id"),
+      Some("""WITH s AS (
+             |  SELECT doc_id, list_transform(string_split(text, ''),
+             |    ch -> (ascii(ch) - 128) * 256) AS xs
+             |  FROM documents WHERE doc_id < 100 AND len(text) > 0)
+             |SELECT doc_id AS media_id, 'audio/flac' AS format,
+             |  8000 AS sample_rate, 1 AS channels, 16 AS bps,
+             |  len(xs)::INT AS n_samples, xs[1]::INT AS first_sample,
+             |  list_sum(xs)::BIGINT AS sample_sum,
+             |  list_sum(list_transform(range(0, len(xs)),
+             |    i -> ((i + 1) * xs[i+1])::BIGINT))::BIGINT AS weighted_sum,
+             |  true AS md5_ok
+             |FROM s ORDER BY media_id""".stripMargin)),
+
     // ------------------------------------------- r7 second tranche: RAG /
     // warehouse-maintenance / graph / runtime-filter operators
 

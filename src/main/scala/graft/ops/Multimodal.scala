@@ -14,7 +14,9 @@ import org.apache.spark.sql.types._
   * the JDK's own `javax.imageio` (zero external dependencies), AND for
   * compressed video as MJPEG-in-AVI (the RIFF walker feeds each '00dc' JPEG
   * frame through the ImageIO path — [[videoFrames]]), all through
-  * [[graft.functions.MediaCodecs]]. Only PERCEPTUAL compressed-audio codecs
+  * [[graft.functions.MediaCodecs]], and for FLAC (full decoder:
+  * FIXED/LPC/Rice/stereo-decorrelation, [[graft.functions.Flac]]).
+  * Only PERCEPTUAL compressed-audio codecs
   * (MP3/AAC...) remain behind the labeled `decodeStub` — the JDK genuinely
   * ships none; swapping the stub for a JNI/javacv decoder changes one
   * function, and the batch iteration shape (mapPartitions, per-partition
@@ -87,6 +89,66 @@ object Multimodal {
     }
     df.select(col(idCol).cast("long").as("media_id"),
       wav(col(textCol)).as("payload"))
+  }
+
+  /** Demo FLAC AUDIO table: each row's text rendered as 16-bit samples
+    * ((byte−128)·256, the ADPCM fixture waveform) and compressed through
+    * the REAL FLAC encoder ([[graft.functions.Flac.encode]] — FIXED/LPC
+    * predictors, Rice residuals, CRC-8/16, STREAMINFO MD5). Lossless, so
+    * the decode side is checkable sample-exactly. */
+  def demoFlacTable(df: DataFrame, idCol: String, textCol: String,
+                    sampleRate: Int = 8000): DataFrame = {
+    val flac = udf { (t: String) =>
+      val samples = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => ((b & 0xff) - 128) * 256)
+      graft.functions.Flac.encode(samples, sampleRate)
+    }
+    df.select(col(idCol).cast("long").as("media_id"),
+      flac(col(textCol)).as("payload"))
+  }
+
+  val flacInfoSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bps", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("first_sample", IntegerType),
+    StructField("sample_sum", LongType, nullable = false),
+    StructField("weighted_sum", LongType, nullable = false),
+    StructField("md5_ok", BooleanType, nullable = false)
+  ))
+
+  /** FLAC decode summary. Because FLAC is LOSSLESS, this reports
+    * full-stream integer checksums — Σ sᵢ and the order-sensitive
+    * Σ (i+1)·sᵢ over channel 0 — that an oracle can state in closed form
+    * from the fixture waveform: the strongest decode-correctness probe of
+    * any audio path here (the ADPCM sibling can only pin the first sample
+    * in SQL). `md5_ok` re-hashes the decoded PCM against the STREAMINFO
+    * signature. Non-FLAC payloads yield no rows. Same scale shape as every
+    * decoder: mapPartitions, per-row sequential work, no shuffle. */
+  def flacInfo(spark: SparkSession, media: DataFrame): DataFrame = {
+    import graft.functions.Flac
+    val enc = org.apache.spark.sql.Encoders.row(flacInfoSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        Flac.decode(bytes) match {
+          case Some((info, chans)) =>
+            val c0 = if (chans.isEmpty) Array.emptyIntArray else chans(0)
+            var sum = 0L; var wsum = 0L; var i = 0
+            while (i < c0.length) { sum += c0(i); wsum += (i + 1L) * c0(i); i += 1 }
+            Iterator.single(Row(id, "audio/flac", info.sampleRate,
+              info.channels, info.bitsPerSample, c0.length,
+              if (c0.isEmpty) null else Int.box(c0(0)), sum, wsum, info.md5Ok))
+          case None => Iterator.empty
+        }
+      }
+    }(enc)
   }
 
   val decodedSchema: StructType = StructType(Seq(

@@ -19,9 +19,29 @@ import sys
 
 def load(path):
     with open(path) as f:
-        txt = f.read()
-    # BENCH_r*.json may wrap the line or be the raw stdout line
-    return json.loads(txt.strip().splitlines()[-1])
+        txt = f.read().strip()
+    try:
+        d = json.loads(txt.splitlines()[-1])
+    except json.JSONDecodeError:
+        d = json.loads(txt)
+    if isinstance(d, dict) and "tail" in d:
+        # driver artifact: the stdout tail, FRONT-truncated to 2000 chars.
+        # Recover what survives as "name":number pairs; the first match may
+        # carry a truncated name, so drop it unless the tail starts clean.
+        import re
+        pairs = [(m.group(1), float(m.group(2))) for m in
+                 re.finditer(r'"([A-Za-z0-9_]+)":([0-9][0-9.]*)', d["tail"])]
+        if pairs and not d["tail"].lstrip().startswith("{"):
+            pairs = pairs[1:]
+        qs = dict(pairs)
+        for meta in ("value", "spread_max", "sub150ms_omitted", "n_runs"):
+            qs.pop(meta, None)
+        out = {"queries": qs}
+        m = re.search(r'"canary":\[([0-9.]+),([0-9.]+)\]', d["tail"])
+        if m:
+            out["canary"] = [float(m.group(1)), float(m.group(2))]
+        return out
+    return d
 
 
 def main():
@@ -31,8 +51,9 @@ def main():
     old, new = load(sys.argv[1]), load(sys.argv[2])
 
     def norm(d):
-        # stdout-compact artifacts strip the "q_" prefix; full ones don't
-        return {(k if k.startswith("q") else "q_" + k): v
+        # stdout-compact artifacts strip the "q_" prefix; full ones don't.
+        # Canonicalize by stripping, which is safe in both directions.
+        return {(k[2:] if k.startswith("q_") else k): v
                 for k, v in d.get("queries", {}).items()}
 
     oq, nq = norm(old), norm(new)
