@@ -48,10 +48,22 @@ object PdfText {
     * modern writers' compressed catalogs/page trees walk normally.
     * ISO-8859-1 is byte-bijective, so regex-captured object bodies convert
     * back to the exact original bytes for stream decoding.
+    *
+    * Incrementally-updated PDFs (ISO 32000 §7.5.6: new object generations
+    * appended after the previous `%%EOF`, xref chained via `/Prev`): the
+    * linear scan feeds `toMap`, whose duplicate-key rule keeps the LAST
+    * definition — i.e. the highest byte offset, which for append-only
+    * updates IS the newest generation. That reproduces what PyPDF2's
+    * xref-chain walk (`app.py:186-192`) resolves for appended updates
+    * without parsing xref tables at all. The generation number in
+    * `N G obj` is deliberately unanchored: a free-then-reuse update
+    * (`4 1 obj` superseding `4 0 obj`) is still matched and still
+    * last-wins; in-body references stay `N 0 R` in every real writer's
+    * page tree, so ref resolution is unaffected.
     */
   private def pageTreeTexts(bytes: Array[Byte]): Option[Seq[String]] = {
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
-    val objRe = """(?s)(\d+)\s+0\s+obj\b(.*?)\bendobj""".r
+    val objRe = """(?s)(\d+)\s+\d+\s+obj\b(.*?)\bendobj""".r
     val direct: Map[Int, String] =
       objRe.findAllMatchIn(s).map(m => m.group(1).toInt -> m.group(2)).toMap
     // standard-security-handler decryption (empty user password): dec(num)

@@ -131,6 +131,38 @@ class ReadersSpec extends SparkSpec {
     assert(rows.exists(_.contains("Second")))
   }
 
+  test("pdf: incremental updates supersede earlier object generations") {
+    val dir = tmpDir("pdfinc_")
+    def streamObj(num: Int, gen: Int, content: String) =
+      s"$num $gen obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n"
+    // Original document: one page whose content stream says ORIGINAL,
+    // closed with its own xref/trailer/%%EOF ...
+    val v1 = "%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+      streamObj(4, 0, "BT (ORIGINAL text) Tj ET") +
+      "xref\n0 5\n0000000000 65535 f \n" +
+      "trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n9\n%%EOF\n"
+    // ... then two incremental updates appended after it (ISO 32000
+    // §7.5.6): first a same-generation redefinition of the content
+    // stream, then a generation-BUMPED Pages node adding a second page.
+    val v2 = streamObj(4, 0, "BT (UPDATED text) Tj ET") +
+      "xref\n0 1\n0000000000 65535 f \n" +
+      s"trailer\n<< /Size 5 /Root 1 0 R /Prev 9 >>\nstartxref\n${v1.length}\n%%EOF\n"
+    val v3 = "2 1 obj\n<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 2 >>\nendobj\n" +
+      "6 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>\nendobj\n" +
+      streamObj(7, 0, "BT (ADDED page) Tj ET") +
+      "xref\n0 1\n0000000000 65535 f \n" +
+      s"trailer\n<< /Size 8 /Root 1 0 R /Prev ${v1.length} >>\nstartxref\n${(v1 + v2).length}\n%%EOF\n"
+    write(dir, "inc.pdf", (v1 + v2 + v3).getBytes(StandardCharsets.ISO_8859_1))
+    val rows = Readers.pdf(spark, dir).collect().map(_.getString(0))
+    // Last definition wins = PyPDF2's xref-chain result for appended
+    // updates: the superseded ORIGINAL stream must NOT resurrect.
+    assert(rows.toSeq == Seq("UPDATED text ", "ADDED page "),
+      s"incremental update must supersede older generations: ${rows.toSeq}")
+  }
+
   test("pdf: Flate-compressed content stream decodes") {
     val dir = tmpDir("pdfz_")
     val content = "BT (Compressed text) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
