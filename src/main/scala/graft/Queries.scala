@@ -286,6 +286,14 @@ object Queries {
     writeBytes(dir.resolve("cp1251.txt"),
       "добрый день всем привет".getBytes(
         java.nio.charset.Charset.forName("windows-1251")))
+    // r9: EUC-KR (hangul-dominance gate) and ISO-2022-JP (7-bit escape
+    // gate — would otherwise pass strict UTF-8 with raw ESC bytes)
+    writeBytes(dir.resolve("euckr.txt"),
+      "한국어 인코딩 테스트입니다".getBytes(
+        java.nio.charset.Charset.forName("EUC-KR")))
+    writeBytes(dir.resolve("iso2022jp.txt"),
+      "こんにちは世界".getBytes(
+        java.nio.charset.Charset.forName("ISO-2022-JP")))
     dir.toString
   }
 
@@ -1080,6 +1088,9 @@ object Queries {
               | UNION ALL SELECT '\u65e5\u672c\u8a9e\u306e\u30c6\u30ad\u30b9\u30c8\u3067\u3059'
               | UNION ALL SELECT '\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u043a\u0430\u043a \u0434\u0435\u043b\u0430'
               | UNION ALL SELECT '\u0434\u043e\u0431\u0440\u044b\u0439 \u0434\u0435\u043d\u044c \u0432\u0441\u0435\u043c \u043f\u0440\u0438\u0432\u0435\u0442'
+              | -- r9: EUC-KR (hangul dominance) and ISO-2022-JP (escape gate)
+              | UNION ALL SELECT '\ud55c\uad6d\uc5b4 \uc778\ucf54\ub529 \ud14c\uc2a4\ud2b8\uc785\ub2c8\ub2e4'
+              | UNION ALL SELECT '\u3053\u3093\u306b\u3061\u306f\u4e16\u754c'
               |) ORDER BY content""".stripMargin)),
 
     // ------------------------------------------------ F1/F2 extraction

@@ -94,11 +94,14 @@ object Readers {
     *     cp1252's five undefined slots. For streams without 0x80–0x9F
     *     bytes cp1252 and Latin-1 agree, so the Latin-1 floor is used.
     *
-    * The [[decodeCjkOrCyrillic]] tail then covers chardet's remaining
-    * common catches — EUC-JP, GBK, Big5, KOI8-R, windows-1251 — via strict
-    * decoding plus script/frequency/case scoring. Residual divergence from
-    * chardet (SURVEY §7.4): rarer families (EUC-KR, ISO-8859-5/7, ...)
-    * still floor to Latin-1. All ladder behavior is PINNED by the
+    * ISO-2022-JP — pure 7-bit, so invisible to a validity scan — is gated
+    * on its ESC $ B / ESC $ @ shift-in sequences before the UTF-8 pass,
+    * exactly like chardet's escape prober. The [[decodeCjkOrCyrillic]]
+    * tail then covers chardet's remaining common catches — EUC-JP, EUC-KR,
+    * GBK, Big5, KOI8-R, windows-1251 — via strict decoding plus
+    * script/frequency/case scoring. Residual divergence from chardet
+    * (SURVEY §7.4): rarer families (ISO-8859-5/7, TIS-620, ...) still
+    * floor to Latin-1. All ladder behavior is PINNED by the
     * `q_ingest_txt_encodings` fixture, so a future detector upgrade shows
     * up as a deliberate oracle change, not drift.
     */
@@ -138,6 +141,22 @@ object Readers {
       val cs = if (oddZeros * 2 >= zeros) StandardCharsets.UTF_16LE
                else StandardCharsets.UTF_16BE
       return new String(bytes, cs)
+    }
+    // ISO-2022-JP is pure 7-bit, so it would sail through the strict UTF-8
+    // scan below with raw ESC sequences intact — like chardet's escape
+    // prober, gate on the JIS X 0208 shift-in sequences (ESC $ B / ESC $ @)
+    // BEFORE the UTF-8 pass, then let a strict decode validate the full
+    // escape grammar. Real UTF-8/ASCII text never contains these.
+    var ji = 0
+    while (ji + 2 < bytes.length) {
+      if (bytes(ji) == 0x1b && bytes(ji + 1) == '$' &&
+          (bytes(ji + 2) == 'B' || bytes(ji + 2) == '@')) {
+        strictDecode(bytes, "ISO-2022-JP") match {
+          case Some(t) => return t
+          case None    => ji = bytes.length
+        }
+      }
+      ji += 1
     }
     // strict UTF-8 validity scan
     val utf8 = StandardCharsets.UTF_8.newDecoder()
@@ -240,6 +259,19 @@ object Readers {
       kana >= 2 && nonAscii.nonEmpty && cjk * 10 >= nonAscii.length * 8
     }
     if (eucjp.isDefined) return eucjp
+    // EUC-KR: strict decode + Hangul dominance (≥2 precomposed syllables in
+    // U+AC00–U+D7A3 and ≥60% of non-ASCII output) — real Korean prose is
+    // hangul-dominated, while GBK/Big5/EUC-JP streams mis-decoded as EUC-KR
+    // yield hanja/symbols, and Cyrillic's ASCII-adjacent odd-length runs
+    // fail the strict decode outright. Runs BEFORE the Chinese scoring:
+    // a Korean stream can strict-decode as GBK too, but never the reverse
+    // with this gate (GBK text carries no precomposed hangul).
+    val euckr = strictDecode(bytes, "EUC-KR").filter { t =>
+      val nonAscii = t.filter(_ > '\u007f')
+      val hangul = nonAscii.count(c => c >= 0xac00 && c <= 0xd7a3)
+      hangul >= 2 && hangul * 10 >= nonAscii.length * 6
+    }
+    if (euckr.isDefined) return euckr
     // GBK vs Big5
     val zh = Seq("GBK", "Big5").flatMap { cs =>
       strictDecode(bytes, cs).flatMap { t =>

@@ -55,6 +55,19 @@ class ReadersSpec extends SparkSpec {
     assert(dec("繁體中文測試", "Big5") == "繁體中文測試")
     assert(dec("привет мир как дела", "KOI8-R") == "привет мир как дела")
     assert(dec("добрый день всем привет", "windows-1251") == "добрый день всем привет")
+    // r9: EUC-KR via the hangul-dominance gate; mixed hangul+ASCII too
+    assert(dec("한국어 인코딩 테스트입니다", "EUC-KR") == "한국어 인코딩 테스트입니다")
+    assert(dec("서울 Seoul 2024", "EUC-KR") == "서울 Seoul 2024")
+    // r9: ISO-2022-JP is 7-bit — only the escape gate can catch it
+    assert(dec("こんにちは世界", "ISO-2022-JP") == "こんにちは世界")
+    assert(dec("日本語 ASCII mix です", "ISO-2022-JP") == "日本語 ASCII mix です")
+    // a stray ESC without the JIS shift-in sequence must NOT trip the
+    // gate: ANSI-colored logs stay plain UTF-8
+    val ansi = "\u001b[31mred text\u001b[0m"
+    assert(Readers.decodeFallbackForTest(ansi.getBytes("UTF-8")) == ansi)
+    // Chinese GBK text must not be claimed by the (earlier) EUC-KR branch:
+    // its decode carries no precomposed hangul
+    assert(dec("中文编码测试", "GBK") == "中文编码测试")
     // Latin-1 stays Latin-1: adjacent high bytes that happen to form valid
     // GBK pairs must not turn Nordic text into hanzi (frequency gate), and
     // isolated accents never enter the detector at all (<4 high bytes)
