@@ -1,0 +1,162 @@
+package graft.streaming
+
+import graft.ops.{Bloom, Dedup}
+import graft.ops.TextAnalysis.fingerprintMd5
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Continuous-crawl deduplication at ingest (SURVEY §7.5 extension): each
+  * micro-batch drops exact AND MinHash-banded near-duplicates against the
+  * standing corpus BEFORE anything is appended — the online face of
+  * [[graft.ops.Dedup.dedupKeepFirst]] + [[graft.ops.Dedup.dropNearDuplicates]],
+  * the one LLM-pipeline shape (crawl streams in, only novel documents
+  * accumulate) the engine previously had only in batch form.
+  *
+  * Standing state is a parquet dedup INDEX, not the corpus text:
+  *   - `indexDir/fp`:      (id, fp)            — md5 content fingerprints
+  *   - `indexDir/buckets`: (id, band, bkey)    — LSH band keys
+  *   - `indexDir/sig`:     (id, sig)           — full MinHash signatures
+  * so the per-document state is a few hundred bytes however large the
+  * documents are. Admission per micro-batch:
+  *
+  *   1. exact dedup WITHIN the batch (min-id per fingerprint);
+  *   2. exact dedup vs the index via [[Bloom.antiJoinPrefiltered]] — a
+  *      Bloom-negative fingerprint is DEFINITELY new and skips the
+  *      anti-join entirely, so a mostly-novel batch shuffles almost
+  *      nothing against the corpus-scale fingerprint set;
+  *   3. near-dup dedup WITHIN the batch (exact-Jaccard-verified, the batch
+  *      operator itself);
+  *   4. near-dup vs the index: the batch's band keys equi-join the standing
+  *      bucket table — the BATCH side broadcasts (micro-batches are small),
+  *      so the corpus-scale index is never shuffled — and candidates are
+  *      verified by MinHash signature agreement (fraction of equal
+  *      components, the unbiased Jaccard estimator) at `threshold`;
+  *   5. survivors' index rows append; survivors return to the caller.
+  *
+  * Near-dup-vs-corpus verification is the signature ESTIMATE, not exact
+  * shingle Jaccard — the index stores no text, which is what keeps the
+  * standing state corpus-size-independent (production crawl dedup makes the
+  * same trade; with H=16 components the estimator's σ is ~0.12 at J=0.5, so
+  * size H to the false-drop rate you want, or re-verify candidates against
+  * the corpus store downstream). Admission is GREEDY-online: on a transitive
+  * chain A~B~C (A admitted, B dropped vs A, C similar only to B), batch CC
+  * keeps {A} while the stream admits {A, C} — B was never indexed. That is
+  * the standard online semantics; the convergence spec pins both the
+  * agreeing cases and this one deliberate divergence.
+  *
+  * At 100 TB the per-batch cost is one scan of the bucket/fp index (probed
+  * map-side against the broadcast batch); keep the index pruned-scannable by
+  * laying it out on bkey ([[graft.ops.Layout]] Z-order / bucketing) as it
+  * grows.
+  */
+object StreamingDedup {
+
+  /** Admit a micro-batch (`idCol` long, `textCol` string) against the
+    * standing index at `indexDir`, appending survivors' index entries.
+    * Returns the admitted rows (original batch columns). Batch-only API —
+    * call from `foreachBatch` (see [[start]]) or directly in tests.
+    */
+  def admitBatch(spark: SparkSession, batch: DataFrame, idCol: String,
+                 textCol: String, indexDir: String, threshold: Double,
+                 numHashes: Int = 16, bands: Int = 4,
+                 shingleSize: Int = 5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val fpDir = s"$indexDir/fp"
+    val bucketDir = s"$indexDir/buckets"
+    val sigDir = s"$indexDir/sig"
+    def readIf(dir: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(spark.read.parquet(dir)) else None
+    }
+
+    // 1. exact within batch
+    val withFp = batch.withColumn("__fp", fingerprintMd5(col(textCol)))
+    val exactB = Dedup.dedupKeepFirst(withFp, idCol, Seq("__fp"))
+    // 2. exact vs index (Bloom prefilter: definitely-new rows skip the join)
+    val exactC = readIf(fpDir) match {
+      case Some(fps) => Bloom.antiJoinPrefiltered(exactB, "__fp", fps, "fp")
+      case None      => exactB
+    }
+    // 3. near-dup within batch (exact-verified batch semantics)
+    val nearB = Dedup.dropNearDuplicates(exactC.drop("__fp"), idCol, textCol,
+      threshold, numHashes, bands, shingleSize)
+      .withColumn("__fp", fingerprintMd5(col(textCol)))
+    // 4. near-dup vs index: broadcast the batch buckets; estimate Jaccard
+    //    from stored signatures
+    val survivors = readIf(bucketDir) match {
+      case Some(idxBuckets) =>
+        val bBuckets = Dedup.lshBuckets(nearB, idCol, textCol,
+          numHashes, bands, shingleSize)
+        val cand = idxBuckets
+          .join(broadcast(bBuckets.withColumnRenamed("id", "bid")),
+            Seq("band", "bkey"))
+          .select(col("bid"), col("id").as("cid")).distinct()
+        val bSig = nearB.select(col(idCol).as("bid"),
+          Dedup.minhashSignature(col(textCol), numHashes, shingleSize).as("bsig"))
+        val idxSig = readIf(sigDir).get
+        val dropIds = cand
+          .join(broadcast(bSig), "bid")
+          .join(idxSig.withColumnRenamed("id", "cid")
+            .withColumnRenamed("sig", "csig"), "cid")
+          .withColumn("agree",
+            size(filter(zip_with(col("bsig"), col("csig"), _ === _),
+              x => x)).cast("double") / numHashes)
+          .filter(col("agree") >= threshold)
+          .select(col("bid").as(idCol)).distinct()
+        nearB.join(dropIds, Seq(idCol), "left_anti")
+      case None => nearB
+    }
+
+    // 5. append survivors' index entries, return survivors.
+    //    MATERIALIZE FIRST (eager localCheckpoint severs the lineage from
+    //    the index paths): the survivors' plan READS fp/buckets/sig, and
+    //    each append below refreshes caches/file-indexes on those paths —
+    //    a lazy plan would re-resolve AFTER the appends, anti-join the
+    //    batch against its own freshly-written fingerprints, and return
+    //    empty. The checkpointed RDD is immune to the self-read cycle.
+    val s = survivors.localCheckpoint(true)
+    s.select(col(idCol).as("id"), col("__fp").as("fp"))
+      .write.mode("append").parquet(fpDir)
+    Dedup.lshBuckets(s, idCol, textCol, numHashes, bands, shingleSize)
+      .write.mode("append").parquet(bucketDir)
+    s.select(col(idCol).as("id"),
+        Dedup.minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+      .write.mode("append").parquet(sigDir)
+    s.drop("__fp")
+  }
+
+  /** Continuous deduped ingest: text files landing in `landingDir` flow
+    * through [[admitBatch]] (vs the index at `indexDir`) and only the
+    * admitted documents enter the corpus via the idempotent
+    * [[StreamingIngest.ingestBatchOnce]] marker discipline. Batch ids seed
+    * document ids so arrival order is the dedup precedence, exactly like
+    * the batch operators' min-id rule.
+    */
+  def start(spark: SparkSession, landingDir: String, corpusDir: String,
+            indexDir: String, checkpointDir: String, threshold: Double,
+            numHashes: Int = 16, bands: Int = 4,
+            shingleSize: Int = 5): StreamingQuery = {
+    val lines = spark.readStream.format("text").load(landingDir)
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value").as("content"))
+    lines.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("2 seconds"))
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        // arrival-ordered ids, unique across micro-batches: batch id in the
+        // high bits (mono ids are partition<<33 + row, well under 2^40 for
+        // a micro-batch), so later arrivals always lose dedup
+        val withId = b.withColumn("__id",
+          lit(batchId << 40) + monotonically_increasing_id())
+        val admitted = admitBatch(spark, withId, "__id", "content",
+          indexDir, threshold, numHashes, bands, shingleSize)
+        StreamingIngest.ingestBatchOnce(spark, admitted.drop("__id"),
+          corpusDir, batchId)
+        ()
+      }
+      .start()
+  }
+}

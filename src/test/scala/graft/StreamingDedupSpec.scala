@@ -1,0 +1,88 @@
+package graft
+
+import graft.ops.{Corpus, Dedup}
+import graft.ops.TextAnalysis.fingerprintMd5
+import graft.streaming.StreamingDedup
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 30 tokens — long enough that a last-token edit leaves Jaccard ≈ 0.93
+  // over 5-shingles (26 agree / 28 total), far above the 0.5 threshold on
+  // both the exact-verify and the signature-agreement side.
+  private val docA = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+    "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi " +
+    "omega one two three four five six")
+  private val nearA = docA.replaceAll("six$", "seven")
+  private val docB = "the quick brown fox jumps over the lazy dog tonight"
+  private val docC = ("completely different content about weather patterns " +
+    "storms clouds rainfall humidity pressure systems fronts and forecasting")
+
+  test("admitBatch: micro-batches converge to the batch dedup result") {
+    val indexDir = tmpDir("dedupidx_")
+    val b1 = Seq((1L, docA), (2L, docA), (3L, docB)).toDF("id", "text")
+    val b2 = Seq((11L, docA), (12L, nearA), (13L, docC)).toDF("id", "text")
+
+    val a1 = StreamingDedup.admitBatch(spark, b1, "id", "text",
+      indexDir, threshold = 0.5).select("id").as[Long].collect().sorted
+    // 2 is an exact in-batch dup of 1
+    assert(a1.toSeq == Seq(1L, 3L), s"batch1 admitted ${a1.toSeq}")
+
+    val a2 = StreamingDedup.admitBatch(spark, b2, "id", "text",
+      indexDir, threshold = 0.5).select("id").as[Long].collect().sorted
+    // 11 = exact dup vs index, 12 = near-dup vs index, 13 novel
+    assert(a2.toSeq == Seq(13L), s"batch2 admitted ${a2.toSeq}")
+
+    // batch-mode over the union: same survivors
+    val union = b1.union(b2)
+    val batchMode = Dedup.dropNearDuplicates(
+      Dedup.dedupKeepFirst(
+        union.withColumn("fp", fingerprintMd5(col("text"))), "id", Seq("fp"))
+        .drop("fp"),
+      "id", "text", threshold = 0.5)
+      .select("id").as[Long].collect().sorted
+    assert(batchMode.toSeq == (a1 ++ a2).sorted.toSeq,
+      s"batch ${batchMode.toSeq} vs streamed ${(a1 ++ a2).sorted.toSeq}")
+  }
+
+  test("admitBatch: admitted survivors keep original columns and the index accumulates") {
+    val indexDir = tmpDir("dedupidx_")
+    val out = StreamingDedup.admitBatch(spark,
+      Seq((5L, docB, "keep-me")).toDF("id", "text", "extra"),
+      "id", "text", indexDir, threshold = 0.5)
+    assert(out.columns.toSeq == Seq("id", "text", "extra"))
+    assert(out.select("extra").as[String].collect().toSeq == Seq("keep-me"))
+    // fp/buckets/sig index tables all materialized
+    assert(spark.read.parquet(s"$indexDir/fp").count() == 1)
+    assert(spark.read.parquet(s"$indexDir/sig").count() == 1)
+    assert(spark.read.parquet(s"$indexDir/buckets").count() == 4) // one per band
+  }
+
+  test("start: continuous deduped ingest admits only novel documents to the corpus") {
+    val landing = tmpDir("landing_")
+    val corpus = tmpDir("corpus_")
+    val index = tmpDir("index_")
+    val ckpt = tmpDir("ckpt_")
+    Files.write(Paths.get(landing, "a.txt"),
+      s"$docA\n$docB\n".getBytes(StandardCharsets.UTF_8))
+    val q = StreamingDedup.start(spark, landing, corpus, index, ckpt,
+      threshold = 0.5)
+    try {
+      q.processAllAvailable()
+      assert(Corpus.records(spark, corpus).count() == 2)
+      // second file: one exact dup, one near dup, one novel line
+      Files.write(Paths.get(landing, "b.txt"),
+        s"$docA\n$nearA\n$docC\n".getBytes(StandardCharsets.UTF_8))
+      q.processAllAvailable()
+      val contents = Corpus.records(spark, corpus)
+        .select(get_json_object(col("data"), "$.content"))
+        .as[String].collect().toSet
+      assert(contents == Set(docA, docB, docC),
+        s"corpus must hold exactly the novel documents: $contents")
+    } finally q.stop()
+  }
+}
