@@ -427,7 +427,9 @@ object Dedup {
     var labels = current
     var iter = 0
     var converged = false
+    val loopStart = System.nanoTime()
     while (iter < maxIters && !converged) {
+      val roundStart = System.nanoTime()
       // closed-neighborhood min: own label ∪ labels arriving over edges.
       // The own row carries its label twice — the `prev` copy survives the
       // aggregate (min ignores the messages' nulls; ids are unique in
@@ -445,7 +447,19 @@ object Dedup {
       current = next
       labels = next.select("id", "lbl")
       iter += 1
+      log.info(f"connectedComponents: round $iter took " +
+        f"${(System.nanoTime() - roundStart) / 1e9}%.2fs" +
+        (if (converged) " (fixpoint)" else ""))
     }
+    // cost attribution for the sf1 heavy tail: rounds × per-round job
+    // overhead vs data volume. Similarity graphs are clique-ish (diameter
+    // ~2-3 → 3-4 rounds incl. the fixpoint check); if real corpora show
+    // rounds well beyond that, the two-phase large-star/small-star scheme
+    // (halves the diameter per round) is the next step — not worth its two
+    // extra shuffles per round below ~6.
+    log.info(f"connectedComponents: $edgeCount directed edges, $iter rounds, " +
+      f"${(System.nanoTime() - loopStart) / 1e9}%.2fs total" +
+      (if (converged) "" else " (NOT converged)"))
     if (!converged)
       log.warn(s"connectedComponents: no fixpoint after $maxIters rounds — " +
         "labels are partially propagated (graph diameter exceeds maxIters); " +
