@@ -2047,7 +2047,7 @@ object Queries {
              |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
              |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
              |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-             |    regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS query
+             |    regexp_extract(url, '^[^?#]*\?([^#]*)', 1) AS query
              |  FROM raw),
              |n AS (
              |  SELECT url,

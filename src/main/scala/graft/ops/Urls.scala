@@ -44,10 +44,11 @@ object Urls {
       !(scheme === "https" && port === "443")
     // path: after authority, before ? or #
     val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    // anchored to the pre-fragment prefix: an unanchored '\?' would match a
-    // '?' living INSIDE the fragment ('http://h/p#sec?x=1') and resurrect
-    // fragment content as a query instead of dropping it
-    val query = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
+    // anchored to the FIRST '?' of the pre-fragment prefix: the [^?#]* head
+    // refuses to skip past a '?' (RFC 3986 allows '?' INSIDE a query, so a
+    // greedy [^#]* head would anchor at the LAST one and drop 'a=1?' from
+    // '?a=1?b=2'), while still never matching a '?' inside the fragment
+    val query = regexp_extract(url, "^[^?#]*\\?([^#]*)", 1)
     val sortedQuery = when(query === "", lit(""))
       .otherwise(concat(lit("?"), array_join(array_sort(split(query, "&")), "&")))
     when(scheme === "", url) // not a URL: pass through

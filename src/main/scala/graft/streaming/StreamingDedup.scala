@@ -56,11 +56,22 @@ object StreamingDedup {
     * standing index at `indexDir`, appending survivors' index entries.
     * Returns the admitted rows (original batch columns). Batch-only API —
     * call from `foreachBatch` (see [[start]]) or directly in tests.
+    *
+    * `batchId = Some(n)` makes the index writes IDEMPOTENT under
+    * foreachBatch replay (Structured Streaming is at-least-once): each
+    * table writes its batch's rows into a `bid=n` partition subdir with
+    * mode=overwrite, and index READS exclude `bid = n` — so a replayed
+    * batch never anti-joins against its own half-written fingerprints
+    * (which would silently drop the whole batch from the corpus), and a
+    * crash between the three table writes is healed by the replay's
+    * overwrite. Pass None only for one-shot batch use (plain appends, no
+    * replay safety); don't mix the two modes on one `indexDir` — partition
+    * discovery needs the layout to be uniform.
     */
   def admitBatch(spark: SparkSession, batch: DataFrame, idCol: String,
                  textCol: String, indexDir: String, threshold: Double,
                  numHashes: Int = 16, bands: Int = 4,
-                 shingleSize: Int = 5): DataFrame = {
+                 shingleSize: Int = 5, batchId: Option[Long] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val fpDir = s"$indexDir/fp"
     val bucketDir = s"$indexDir/buckets"
@@ -68,7 +79,18 @@ object StreamingDedup {
     def readIf(dir: String): Option[DataFrame] = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) Some(spark.read.parquet(dir)) else None
+      if (!fs.exists(p)) None
+      // a dir holding only an uncommitted write attempt (_temporary, no
+      // data files) has no schema to infer — that IS "no committed rows"
+      else scala.util.Try(spark.read.parquet(dir)).toOption.map { df =>
+        if (df.columns.contains("bid"))
+          batchId.fold(df.drop("bid"))(b => df.filter(col("bid") =!= b).drop("bid"))
+        else df
+      }
+    }
+    def writeIdx(df: DataFrame, dir: String): Unit = batchId match {
+      case Some(b) => df.write.mode("overwrite").parquet(s"$dir/bid=$b")
+      case None    => df.write.mode("append").parquet(dir)
     }
 
     // 1. exact within batch
@@ -85,8 +107,8 @@ object StreamingDedup {
       .withColumn("__fp", fingerprintMd5(col(textCol)))
     // 4. near-dup vs index: broadcast the batch buckets; estimate Jaccard
     //    from stored signatures
-    val survivors = readIf(bucketDir) match {
-      case Some(idxBuckets) =>
+    val survivors = (readIf(bucketDir), readIf(sigDir)) match {
+      case (Some(idxBuckets), Some(idxSig)) =>
         val bBuckets = Dedup.lshBuckets(nearB, idCol, textCol,
           numHashes, bands, shingleSize)
         val cand = idxBuckets
@@ -95,7 +117,6 @@ object StreamingDedup {
           .select(col("bid"), col("id").as("cid")).distinct()
         val bSig = nearB.select(col(idCol).as("bid"),
           Dedup.minhashSignature(col(textCol), numHashes, shingleSize).as("bsig"))
-        val idxSig = readIf(sigDir).get
         val dropIds = cand
           .join(broadcast(bSig), "bid")
           .join(idxSig.withColumnRenamed("id", "cid")
@@ -106,7 +127,18 @@ object StreamingDedup {
           .filter(col("agree") >= threshold)
           .select(col("bid").as(idCol)).distinct()
         nearB.join(dropIds, Seq(idCol), "left_anti")
-      case None => nearB
+      case (Some(idxBuckets), None) =>
+        // bucket rows whose signatures are missing cannot be verified —
+        // that's an inconsistent index (a crash between the two appends in
+        // non-batch-keyed mode, or external damage), not a fresh one. An
+        // all-bid=current bucket table filtered down to nothing is the one
+        // benign shape (first batch's replay after a mid-write crash).
+        if (idxBuckets.isEmpty) nearB
+        else throw new IllegalStateException(
+          s"dedup index at $indexDir is inconsistent: bucket table has rows " +
+            "but the signature table is missing — rebuild the index or " +
+            "restore $indexDir/sig")
+      case _ => nearB
     }
 
     // 5. append survivors' index entries, return survivors.
@@ -117,13 +149,12 @@ object StreamingDedup {
     //    batch against its own freshly-written fingerprints, and return
     //    empty. The checkpointed RDD is immune to the self-read cycle.
     val s = survivors.localCheckpoint(true)
-    s.select(col(idCol).as("id"), col("__fp").as("fp"))
-      .write.mode("append").parquet(fpDir)
-    Dedup.lshBuckets(s, idCol, textCol, numHashes, bands, shingleSize)
-      .write.mode("append").parquet(bucketDir)
-    s.select(col(idCol).as("id"),
-        Dedup.minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
-      .write.mode("append").parquet(sigDir)
+    writeIdx(s.select(col(idCol).as("id"), col("__fp").as("fp")), fpDir)
+    writeIdx(Dedup.lshBuckets(s, idCol, textCol, numHashes, bands, shingleSize),
+      bucketDir)
+    writeIdx(s.select(col(idCol).as("id"),
+      Dedup.minhashSignature(col(textCol), numHashes, shingleSize).as("sig")),
+      sigDir)
     s.drop("__fp")
   }
 
@@ -147,12 +178,16 @@ object StreamingDedup {
       .trigger(Trigger.ProcessingTime("2 seconds"))
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         // arrival-ordered ids, unique across micro-batches: batch id in the
-        // high bits (mono ids are partition<<33 + row, well under 2^40 for
-        // a micro-batch), so later arrivals always lose dedup
-        val withId = b.withColumn("__id",
+        // high bits. Mono ids are partition<<33 + row, so a batch read with
+        // >=128 input partitions would overflow 2^40 into the NEXT batch's
+        // id space — coalesce below that first (micro-batches are small;
+        // 64 partitions keeps mono ids < 65<<33, far under 2^40, and
+        // leaves 2^23 batch ids before the sign bit)
+        val withId = b.coalesce(64).withColumn("__id",
           lit(batchId << 40) + monotonically_increasing_id())
         val admitted = admitBatch(spark, withId, "__id", "content",
-          indexDir, threshold, numHashes, bands, shingleSize)
+          indexDir, threshold, numHashes, bands, shingleSize,
+          batchId = Some(batchId))
         StreamingIngest.ingestBatchOnce(spark, admitted.drop("__id"),
           corpusDir, batchId)
         ()

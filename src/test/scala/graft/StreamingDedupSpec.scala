@@ -62,6 +62,47 @@ class StreamingDedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$indexDir/buckets").count() == 4) // one per band
   }
 
+  test("admitBatch: batch-keyed index writes are idempotent under replay") {
+    val indexDir = tmpDir("dedupidx_")
+    val b1 = Seq((1L, docA), (2L, docB)).toDF("id", "text")
+    val a1 = StreamingDedup.admitBatch(spark, b1, "id", "text",
+      indexDir, threshold = 0.5, batchId = Some(0L))
+      .select("id").as[Long].collect().sorted
+    assert(a1.toSeq == Seq(1L, 2L))
+    // at-least-once replay of the SAME batchId: the index already holds this
+    // batch's fingerprints, but reads exclude bid=0, so the batch must NOT
+    // anti-join against itself — everything is re-admitted, and the
+    // overwrite leaves the index unduplicated
+    val a1r = StreamingDedup.admitBatch(spark, b1, "id", "text",
+      indexDir, threshold = 0.5, batchId = Some(0L))
+      .select("id").as[Long].collect().sorted
+    assert(a1r.toSeq == Seq(1L, 2L), s"replay admitted ${a1r.toSeq} — lost rows")
+    assert(spark.read.parquet(s"$indexDir/fp").count() == 2)
+    assert(spark.read.parquet(s"$indexDir/sig").count() == 2)
+    // a LATER batch still dedups against batch 0's committed index
+    val a2 = StreamingDedup.admitBatch(spark,
+      Seq((11L, docA), (12L, docC)).toDF("id", "text"), "id", "text",
+      indexDir, threshold = 0.5, batchId = Some(1L))
+      .select("id").as[Long].collect().sorted
+    assert(a2.toSeq == Seq(12L), s"batch2 admitted ${a2.toSeq}")
+  }
+
+  test("admitBatch: buckets without signatures is an inconsistent index, not a fresh one") {
+    val indexDir = tmpDir("dedupidx_")
+    // simulate a crash between the buckets append and the sig append in
+    // non-batch-keyed mode: fp + buckets exist, sig doesn't
+    Seq((1L, "deadbeef")).toDF("id", "fp")
+      .write.parquet(s"$indexDir/fp")
+    Seq((1L, 0, "k0")).toDF("id", "band", "bkey")
+      .write.parquet(s"$indexDir/buckets")
+    val ex = intercept[IllegalStateException] {
+      StreamingDedup.admitBatch(spark,
+        Seq((2L, docC)).toDF("id", "text"), "id", "text",
+        indexDir, threshold = 0.5)
+    }
+    assert(ex.getMessage.contains("inconsistent"))
+  }
+
   test("start: continuous deduped ingest admits only novel documents to the corpus") {
     val landing = tmpDir("landing_")
     val corpus = tmpDir("corpus_")

@@ -29,6 +29,10 @@ class UrlsSpec extends SparkSpec {
     assert(canon("http://h/p#sec?x=1") == Seq("http://h/p"))
     // real query before the fragment still survives alongside a '?' inside it
     assert(canon("http://h/p?b=2&a=1#sec?x=1") == Seq("http://h/p?a=1&b=2"))
+    // RFC 3986 allows '?' INSIDE the query: the query anchors at the FIRST
+    // '?', so 'a=1?b=2' is ONE parameter value, not two ('a=1?' must not drop)
+    assert(canon("http://h/p?a=1?b=2") == Seq("http://h/p?a=1?b=2"))
+    assert(canon("http://h/p?c=3&a=1?b=2#f") == Seq("http://h/p?a=1?b=2&c=3"))
   }
 
   test("canonicalUrl: non-URL strings pass through unchanged") {

@@ -57,8 +57,14 @@ def main():
                 for k, v in d.get("queries", {}).items()}
 
     oq, nq = norm(old), norm(new)
-    osp = {k: v for k, v in old.get("spread", {}).items()}
-    nsp = {k: v for k, v in new.get("spread", {}).items()}
+    # spread maps come from full artifacts with the "q_" prefix intact —
+    # normalize them exactly like the query maps or every lookup misses
+    # and the tolerance silently degrades to the fixed floor
+    def normkeys(d):
+        return {(k[2:] if k.startswith("q_") else k): v for k, v in d.items()}
+
+    osp = normkeys(old.get("spread", {}))
+    nsp = normkeys(new.get("spread", {}))
 
     ocan, ncan = old.get("canary"), new.get("canary")
     contaminated = False
