@@ -74,7 +74,8 @@ object Bench {
       runs.sorted.apply(1) // median of 3
     }
     val canaryPre = canary()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeTriple(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double) = {
       val dts = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -87,13 +88,41 @@ object Bench {
       }
       val sorted = dts.sorted
       val warm = if (dts.length > 1) dts.drop(1) else dts
-      (name, sorted(sorted.length / 2), warm.max - warm.min) // (median, warm spread)
+      (sorted(sorted.length / 2), warm.max - warm.min) // (median, warm spread)
+    }
+    def isNoisy(med: Double, sp: Double): Boolean =
+      sp > math.max(0.25 * med, 0.25)
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (med, sp) = timeTriple(fn)
+      (name, med, sp)
+    }
+    // A noisy row (warm spread > max(25% of median, 0.25s)) is weak evidence
+    // either way — it can't distinguish a regression from a one-off spike.
+    // Re-run each noisy query AFTER the battery (so a transient contention
+    // window isn't re-sampled immediately) with up to 2 extra triples, and
+    // keep the lowest-spread triple. A kept artifact should have "noisy"
+    // empty on a clean machine; a row still noisy after 3 triples is either
+    // genuinely variance-bound or the machine is loaded (check the canary).
+    val retried = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = firstPass.map { case r @ (name, med, sp) =>
+      if (!isNoisy(med, sp)) r
+      else {
+        retried += name
+        var best = (med, sp)
+        var tries = 0
+        while (tries < 2 && isNoisy(best._1, best._2)) {
+          val again = timeTriple(SparkEntry.queries(name))
+          if (again._2 < best._2) best = again
+          tries += 1
+        }
+        (name, best._1, best._2)
+      }
     }
     val canaryPost = canary()
     val total = results.map(_._2).sum
     val maxSpread = if (results.isEmpty) 0.0 else results.map(_._3).max
     val noisy = results.collect {
-      case (k, med, sp) if sp > math.max(0.25 * med, 0.25) => "\"" + k + "\""
+      case (k, med, sp) if isNoisy(med, sp) => "\"" + k + "\""
     }
     def line(fmt: Double => String, full: Boolean,
              omitZeros: Boolean = false): String = {
@@ -109,7 +138,8 @@ object Bench {
       val extra = if (full)
         results.map { case (k, _, s) => "\"" + k + "\":" + fmt(s) }
           .mkString(""","spread":{""", ",", "}") +
-          s""","spread_max":$maxSpread,"noisy":${noisy.mkString("[", ",", "]")}"""
+          s""","spread_max":$maxSpread,"noisy":${noisy.mkString("[", ",", "]")}""" +
+          retried.map("\"" + _ + "\"").mkString(""","retried":[""", ",", "]")
       else ""
       val sf = if (full) sfDir
         else java.nio.file.Paths.get(sfDir).getFileName.toString

@@ -79,10 +79,21 @@ object StreamingDedup {
     def readIf(dir: String): Option[DataFrame] = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) None
-      // a dir holding only an uncommitted write attempt (_temporary, no
-      // data files) has no schema to infer — that IS "no committed rows"
-      else scala.util.Try(spark.read.parquet(dir)).toOption.map { df =>
+      // "No committed rows" is decided by LOOKING, not by catching: a dir
+      // holding only an uncommitted write attempt (_temporary, _SUCCESS, no
+      // data files) reads as absent, but any actual read failure (corrupt
+      // footer, transient FS error, permissions) PROPAGATES and fails the
+      // micro-batch — streaming retries it. Swallowing those here would make
+      // the standing index look absent and silently admit duplicates.
+      def hasData(d: org.apache.hadoop.fs.Path): Boolean =
+        fs.listStatus(d).exists { st =>
+          val n = st.getPath.getName
+          !(n.startsWith("_") || n.startsWith(".")) &&
+            (st.isFile || hasData(st.getPath))
+        }
+      if (!fs.exists(p) || !hasData(p)) None
+      else Some {
+        val df = spark.read.parquet(dir)
         if (df.columns.contains("bid"))
           batchId.fold(df.drop("bid"))(b => df.filter(col("bid") =!= b).drop("bid"))
         else df
@@ -136,9 +147,19 @@ object StreamingDedup {
         if (idxBuckets.isEmpty) nearB
         else throw new IllegalStateException(
           s"dedup index at $indexDir is inconsistent: bucket table has rows " +
-            "but the signature table is missing — rebuild the index or " +
-            "restore $indexDir/sig")
-      case _ => nearB
+            s"but the signature table is missing — rebuild the index or " +
+            s"restore $indexDir/sig")
+      case (None, Some(idxSig)) =>
+        // the mirror image: signatures without a bucket table cannot arise
+        // from the fp→buckets→sig write order, but external damage produces
+        // it just as easily — same inconsistency, same refusal to silently
+        // skip near-dup dedup.
+        if (idxSig.isEmpty) nearB
+        else throw new IllegalStateException(
+          s"dedup index at $indexDir is inconsistent: signature table has " +
+            s"rows but the bucket table is missing — rebuild the index or " +
+            s"restore $indexDir/buckets")
+      case (None, None) => nearB
     }
 
     // 5. append survivors' index entries, return survivors.

@@ -50,19 +50,18 @@ def main():
         return 0
     old, new = load(sys.argv[1]), load(sys.argv[2])
 
-    def norm(d):
+    def normkeys(d):
         # stdout-compact artifacts strip the "q_" prefix; full ones don't.
         # Canonicalize by stripping, which is safe in both directions.
-        return {(k[2:] if k.startswith("q_") else k): v
-                for k, v in d.get("queries", {}).items()}
-
-    oq, nq = norm(old), norm(new)
-    # spread maps come from full artifacts with the "q_" prefix intact —
-    # normalize them exactly like the query maps or every lookup misses
-    # and the tolerance silently degrades to the fixed floor
-    def normkeys(d):
+        # Used for BOTH query and spread maps so the two can't drift apart
+        # (a spread lookup that misses silently degrades the tolerance to
+        # the fixed floor).
         return {(k[2:] if k.startswith("q_") else k): v for k, v in d.items()}
 
+    def norm(d):
+        return normkeys(d.get("queries", {}))
+
+    oq, nq = norm(old), norm(new)
     osp = normkeys(old.get("spread", {}))
     nsp = normkeys(new.get("spread", {}))
 
