@@ -282,22 +282,101 @@ object PdfText {
     * RunLength (all of ISO 32000 §7.4's general-purpose filters — the
     * remaining ones are image codecs: DCT/JPX/CCITT/JBIG2). Unknown
     * filters pass the data through — best-effort, like the rest of this
-    * extractor. PNG predictors (/DecodeParms /Predictor) are not applied;
-    * they appear on xref/image streams, not the content streams we walk.
+    * extractor. Flate/LZW honour `/DecodeParms /Predictor` (TIFF
+    * horizontal differencing and the PNG row filters, §7.4.4.4) — writers
+    * apply predictors to xref streams routinely and to content/object
+    * streams occasionally, and an unpredicted stream is garbage bytes.
     * `pre` is the per-object decryption transform — spec order: decrypt
     * first, THEN the filters (ISO 32000 §7.6.2). */
   private def decodeStream(st: Stream,
                            pre: Array[Byte] => Array[Byte] = identity): Array[Byte] =
     filtersOf(st.dict).foldLeft(pre(st.data)) { (d, f) =>
       f match {
-        case "FlateDecode" | "Fl"      => inflate(d)
-        case "LZWDecode" | "LZW"       => lzwDecode(d)
+        case "FlateDecode" | "Fl"      => unpredict(inflate(d), st.dict)
+        case "LZWDecode" | "LZW"       => unpredict(lzwDecode(d), st.dict)
         case "ASCIIHexDecode" | "AHx"  => asciiHexDecode(d)
         case "ASCII85Decode" | "A85"   => ascii85Decode(d)
         case "RunLengthDecode" | "RL"  => runLengthDecode(d)
         case _                         => d
       }
     }
+
+  /** First integer value of `/Name N` in the dict text. The predictor
+    * parameter names (`Predictor`, `Columns`, `Colors`,
+    * `BitsPerComponent`) only occur inside `/DecodeParms`, so matching
+    * the whole dict is unambiguous for streams. */
+  private def intParam(dict: String, name: String, default: Int): Int =
+    ("/" + name + """\s+(\d+)""").r.findFirstMatchIn(dict)
+      .map(_.group(1).toInt).getOrElse(default)
+
+  /** Undo `/DecodeParms /Predictor` on Flate/LZW output (ISO 32000
+    * §7.4.4.4). Predictor 2 is TIFF horizontal differencing (applied for
+    * 8-bit components; other depths pass through, best-effort). 10–15 are
+    * the PNG filters: rows of `ceil(Columns·Colors·BPC / 8)` bytes, each
+    * prefixed by a per-row filter-type byte 0–4 (None/Sub/Up/Average/
+    * Paeth) reconstructed against the previous row — the tag values 10–15
+    * only select the encoder's strategy; decode always dispatches on the
+    * per-row byte. A trailing partial row is dropped, corrupt input
+    * yields the input unchanged. */
+  private[graft] def unpredict(data: Array[Byte], dict: String): Array[Byte] = {
+    val predictor = intParam(dict, "Predictor", 1)
+    if (predictor < 2 || data.isEmpty) return data
+    val colors = intParam(dict, "Colors", 1)
+    val bpc = intParam(dict, "BitsPerComponent", 8)
+    val columns = intParam(dict, "Columns", 1)
+    val bpp = math.max(1, colors * bpc / 8) // bytes per whole pixel
+    val rowLen = (columns * colors * bpc + 7) / 8
+    if (rowLen <= 0) return data
+    if (predictor == 2) {
+      if (bpc != 8) return data
+      val out = data.clone()
+      var base = 0
+      while (base < out.length) {
+        var i = bpp
+        while (i < rowLen && base + i < out.length) {
+          out(base + i) = (out(base + i) + out(base + i - bpp)).toByte
+          i += 1
+        }
+        base += rowLen
+      }
+      out
+    } else {
+      val stride = rowLen + 1
+      val nRows = data.length / stride
+      if (nRows == 0) return data
+      val out = new Array[Byte](nRows * rowLen)
+      var r = 0
+      while (r < nRows) {
+        val ft = data(r * stride) & 0xff
+        val src = r * stride + 1
+        val dst = r * rowLen
+        var i = 0
+        while (i < rowLen) {
+          val raw = data(src + i) & 0xff
+          val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+          val up = if (r > 0) out(dst - rowLen + i) & 0xff else 0
+          val ul = if (r > 0 && i >= bpp) out(dst - rowLen + i - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => raw
+            case 1 => raw + left
+            case 2 => raw + up
+            case 3 => raw + ((left + up) >> 1)
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left)
+              val pb = math.abs(p - up)
+              val pc = math.abs(p - ul)
+              raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+            case _ => raw // unknown row tag: best-effort passthrough
+          }
+          out(dst + i) = v.toByte
+          i += 1
+        }
+        r += 1
+      }
+      out
+    }
+  }
 
   /** PDF-variant LZW (ISO 32000 §7.4.4.2 / TIFF): MSB-first bit packing,
     * 9→12-bit codes, 256 = clear table, 257 = EOD, EarlyChange=1 (the
@@ -487,9 +566,23 @@ object PdfText {
   private def findStreams(bytes: Array[Byte]): Seq[Stream] = {
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
     val out = ArrayBuffer[Stream]()
+    def countOcc(seg: String, pat: String): Int = {
+      var c = 0
+      var i = seg.indexOf(pat)
+      while (i >= 0) { c += 1; i = seg.indexOf(pat, i + pat.length) }
+      c
+    }
     var idx = s.indexOf("stream")
     while (idx >= 0) {
-      val dictStart = math.max(0, s.lastIndexOf("<<", idx))
+      // the stream's dict is the ENCLOSING << ... >>: step back past inner
+      // dicts (/DecodeParms << ... >>) until << / >> counts balance, or the
+      // nearest `<<` would swallow /Length and /Filter with it
+      var dictStart = s.lastIndexOf("<<", idx)
+      while (dictStart > 0 &&
+        countOcc(s.substring(dictStart, idx), "<<") <
+          countOcc(s.substring(dictStart, idx), ">>"))
+        dictStart = s.lastIndexOf("<<", dictStart - 1)
+      dictStart = math.max(0, dictStart)
       val dict = s.substring(dictStart, idx)
       var dataStart = idx + "stream".length
       if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1

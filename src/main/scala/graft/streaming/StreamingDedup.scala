@@ -46,11 +46,106 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * agreeing cases and this one deliberate divergence.
   *
   * At 100 TB the per-batch cost is one scan of the bucket/fp index (probed
-  * map-side against the broadcast batch); keep the index pruned-scannable by
-  * laying it out on bkey ([[graft.ops.Layout]] Z-order / bucketing) as it
-  * grows.
+  * map-side against the broadcast batch). The index is TIERED to keep that
+  * scan from degrading as batches accrete: per-batch appends land in the
+  * live tables (`fp`/`buckets`/`sig` — 3 small files per micro-batch, the
+  * classic small-files curve), and [[compactIndex]] periodically folds the
+  * live tail into big-file base tables (`fp_c`/`buckets_c`/`sig_c`);
+  * admission reads the union. The bucket base is additionally partitioned
+  * by `bp = crc32(bkey) mod pruneBuckets`, and admission filters the base
+  * read to the batch's own `bp` values — genuine partition pruning, so a
+  * trickle batch (the steady-state crawl shape) opens ~|batch bps| of the
+  * base's `pruneBuckets` partitions instead of the whole corpus index; a
+  * bulk batch degrades gracefully to the full scan its size already
+  * amortizes.
   */
 object StreamingDedup {
+
+  /** The bucket base's prune modulus lives in a `_prune_buckets` sidecar
+    * INSIDE `buckets_c`, so the rename that publishes a compaction swaps
+    * the modulus atomically with the data it describes — admission can
+    * never prune new-layout partitions with a stale modulus. */
+  private def pruneSidecar(bucketsBase: String) =
+    new org.apache.hadoop.fs.Path(s"$bucketsBase/_prune_buckets")
+
+  private def bpCol(bkey: org.apache.spark.sql.Column, n: Int) =
+    pmod(crc32(bkey), lit(n.toLong))
+
+  /** Fold the live per-batch index appends into the compacted base tables.
+    * Run OFFLINE after a CLEAN stream stop (checkpoint committed — base
+    * rows carry no batch id, so a batch compacted and then replayed would
+    * anti-join against its own fingerprints; same single-writer discipline
+    * as [[graft.ops.Corpus.compact]]). `fp_c`/`sig_c` are
+    * rewritten as ~`rowsPerFile`-row files; `buckets_c` is partitioned by
+    * `bp = crc32(bkey) mod pruneBuckets` and sorted by `bkey` within
+    * partitions so admission prunes partitions AND row-group stats stay
+    * tight.
+    *
+    * Crash safety leans on admission semantics, not locking: the publish
+    * order per table is write-tmp → swap base → delete live, and every
+    * reachable intermediate state only ever DUPLICATES index rows across
+    * live+base (never loses them). Duplicate index rows are harmless to
+    * admission — candidate pairs are `.distinct()`ed and the fingerprint
+    * anti-join is idempotent — so a crashed compaction is repaired by
+    * simply re-running it.
+    */
+  def compactIndex(spark: SparkSession, indexDir: String,
+                   pruneBuckets: Int = 64,
+                   rowsPerFile: Long = 4000000L): Unit = {
+    require(pruneBuckets > 0, "pruneBuckets must be positive")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readAll(dir: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p) || !fs.listStatus(p).exists(st =>
+        !st.getPath.getName.startsWith("_"))) None
+      else Some {
+        val df = spark.read.parquet(dir)
+        // live tables carry the replay partition column; base tables carry
+        // the prune partition column — neither is index data
+        df.drop(Seq("bid", "bp").filter(df.columns.contains): _*)
+      }
+    }
+    def merged(live: String, base: String): Option[DataFrame] =
+      (readAll(live), readAll(base)) match {
+        case (Some(l), Some(b)) => Some(l.unionByName(b))
+        case (l, b)             => l.orElse(b)
+      }
+    def publish(df: DataFrame, base: String, partitioned: Boolean): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(base + "_compacting")
+      val old = new org.apache.hadoop.fs.Path(base + "_old")
+      val baseP = new org.apache.hadoop.fs.Path(base)
+      fs.delete(tmp, true); fs.delete(old, true)
+      // localCheckpoint: the plan reads the very dirs the renames below
+      // move — sever lineage first or the swap races the scan
+      val m = df.localCheckpoint(true)
+      val files = math.max(1,
+        math.ceil(m.count().toDouble / rowsPerFile).toInt)
+      if (partitioned) {
+        m.withColumn("bp", bpCol(col("bkey"), pruneBuckets))
+          .repartition(math.max(files, pruneBuckets), col("bp"))
+          .sortWithinPartitions("bp", "bkey")
+          .write.partitionBy("bp").parquet(tmp.toString)
+        val out = fs.create(pruneSidecar(tmp.toString), true)
+        try out.write(pruneBuckets.toString.getBytes("UTF-8"))
+        finally out.close()
+      } else m.repartition(files).write.parquet(tmp.toString)
+      if (fs.exists(baseP) && !fs.rename(baseP, old))
+        sys.error(s"compactIndex: cannot move $baseP aside")
+      if (!fs.rename(tmp, baseP)) {
+        if (fs.exists(old)) fs.rename(old, baseP)
+        sys.error(s"compactIndex: cannot publish $tmp")
+      }
+      fs.delete(old, true)
+    }
+    Seq(("fp", false), ("buckets", true), ("sig", false)).foreach {
+      case (t, part) =>
+        merged(s"$indexDir/$t", s"$indexDir/${t}_c").foreach { df =>
+          publish(df, s"$indexDir/${t}_c", part)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$t"), true)
+        }
+    }
+  }
 
   /** Admit a micro-batch (`idCol` long, `textCol` string) against the
     * standing index at `indexDir`, appending survivors' index entries.
@@ -103,12 +198,44 @@ object StreamingDedup {
       case Some(b) => df.write.mode("overwrite").parquet(s"$dir/bid=$b")
       case None    => df.write.mode("append").parquet(dir)
     }
+    // Compacted base tables (see [[compactIndex]]): no bid — their rows are
+    // strictly from batches before the live tail. `prune` filters the
+    // bucket base to the batch's own bp partitions BEFORE dropping the
+    // partition column, so the filter is partition pruning, not a scan.
+    def readBase(table: String,
+                 prune: Option[org.apache.spark.sql.Column] = None): Option[DataFrame] = {
+      val dir = s"$indexDir/${table}_c"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else Some {
+        val df = spark.read.parquet(dir)
+        val pruned = prune.fold(df)(df.filter)
+        if (pruned.columns.contains("bp")) pruned.drop("bp") else pruned
+      }
+    }
+    def union(a: Option[DataFrame], b: Option[DataFrame]): Option[DataFrame] =
+      (a, b) match {
+        case (Some(x), Some(y)) => Some(x.unionByName(y))
+        case _                  => a.orElse(b)
+      }
+    /** The bucket base's own prune modulus (atomic with its data). */
+    def pruneN: Option[Int] = {
+      val p = pruneSidecar(s"$indexDir/buckets_c")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+        finally in.close()
+      }
+    }
 
     // 1. exact within batch
     val withFp = batch.withColumn("__fp", fingerprintMd5(col(textCol)))
     val exactB = Dedup.dedupKeepFirst(withFp, idCol, Seq("__fp"))
     // 2. exact vs index (Bloom prefilter: definitely-new rows skip the join)
-    val exactC = readIf(fpDir) match {
+    val exactC = union(readIf(fpDir), readBase("fp")) match {
       case Some(fps) => Bloom.antiJoinPrefiltered(exactB, "__fp", fps, "fp")
       case None      => exactB
     }
@@ -117,11 +244,22 @@ object StreamingDedup {
       threshold, numHashes, bands, shingleSize)
       .withColumn("__fp", fingerprintMd5(col(textCol)))
     // 4. near-dup vs index: broadcast the batch buckets; estimate Jaccard
-    //    from stored signatures
-    val survivors = (readIf(bucketDir), readIf(sigDir)) match {
+    //    from stored signatures. The bucket base read is pruned to the
+    //    batch's bp partitions — collecting them is a job over the (small)
+    //    batch that yields at most pruneBuckets longs.
+    val batchBuckets = Dedup.lshBuckets(nearB, idCol, textCol,
+      numHashes, bands, shingleSize)
+    val prunedBase = pruneN match {
+      case Some(n) =>
+        val bps = batchBuckets.select(bpCol(col("bkey"), n).as("bp"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        readBase("buckets", Some(col("bp").isin(bps: _*)))
+      case None => readBase("buckets")
+    }
+    val survivors = (union(readIf(bucketDir), prunedBase),
+        union(readIf(sigDir), readBase("sig"))) match {
       case (Some(idxBuckets), Some(idxSig)) =>
-        val bBuckets = Dedup.lshBuckets(nearB, idCol, textCol,
-          numHashes, bands, shingleSize)
+        val bBuckets = batchBuckets
         val cand = idxBuckets
           .join(broadcast(bBuckets.withColumnRenamed("id", "bid")),
             Seq("band", "bkey"))

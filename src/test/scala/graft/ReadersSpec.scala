@@ -248,6 +248,87 @@ class ReadersSpec extends SparkSpec {
     assert(PdfText.lzwDecode(Array[Byte](-1, -1, -1)).isEmpty)
   }
 
+  // PNG-predict `data` for fixtures: split into rowLen-byte rows, prefix
+  // each with filter-type byte `ft`, store the filtered residuals
+  // (ISO 32000 §7.4.4.4 / RFC 2083 §6) — the exact inverse of unpredict.
+  private def pngPredict(data: Array[Byte], rowLen: Int, ft: Int,
+                         bpp: Int = 1): Array[Byte] = {
+    val nRows = data.length / rowLen
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until nRows).foreach { r =>
+      out.write(ft)
+      (0 until rowLen).foreach { i =>
+        val cur = data(r * rowLen + i) & 0xff
+        val left = if (i >= bpp) data(r * rowLen + i - bpp) & 0xff else 0
+        val up = if (r > 0) data((r - 1) * rowLen + i) & 0xff else 0
+        val ul = if (r > 0 && i >= bpp) data((r - 1) * rowLen + i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) >> 1
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        out.write((cur - pred) & 0xff)
+      }
+    }
+    out.toByteArray
+  }
+
+  test("pdf filters: PNG and TIFF predictors reconstruct exactly") {
+    val data = (0 until 104).map(i => ((i * 37 + i * i) % 251).toByte).toArray
+    val dict = (ft: Int) => s"<< /Predictor ${10 + ft} /Columns 13 >>"
+    // every PNG row-filter type round-trips (decode dispatches on the
+    // per-row byte; the dict's 10-15 tag only needs to be >= 10)
+    (0 to 4).foreach { ft =>
+      assert(PdfText.unpredict(pngPredict(data, 13, ft), dict(ft)).toSeq ==
+        data.toSeq, s"PNG filter type $ft")
+    }
+    // multi-byte pixels: bpp = Colors * BPC/8 = 3 shifts the left
+    // reference (96 = the whole-rows prefix of the 104-byte vector at
+    // rowLen 12; unpredict drops a trailing partial row by design)
+    val rgb = "<< /Predictor 11 /Colors 3 /BitsPerComponent 8 /Columns 4 >>"
+    assert(PdfText.unpredict(pngPredict(data.take(96), 12, 1, bpp = 3), rgb).toSeq ==
+      data.take(96).toSeq, "Sub with 3-byte pixels")
+    // TIFF predictor 2: horizontal differencing, no row-tag bytes
+    val tiffd = data.clone()
+    (0 until 8).foreach { r =>
+      (12 to 1 by -1).foreach { i =>
+        tiffd(r * 13 + i) = (tiffd(r * 13 + i) - tiffd(r * 13 + i - 1)).toByte
+      }
+    }
+    assert(PdfText.unpredict(tiffd, "<< /Predictor 2 /Columns 13 >>").toSeq ==
+      data.toSeq, "TIFF predictor")
+    // Predictor 1 (or absent) is the identity
+    assert(PdfText.unpredict(data, "<< >>").toSeq == data.toSeq)
+  }
+
+  test("pdf: Flate stream with /DecodeParms /Predictor 12 decodes") {
+    val dir = tmpDir("pdfpred_")
+    val content = "BT (Predicted text) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+    // pad to a whole number of 13-byte rows (trailing spaces are harmless
+    // inside a content stream), predict with the PNG Up filter, deflate
+    val padded = (new String(content, StandardCharsets.ISO_8859_1) +
+      " " * ((13 - content.length % 13) % 13)).getBytes(StandardCharsets.ISO_8859_1)
+    val predicted = pngPredict(padded, 13, 2)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(predicted); deflater.finish()
+    val buf = new Array[Byte](512)
+    val n = deflater.deflate(buf)
+    val bout = new java.io.ByteArrayOutputStream()
+    val head = s"%PDF-1.4\n4 0 obj\n<< /Length $n /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 12 /Columns 13 >> >>\nstream\n"
+    bout.write(head.getBytes(StandardCharsets.ISO_8859_1))
+    bout.write(buf, 0, n)
+    bout.write("\nendstream\nendobj\n%%EOF\n".getBytes(StandardCharsets.ISO_8859_1))
+    write(dir, "pred.pdf", bout.toByteArray)
+    val rows = Readers.pdf(spark, dir).collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("Predicted text "), s"got ${rows.toSeq}")
+  }
+
   test("pdf filters: ASCIIHex, ASCII85 and RunLength decode per spec") {
     assert(PdfText.asciiHexDecode("48 65 6C 6c 6F>".getBytes("ASCII")).toSeq ==
       "Hello".getBytes("ASCII").toSeq)

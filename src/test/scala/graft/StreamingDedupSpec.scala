@@ -103,6 +103,60 @@ class StreamingDedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("inconsistent"))
   }
 
+  test("compactIndex: admission decisions are unchanged against the compacted base") {
+    // two identical indexes fed the same batches; one compacted. A probe
+    // batch spanning every admission path (exact dup vs index, near dup vs
+    // index, in-batch dup, novel) must decide identically against both.
+    val live = tmpDir("dedupidx_")
+    val tiered = tmpDir("dedupidx_")
+    val b1 = Seq((1L, docA), (2L, docB)).toDF("id", "text")
+    val b2 = Seq((11L, docC)).toDF("id", "text")
+    Seq(live, tiered).foreach { d =>
+      StreamingDedup.admitBatch(spark, b1, "id", "text", d, 0.5,
+        batchId = Some(0L)).count()
+      StreamingDedup.admitBatch(spark, b2, "id", "text", d, 0.5,
+        batchId = Some(1L)).count()
+    }
+    StreamingDedup.compactIndex(spark, tiered, pruneBuckets = 8)
+    // live tables are folded away; the bucket base is bp-partitioned with
+    // its modulus sidecar riding the same directory
+    assert(!Files.exists(Paths.get(tiered, "buckets")), "live tail must fold")
+    assert(Files.exists(Paths.get(tiered, "buckets_c", "_prune_buckets")))
+    assert(Files.list(Paths.get(tiered, "buckets_c")).toArray.map(_.toString)
+      .exists(_.contains("bp=")), "bucket base must be bp-partitioned")
+    val probe = Seq((21L, docA), (22L, nearA), (23L, docC), (24L, docC + " x"),
+      (25L, docB + " extra novel words entirely"), (26L, docB + " extra novel words entirely"))
+      .toDF("id", "text")
+    val fromLive = StreamingDedup.admitBatch(spark, probe, "id", "text",
+      live, 0.5, batchId = Some(2L)).select("id").as[Long].collect().sorted
+    val fromTiered = StreamingDedup.admitBatch(spark, probe, "id", "text",
+      tiered, 0.5, batchId = Some(2L)).select("id").as[Long].collect().sorted
+    assert(fromTiered.toSeq == fromLive.toSeq,
+      s"compaction changed admission: live=${fromLive.toSeq} tiered=${fromTiered.toSeq}")
+    // and the post-compaction live tail keeps accumulating: re-compacting
+    // folds the probe batch in and admission still sees everything
+    StreamingDedup.compactIndex(spark, tiered, pruneBuckets = 8)
+    val again = StreamingDedup.admitBatch(spark, probe, "id", "text",
+      tiered, 0.5, batchId = Some(3L)).select("id").as[Long].collect()
+    assert(again.isEmpty, s"fully-compacted index must drop the whole replayed probe: ${again.toSeq}")
+  }
+
+  test("compactIndex: is idempotent and duplicate-tolerant (crash repair = re-run)") {
+    val indexDir = tmpDir("dedupidx_")
+    StreamingDedup.admitBatch(spark,
+      Seq((1L, docA), (2L, docB)).toDF("id", "text"), "id", "text",
+      indexDir, 0.5, batchId = Some(0L)).count()
+    StreamingDedup.compactIndex(spark, indexDir, pruneBuckets = 8)
+    val fp1 = spark.read.parquet(s"$indexDir/fp_c").count()
+    // re-run with nothing new: same row counts, admission unchanged
+    StreamingDedup.compactIndex(spark, indexDir, pruneBuckets = 8)
+    assert(spark.read.parquet(s"$indexDir/fp_c").count() == fp1)
+    val a = StreamingDedup.admitBatch(spark,
+      Seq((11L, docA), (12L, docC)).toDF("id", "text"), "id", "text",
+      indexDir, 0.5, batchId = Some(1L)).select("id").as[Long].collect().sorted
+    assert(a.toSeq == Seq(12L), s"admitted ${a.toSeq}")
+  }
+
   test("start: continuous deduped ingest admits only novel documents to the corpus") {
     val landing = tmpDir("landing_")
     val corpus = tmpDir("corpus_")
