@@ -566,22 +566,51 @@ object PdfText {
   private def findStreams(bytes: Array[Byte]): Seq[Stream] = {
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
     val out = ArrayBuffer[Stream]()
-    def countOcc(seg: String, pat: String): Int = {
-      var c = 0
-      var i = seg.indexOf(pat)
-      while (i >= 0) { c += 1; i = seg.indexOf(pat, i + pat.length) }
-      c
+    // net << / >> balance of `seg`, ignoring delimiters inside PDF literal
+    // strings — a dict value like `/T (a>>b)` must not unbalance the scan
+    // (escapes and nested balanced parens per ISO 32000 §7.3.4.2)
+    def netDepth(seg: String): Int = {
+      var i = 0
+      var net = 0
+      var paren = 0
+      while (i < seg.length) {
+        val c = seg.charAt(i)
+        if (paren > 0) c match {
+          case '\\' => i += 1
+          case '('  => paren += 1
+          case ')'  => paren -= 1
+          case _    => ()
+        } else c match {
+          case '(' => paren = 1
+          case '<' if i + 1 < seg.length && seg.charAt(i + 1) == '<' =>
+            net += 1; i += 1
+          case '>' if i + 1 < seg.length && seg.charAt(i + 1) == '>' =>
+            net -= 1; i += 1
+          case _ => ()
+        }
+        i += 1
+      }
+      net
     }
     var idx = s.indexOf("stream")
     while (idx >= 0) {
       // the stream's dict is the ENCLOSING << ... >>: step back past inner
-      // dicts (/DecodeParms << ... >>) until << / >> counts balance, or the
-      // nearest `<<` would swallow /Length and /Filter with it
-      var dictStart = s.lastIndexOf("<<", idx)
-      while (dictStart > 0 &&
-        countOcc(s.substring(dictStart, idx), "<<") <
-          countOcc(s.substring(dictStart, idx), ">>"))
+      // dicts (/DecodeParms << ... >>) until << / >> balance. Bounded (4 KB
+      // window, 32 steps — stream dicts are small) with fallback to the
+      // nearest `<<`, so stray '>>' bytes in preceding binary garbage can't
+      // walk the scan into an EARLIER object's dict and attribute that
+      // object's /Filter to this stream.
+      val nearest = s.lastIndexOf("<<", idx)
+      val floor = math.max(0, idx - 4096)
+      var dictStart = nearest
+      var steps = 0
+      while (dictStart > floor && steps < 32 &&
+        netDepth(s.substring(dictStart, idx)) < 0) {
         dictStart = s.lastIndexOf("<<", dictStart - 1)
+        steps += 1
+      }
+      if (dictStart < 0 || netDepth(s.substring(math.max(dictStart, 0), idx)) < 0)
+        dictStart = nearest
       dictStart = math.max(0, dictStart)
       val dict = s.substring(dictStart, idx)
       var dataStart = idx + "stream".length

@@ -71,6 +71,33 @@ object StreamingDedup {
   private def bpCol(bkey: org.apache.spark.sql.Column, n: Int) =
     pmod(crc32(bkey), lit(n.toLong))
 
+  /** Read a parquet dir, deciding "no committed rows" by LOOKING, not by
+    * catching: a dir holding only an uncommitted write attempt
+    * (`_temporary`, `_SUCCESS`, dotfiles, no data files) reads as absent,
+    * but any actual read failure (corrupt footer, transient FS error,
+    * permissions) PROPAGATES and fails the caller — a micro-batch that
+    * fails is retried by streaming; one that silently treats the index as
+    * absent admits duplicates. Single source of truth for every index
+    * read (admission live, admission base, compaction). */
+  private def readIfData(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasData(d: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(d).exists { st =>
+        val n = st.getPath.getName
+        !(n.startsWith("_") || n.startsWith(".")) &&
+          (st.isFile || hasData(st.getPath))
+      }
+    if (!fs.exists(p) || !hasData(p)) None
+    else Some(spark.read.parquet(dir))
+  }
+
+  private def unionOpt(a: Option[DataFrame], b: Option[DataFrame]): Option[DataFrame] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(x.unionByName(y))
+      case _                  => a.orElse(b)
+    }
+
   /** Fold the live per-batch index appends into the compacted base tables.
     * Run OFFLINE after a CLEAN stream stop (checkpoint committed — base
     * rows carry no batch id, so a batch compacted and then replayed would
@@ -81,13 +108,15 @@ object StreamingDedup {
     * partitions so admission prunes partitions AND row-group stats stay
     * tight.
     *
-    * Crash safety leans on admission semantics, not locking: the publish
-    * order per table is write-tmp → swap base → delete live, and every
-    * reachable intermediate state only ever DUPLICATES index rows across
-    * live+base (never loses them). Duplicate index rows are harmless to
-    * admission — candidate pairs are `.distinct()`ed and the fingerprint
-    * anti-join is idempotent — so a crashed compaction is repaired by
-    * simply re-running it.
+    * Crash safety leans on admission semantics plus an explicit rollback,
+    * not locking: the publish order per table is write-tmp → move base
+    * aside → swap tmp in → delete aside → delete live, and a re-run first
+    * ROLLS BACK an interrupted swap (base absent + `*_old` present →
+    * rename the aside copy back) before deleting scratch dirs — so no
+    * reachable crash state ever LOSES index rows; states can only
+    * duplicate rows across live+base, which admission is insensitive to
+    * (candidate pairs are `.distinct()`ed, the fingerprint anti-join is
+    * idempotent). A crashed compaction is repaired by re-running it.
     */
   def compactIndex(spark: SparkSession, indexDir: String,
                    pruneBuckets: Int = 64,
@@ -95,22 +124,14 @@ object StreamingDedup {
     require(pruneBuckets > 0, "pruneBuckets must be positive")
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def readAll(dir: String): Option[DataFrame] = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      if (!fs.exists(p) || !fs.listStatus(p).exists(st =>
-        !st.getPath.getName.startsWith("_"))) None
-      else Some {
-        val df = spark.read.parquet(dir)
+    def readAll(dir: String): Option[DataFrame] =
+      readIfData(spark, dir).map { df =>
         // live tables carry the replay partition column; base tables carry
         // the prune partition column — neither is index data
         df.drop(Seq("bid", "bp").filter(df.columns.contains): _*)
       }
-    }
     def merged(live: String, base: String): Option[DataFrame] =
-      (readAll(live), readAll(base)) match {
-        case (Some(l), Some(b)) => Some(l.unionByName(b))
-        case (l, b)             => l.orElse(b)
-      }
+      unionOpt(readAll(live), readAll(base))
     def publish(df: DataFrame, base: String, partitioned: Boolean): Unit = {
       val tmp = new org.apache.hadoop.fs.Path(base + "_compacting")
       val old = new org.apache.hadoop.fs.Path(base + "_old")
@@ -140,8 +161,19 @@ object StreamingDedup {
     }
     Seq(("fp", false), ("buckets", true), ("sig", false)).foreach {
       case (t, part) =>
-        merged(s"$indexDir/$t", s"$indexDir/${t}_c").foreach { df =>
-          publish(df, s"$indexDir/${t}_c", part)
+        val base = s"$indexDir/${t}_c"
+        // ROLLBACK FIRST: a crash between publish's two renames leaves the
+        // base aside under *_old and the new copy under *_compacting; if
+        // the deletes at the top of publish() ran before this check, the
+        // only surviving copies of previously-compacted rows would be
+        // destroyed and admission would silently re-admit their documents.
+        val baseP = new org.apache.hadoop.fs.Path(base)
+        val oldP = new org.apache.hadoop.fs.Path(base + "_old")
+        if (!fs.exists(baseP) && fs.exists(oldP) &&
+          !fs.rename(oldP, baseP))
+          sys.error(s"compactIndex: cannot roll back $oldP to $baseP")
+        merged(s"$indexDir/$t", base).foreach { df =>
+          publish(df, base, part)
           fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$t"), true)
         }
     }
@@ -171,29 +203,15 @@ object StreamingDedup {
     val fpDir = s"$indexDir/fp"
     val bucketDir = s"$indexDir/buckets"
     val sigDir = s"$indexDir/sig"
-    def readIf(dir: String): Option[DataFrame] = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // "No committed rows" is decided by LOOKING, not by catching: a dir
-      // holding only an uncommitted write attempt (_temporary, _SUCCESS, no
-      // data files) reads as absent, but any actual read failure (corrupt
-      // footer, transient FS error, permissions) PROPAGATES and fails the
-      // micro-batch — streaming retries it. Swallowing those here would make
-      // the standing index look absent and silently admit duplicates.
-      def hasData(d: org.apache.hadoop.fs.Path): Boolean =
-        fs.listStatus(d).exists { st =>
-          val n = st.getPath.getName
-          !(n.startsWith("_") || n.startsWith(".")) &&
-            (st.isFile || hasData(st.getPath))
-        }
-      if (!fs.exists(p) || !hasData(p)) None
-      else Some {
-        val df = spark.read.parquet(dir)
+    // live tables: exclude the current batch's own (possibly half-written)
+    // rows under replay — see the batchId contract above. Emptiness and
+    // failure semantics come from readIfData.
+    def readIf(dir: String): Option[DataFrame] =
+      readIfData(spark, dir).map { df =>
         if (df.columns.contains("bid"))
           batchId.fold(df.drop("bid"))(b => df.filter(col("bid") =!= b).drop("bid"))
         else df
       }
-    }
     def writeIdx(df: DataFrame, dir: String): Unit = batchId match {
       case Some(b) => df.write.mode("overwrite").parquet(s"$dir/bid=$b")
       case None    => df.write.mode("append").parquet(dir)
@@ -203,21 +221,10 @@ object StreamingDedup {
     // bucket base to the batch's own bp partitions BEFORE dropping the
     // partition column, so the filter is partition pruning, not a scan.
     def readBase(table: String,
-                 prune: Option[org.apache.spark.sql.Column] = None): Option[DataFrame] = {
-      val dir = s"$indexDir/${table}_c"
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) None
-      else Some {
-        val df = spark.read.parquet(dir)
+                 prune: Option[org.apache.spark.sql.Column] = None): Option[DataFrame] =
+      readIfData(spark, s"$indexDir/${table}_c").map { df =>
         val pruned = prune.fold(df)(df.filter)
         if (pruned.columns.contains("bp")) pruned.drop("bp") else pruned
-      }
-    }
-    def union(a: Option[DataFrame], b: Option[DataFrame]): Option[DataFrame] =
-      (a, b) match {
-        case (Some(x), Some(y)) => Some(x.unionByName(y))
-        case _                  => a.orElse(b)
       }
     /** The bucket base's own prune modulus (atomic with its data). */
     def pruneN: Option[Int] = {
@@ -235,29 +242,35 @@ object StreamingDedup {
     val withFp = batch.withColumn("__fp", fingerprintMd5(col(textCol)))
     val exactB = Dedup.dedupKeepFirst(withFp, idCol, Seq("__fp"))
     // 2. exact vs index (Bloom prefilter: definitely-new rows skip the join)
-    val exactC = union(readIf(fpDir), readBase("fp")) match {
+    val exactC = unionOpt(readIf(fpDir), readBase("fp")) match {
       case Some(fps) => Bloom.antiJoinPrefiltered(exactB, "__fp", fps, "fp")
       case None      => exactB
     }
     // 3. near-dup within batch (exact-verified batch semantics)
-    val nearB = Dedup.dropNearDuplicates(exactC.drop("__fp"), idCol, textCol,
+    val pruneNv = pruneN
+    val nearB0 = Dedup.dropNearDuplicates(exactC.drop("__fp"), idCol, textCol,
       threshold, numHashes, bands, shingleSize)
       .withColumn("__fp", fingerprintMd5(col(textCol)))
+    // when a compacted base exists, the bp-pruning collect below is an
+    // EAGER job over the batch pipeline — materialize the batch-sized
+    // survivor set once so that job and the survivors job don't each
+    // re-run the whole scan→fingerprint→anti-join→near-dup lineage
+    val nearB = if (pruneNv.isDefined) nearB0.localCheckpoint(true) else nearB0
     // 4. near-dup vs index: broadcast the batch buckets; estimate Jaccard
     //    from stored signatures. The bucket base read is pruned to the
     //    batch's bp partitions — collecting them is a job over the (small)
     //    batch that yields at most pruneBuckets longs.
     val batchBuckets = Dedup.lshBuckets(nearB, idCol, textCol,
       numHashes, bands, shingleSize)
-    val prunedBase = pruneN match {
+    val prunedBase = pruneNv match {
       case Some(n) =>
         val bps = batchBuckets.select(bpCol(col("bkey"), n).as("bp"))
           .distinct().collect().map(_.getLong(0)).toSeq
         readBase("buckets", Some(col("bp").isin(bps: _*)))
       case None => readBase("buckets")
     }
-    val survivors = (union(readIf(bucketDir), prunedBase),
-        union(readIf(sigDir), readBase("sig"))) match {
+    val survivors = (unionOpt(readIf(bucketDir), prunedBase),
+        unionOpt(readIf(sigDir), readBase("sig"))) match {
       case (Some(idxBuckets), Some(idxSig)) =>
         val bBuckets = batchBuckets
         val cand = idxBuckets

@@ -329,6 +329,26 @@ class ReadersSpec extends SparkSpec {
     assert(rows.toSeq == Seq("Predicted text "), s"got ${rows.toSeq}")
   }
 
+  test("pdf: dict scan survives '>>' inside a string literal and nested dicts") {
+    val dir = tmpDir("pdflit_")
+    val content = "BT (Literal dict text) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(content); deflater.finish()
+    val buf = new Array[Byte](512)
+    val n = deflater.deflate(buf)
+    val bout = new java.io.ByteArrayOutputStream()
+    // the (a>>b) literal must not unbalance the dict scan — losing /Filter
+    // to a truncated dict capture leaves the stream undecoded
+    val head = s"%PDF-1.4\n4 0 obj\n<< /Length $n /Filter /FlateDecode " +
+      "/T (a>>b\\) c) /Extra << /Nested (x>>y) >> >>\nstream\n"
+    bout.write(head.getBytes(StandardCharsets.ISO_8859_1))
+    bout.write(buf, 0, n)
+    bout.write("\nendstream\nendobj\n%%EOF\n".getBytes(StandardCharsets.ISO_8859_1))
+    write(dir, "lit.pdf", bout.toByteArray)
+    val rows = Readers.pdf(spark, dir).collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("Literal dict text "), s"got ${rows.toSeq}")
+  }
+
   test("pdf filters: ASCIIHex, ASCII85 and RunLength decode per spec") {
     assert(PdfText.asciiHexDecode("48 65 6C 6c 6F>".getBytes("ASCII")).toSeq ==
       "Hello".getBytes("ASCII").toSeq)

@@ -157,6 +157,30 @@ class StreamingDedupSpec extends SparkSpec {
     assert(a.toSeq == Seq(12L), s"admitted ${a.toSeq}")
   }
 
+  test("compactIndex: rolls back an interrupted base swap instead of deleting it") {
+    val indexDir = tmpDir("dedupidx_")
+    StreamingDedup.admitBatch(spark,
+      Seq((1L, docA), (2L, docB)).toDF("id", "text"), "id", "text",
+      indexDir, 0.5, batchId = Some(0L)).count()
+    StreamingDedup.compactIndex(spark, indexDir, pruneBuckets = 8)
+    // simulate a crash between publish's two renames: every base table was
+    // moved aside to *_old and the process died before the new copy landed
+    Seq("fp_c", "buckets_c", "sig_c").foreach { t =>
+      Files.move(Paths.get(indexDir, t), Paths.get(indexDir, t + "_old"))
+    }
+    // repair = re-run: the rollback must restore the aside copies (NOT
+    // delete them) so previously-compacted rows survive...
+    StreamingDedup.compactIndex(spark, indexDir, pruneBuckets = 8)
+    assert(Files.exists(Paths.get(indexDir, "fp_c")))
+    assert(!Files.exists(Paths.get(indexDir, "fp_c_old")))
+    // ...and admission still dedups against them
+    val a = StreamingDedup.admitBatch(spark,
+      Seq((11L, docA), (12L, docC)).toDF("id", "text"), "id", "text",
+      indexDir, 0.5, batchId = Some(1L)).select("id").as[Long].collect().sorted
+    assert(a.toSeq == Seq(12L),
+      s"rows compacted before the crash must still dedup: admitted ${a.toSeq}")
+  }
+
   test("start: continuous deduped ingest admits only novel documents to the corpus") {
     val landing = tmpDir("landing_")
     val corpus = tmpDir("corpus_")
