@@ -74,11 +74,22 @@ object Bench {
       runs.sorted.apply(1) // median of 3
     }
     val canaryPre = canary()
-    def timeTriple(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    // A query that THROWS must not be silently timed as near-zero: a
+    // round-11 testdata format change broke 12 events queries and the
+    // catch-all here recorded them as 0.05s "improvements" in two kept
+    // artifacts before anyone noticed. Failures are tracked, reported in
+    // the full artifact, and fail the process exit code.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    def timeTriple(name: String,
+                   fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Double) = {
       val dts = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            if (failed.add(name))
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         val t = (System.nanoTime() - t0) / 1e9
         // Operators that persist derived tables (LSH buckets, simhash
         // segments, in-flight batches) release them per-run; drop leftovers
@@ -93,7 +104,7 @@ object Bench {
     def isNoisy(med: Double, sp: Double): Boolean =
       sp > math.max(0.25 * med, 0.25)
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (med, sp) = timeTriple(fn)
+      val (med, sp) = timeTriple(name, fn)
       (name, med, sp)
     }
     // A noisy row (warm spread > max(25% of median, 0.25s)) is weak evidence
@@ -115,7 +126,7 @@ object Bench {
         val triples = scala.collection.mutable.ArrayBuffer((med, sp))
         var tries = 0
         while (tries < 2 && triples.forall(t => isNoisy(t._1, t._2))) {
-          triples += timeTriple(SparkEntry.queries(name))
+          triples += timeTriple(name, SparkEntry.queries(name))
           tries += 1
         }
         val clean = triples.filterNot(t => isNoisy(t._1, t._2))
@@ -144,7 +155,8 @@ object Bench {
         results.map { case (k, _, s) => "\"" + k + "\":" + fmt(s) }
           .mkString(""","spread":{""", ",", "}") +
           s""","spread_max":$maxSpread,"noisy":${noisy.mkString("[", ",", "]")}""" +
-          retried.map("\"" + _ + "\"").mkString(""","retried":[""", ",", "]")
+          retried.map("\"" + _ + "\"").mkString(""","retried":[""", ",", "]") +
+          failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
       else ""
       val sf = if (full) sfDir
         else java.nio.file.Paths.get(sfDir).getFileName.toString
@@ -188,5 +200,10 @@ object Bench {
       else if (t2.length <= budget) t2
       else t3)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries FAILED: " +
+        failed.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import graft.ingest.Readers
 import graft.ops.{Bloom, Bpe, Bucketing, Chunking, Corpus, Curate, Dedup, InferSchema, Layout, Multimodal, Nums, Similarity, Sketches, SubstringDedup, TextAnalysis, Urls, Validate, Warehouse}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -32,6 +32,28 @@ object Queries {
 
   private def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` as epoch MICROSECONDS (long), robust to the generator's
+    * parquet type, which has changed across driver rounds: int64
+    * timestamp[ns] reads as long under `nanosAsLong` → integer-divide to
+    * µs; timestamp[us] (adjusted or naive) reads as timestamp/
+    * timestamp_ntz → `unix_micros` (session TZ is UTC, so a naive ts
+    * yields the same epoch numbers DuckDB's `epoch_us(ts)` computes on the
+    * same file). Every events query converts through this ONE accessor so
+    * a third generator change is a one-line fix, not twelve broken rows. */
+  private[graft] def tsUsCol(ev: DataFrame): Column = ev.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case org.apache.spark.sql.types.TimestampType => unix_micros(col("ts"))
+    case t => sys.error(s"events.ts: unexpected parquet-derived type $t")
+  }
+
+  /** The events table with `ts_us` (epoch µs) pre-derived via [[tsUsCol]]. */
+  private[graft] def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = tbl(spark, sfDir, "events")
+    ev.withColumn("ts_us", tsUsCol(ev))
+  }
 
   // ---------------------------------------------------------------- fixtures
 
@@ -764,9 +786,9 @@ object Queries {
     // the reversed ASOF inequality.
     ("q_asof_forward",
       (s: SparkSession, d: String) => {
-        val ev = tbl(s, d, "events")
+        val ev = events(s, d)
           .select(col("user_id"), col("event_id"), col("event_type"),
-            expr("ts div 1000").as("ts_us"), col("value"))
+            col("ts_us"), col("value"))
         val clicks = ev.filter(col("event_type") === "click")
           .select("user_id", "ts_us", "event_id")
         val views = ev.filter(col("event_type") === "view")
@@ -791,9 +813,9 @@ object Queries {
 
     ("q_asof_join",
       (s: SparkSession, d: String) => {
-        val ev = tbl(s, d, "events")
+        val ev = events(s, d)
           .select(col("user_id"), col("event_id"), col("event_type"),
-            expr("ts div 1000").as("ts_us"), col("value"))
+            col("ts_us"), col("value"))
         val clicks = ev.filter(col("event_type") === "click")
           .select("user_id", "ts_us", "event_id")
         val views = ev.filter(col("event_type") === "view")
@@ -925,13 +947,12 @@ object Queries {
 
     ("q_events_agg",
       (s: SparkSession, d: String) =>
-        tbl(s, d, "events").groupBy("event_type")
+        // DuckDB timestamps are µs precision, so both sides emit epoch-µs
+        events(s, d).groupBy("event_type")
           .agg(count(lit(1)).as("n"),
             round(avg("value"), 6).as("avg_value"),
-            // ts is raw nanos (nanosAsLong); DuckDB timestamps are µs
-            // precision, so both sides emit epoch-µs.
-            expr("min(ts) div 1000").as("min_ts_us"),
-            expr("max(ts) div 1000").as("max_ts_us"))
+            min(col("ts_us")).as("min_ts_us"),
+            max(col("ts_us")).as("max_ts_us"))
           .orderBy("event_type"),
       Some("""SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value,
              | min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
@@ -944,10 +965,9 @@ object Queries {
     // batch, so this pins exactly the aggregate a readStream would run.
     ("q_windowed_counts",
       (s: SparkSession, d: String) => {
-        val ev = tbl(s, d, "events")
+        val ev = events(s, d)
           .select(col("event_type"), col("value"),
-            // ts is raw nanos (nanosAsLong) -> µs -> timestamp
-            timestamp_micros(expr("ts div 1000")).as("ets"))
+            timestamp_micros(col("ts_us")).as("ets"))
         graft.streaming.StreamingIngest.windowedCounts(ev, "ets", "1 hour", "1 hour")
           .select(
             unix_micros(col("window.start")).as("w_start_us"),
@@ -1381,7 +1401,7 @@ object Queries {
     ("q_sessionize",
       (s: SparkSession, d: String) =>
         graft.ops.Sessionize.byGap(
-          tbl(s, d, "events").select(col("user_id"), expr("ts div 1000").as("ts_us")),
+          events(s, d).select(col("user_id"), col("ts_us")),
           "user_id", "ts_us", gapMicros = 30L * 60 * 1000000)
           .select(col("user_id"), col("session_no").cast("long").as("session_no"),
             col("n_events"), col("start_us"), col("end_us"))
@@ -1409,7 +1429,7 @@ object Queries {
     ("q_sessionize_native",
       (s: SparkSession, d: String) =>
         graft.ops.Sessionize.byGapNative(
-          tbl(s, d, "events").select(col("user_id"), expr("ts div 1000").as("ts_us")),
+          events(s, d).select(col("user_id"), col("ts_us")),
           "user_id", "ts_us", gapMicros = 30L * 60 * 1000000)
           .orderBy("user_id", "start_us"),
       Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
@@ -2869,9 +2889,8 @@ object Queries {
       (s: SparkSession, d: String) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
           .rangeBetween(-3600000000L, 0L)
-        tbl(s, d, "events").filter(col("user_id") < 500)
-          .select(col("user_id"), col("event_id"),
-            expr("ts div 1000").as("ts_us"),
+        events(s, d).filter(col("user_id") < 500)
+          .select(col("user_id"), col("event_id"), col("ts_us"),
             floor(col("value") * 100).cast("long").as("cents"))
           .withColumn("hour_sum", sum("cents").over(w))
           .select(col("user_id"), col("event_id"), col("ts_us"), col("hour_sum"))
@@ -2893,8 +2912,7 @@ object Queries {
     ("q_scd2",
       (s: SparkSession, d: String) =>
         Warehouse.scd2(
-          tbl(s, d, "events").filter(col("user_id") < 200)
-            .withColumn("ts_us", expr("ts div 1000")),
+          events(s, d).filter(col("user_id") < 200),
           "user_id", "event_type", "ts_us", "event_id")
           .select(col("user_id"), col("version"), col("attr"),
             col("valid_from"), col("valid_to"), col("is_current"))
@@ -3654,8 +3672,8 @@ object Queries {
     ("q_funnel",
       (s: SparkSession, d: String) =>
         graft.ops.Sessionize.funnel(
-          tbl(s, d, "events").select(col("user_id"), col("event_type"),
-            expr("ts div 1000").as("ts_us")),
+          events(s, d).select(col("user_id"), col("event_type"),
+            col("ts_us")),
           "user_id", "event_type", "ts_us",
           Seq("view", "click", "purchase"), windowUs = 259200000000L),
       Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
@@ -3681,7 +3699,7 @@ object Queries {
     ("q_retention",
       (s: SparkSession, d: String) =>
         graft.ops.Sessionize.retention(
-          tbl(s, d, "events").select(col("user_id"), expr("ts div 1000").as("ts_us")),
+          events(s, d).select(col("user_id"), col("ts_us")),
           "user_id", "ts_us", periodUs = 86400000000L)
           .orderBy("cohort", "offset"),
       Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS per
@@ -3724,8 +3742,8 @@ object Queries {
     ("q_gapfill",
       (s: SparkSession, d: String) =>
         graft.ops.TimeSeries.gapFill(
-          tbl(s, d, "events").filter(col("event_type") === "purchase")
-            .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value")),
+          events(s, d).filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts_us"), col("value")),
           "user_id", "ts_us", "value", periodUs = 86400000000L)
           .orderBy("key", "per"),
       Some("""WITH base AS (SELECT user_id AS key, epoch_us(ts) AS tsu, value AS v
@@ -3883,8 +3901,8 @@ object Queries {
     ("q_transitions",
       (s: SparkSession, d: String) =>
         graft.ops.Sessionize.transitions(
-          tbl(s, d, "events").select(col("user_id"), col("event_type"),
-            expr("ts div 1000").as("ts_us"), col("event_id")),
+          events(s, d).select(col("user_id"), col("event_type"),
+            col("ts_us"), col("event_id")),
           "user_id", "event_type", "ts_us", "event_id")
           .orderBy("from_type", "to_type"),
       Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id

@@ -109,13 +109,13 @@ object ProbeR8 {
         graft.ops.Sketches.hllSketch(li, "l_partkey", p = 12), p = 12).count()
     }
     time("retention(events)") {
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      val ev = graft.Queries.events(spark, sfDir)
+        .select(col("user_id"), col("ts_us"))
       graft.ops.Sessionize.retention(ev, "user_id", "ts_us", 86400000000L).count()
     }
     time("funnel(events)") {
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
-        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      val ev = graft.Queries.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
       graft.ops.Sessionize.funnel(ev, "user_id", "event_type", "ts_us",
         Seq("view", "click", "purchase"), 259200000000L).count()
     }
@@ -134,16 +134,16 @@ object ProbeR8 {
         graft.ops.Multimodal.imageDHash(media), maxDistance = 3).count()
     }
     time("transitions(events)") {
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val ev = graft.Queries.events(spark, sfDir)
         .select(col("user_id"), col("event_type"),
-          expr("ts div 1000").as("ts_us"), col("event_id"))
+          col("ts_us"), col("event_id"))
       graft.ops.Sessionize.transitions(ev, "user_id", "event_type",
         "ts_us", "event_id").count()
     }
     time("gapfill(events)") {
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val ev = graft.Queries.events(spark, sfDir)
         .filter(col("event_type") === "purchase")
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+        .select(col("user_id"), col("ts_us"), col("value"))
       graft.ops.TimeSeries.gapFill(ev, "user_id", "ts_us", "value",
         86400000000L).count()
     }
