@@ -463,6 +463,41 @@ object Queries {
       |      i -> (q.iv[i] - c.civ[i]) * (q.iv[i] - c.civ[i])))::BIGINT, c.cid) AS rn
       |  FROM qz q CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
 
+  /** DuckDB replay of the PRODUCTION FP k-means (q_kmeans): spherical
+    * Lloyd's, k=8, iters=2, trained on the deterministic `id % 10 = 0`
+    * slice — seed = 8 lowest-id slice vectors, assignment = max cosine
+    * (ties → smallest cid, the `ivfAssign` rule), update = per-(cluster,
+    * pos) avg, empty clusters keep their previous centroid — then the
+    * final assignment over the FULL corpus under the trained centroids
+    * `k2`. FP summation order differs between engines at ~1e-15 relative;
+    * the consumer emits round-6 values (the battery's `dRound6` tolerance
+    * pattern, cf. q_ann_recall), which absorbs it — this is what finally
+    * moves q_kmeans from rows-only to the cross-engine hash check.
+    */
+  private val dKmeansFpCtes: String = {
+    def assign(src: String, cents: String) =
+      s"""SELECT id, e, cid AS cluster FROM (
+         |  SELECT s.id, s.e, c.cid, row_number() OVER (PARTITION BY s.id
+         |    ORDER BY ${dCosine("s.e", "c.ce")} DESC, c.cid) AS rn
+         |  FROM $src s CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+    def update(asg: String, prev: String) =
+      s"""SELECT $prev.cid, coalesce(n.ce, $prev.ce) AS ce FROM $prev LEFT JOIN
+         |  (SELECT cluster AS cid, list(mcomp ORDER BY pos) AS ce FROM
+         |     (SELECT cluster, pos, avg(comp) AS mcomp FROM
+         |        (SELECT cluster, generate_subscripts(e, 1) AS pos,
+         |                unnest(e) AS comp FROM $asg)
+         |      GROUP BY cluster, pos)
+         |   GROUP BY cluster) n USING (cid)""".stripMargin
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+       |tr AS (SELECT id, e FROM v WHERE id % 10 = 0),
+       |k0 AS (SELECT id AS cid, e AS ce FROM tr ORDER BY id LIMIT 8),
+       |ka1 AS (${assign("tr", "k0")}),
+       |k1 AS (${update("ka1", "k0")}),
+       |ka2 AS (${assign("tr", "k1")}),
+       |k2 AS (${update("ka2", "k1")}),
+       |kaf AS (${assign("v", "k2")})""".stripMargin
+  }
+
   /** Synthetic pattern-bearing content over documents — identical expression
     * both engines (word-soup text alone contains no extractable patterns).
     */
@@ -2198,9 +2233,13 @@ object Queries {
               |SELECT ${Nums.dRound6("avg(recall)")} AS mean_recall,
               |  count(*)::BIGINT AS n_queries FROM r""".stripMargin)),
 
-    // k-means-trained IVF: Lloyd's iterations in DataFrame ops. No
-    // cross-engine oracle (FP summation order differs by engine) — rows-only
-    // here; convergence and assignment quality pinned in SimilaritySpec.
+    // k-means-trained IVF: Lloyd's iterations in DataFrame ops. Oracle:
+    // DuckDB replays the identical FP training run (dKmeansFpCtes); both
+    // sides emit per-cluster counts plus a ROUND-6 centroid component-sum
+    // fingerprint, which absorbs the ~1e-15 cross-engine FP-summation-order
+    // difference (the battery's established dRound6 tolerance pattern) —
+    // was rows-only for four rounds, now under the full hash check.
+    // Convergence/assignment quality stay pinned in SimilaritySpec.
     ("q_kmeans",
       (s: SparkSession, d: String) => {
         val emb = tbl(s, d, "embeddings")
@@ -2209,12 +2248,20 @@ object Queries {
         // come from a sample, assignment runs over everything)
         val cents = Similarity.kmeans(emb.filter(col("id") % 10 === 0),
           k = 8, iters = 2)
+        val centFp = cents.select(col("cid").as("cluster"),
+          Nums.round6(aggregate(col("cvec"), lit(0.0), _ + _)).as("c_fp"))
         Similarity.ivfAssign(
           emb.select(col("id"), col("vec").cast("array<double>").as("vec")), cents)
           .groupBy("cluster").agg(count(lit(1)).as("n"))
+          .join(centFp, "cluster")
+          .select(col("cluster"), col("n"), col("c_fp"))
           .orderBy("cluster")
       },
-      None),
+      Some(s"""$dKmeansFpCtes
+              |SELECT kaf.cluster, count(*) AS n,
+              |  ${Nums.dRound6("list_sum(any_value(k2.ce))")} AS c_fp
+              |FROM kaf JOIN k2 ON kaf.cluster = k2.cid
+              |GROUP BY kaf.cluster ORDER BY kaf.cluster""".stripMargin)),
 
     // Engine-exact k-means (fixed-point Lloyd's): integer squared-Euclidean
     // assignment + floor-div mean update over int8-quantized embeddings —

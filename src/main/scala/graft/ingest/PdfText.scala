@@ -278,6 +278,86 @@ object PdfText {
         .map(m => Seq(m.group(1))))
       .getOrElse(Seq.empty)
 
+  /** Per-stage decode parameters: `/DecodeParms` (or the inline-image
+    * abbreviation `/DP`) is POSITIONAL with respect to the filter chain
+    * (ISO 32000 §7.3.8.2) — the array form `[null << ... >> ...]` pairs
+    * element i with filter i (`null` = no parms). The single-dict form is
+    * only conformant with a single-name `/Filter`; on a multi-filter
+    * chain a lone dict is applied best-effort to the chain's ONE Flate/
+    * LZW stage if exactly one exists (ambiguous otherwise — applying it
+    * to every stage mis-decodes the stages the writer never predicted).
+    * Indirect-reference parms (`N 0 R`) resolve to "no parms", matching
+    * the rest of this extractor's best-effort posture. */
+  private[graft] def decodeParmsFor(dict: String, filters: Seq[String]): Seq[String] = {
+    val none = Seq.fill(filters.length)("")
+    val at = """/(?:DecodeParms|DP)\b""".r.findFirstMatchIn(dict)
+      .map(_.end).getOrElse(return none)
+    var i = at
+    while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+    if (i >= dict.length) none
+    else if (dict.charAt(i) == '[') {
+      // scan top-level array elements: nested << >> dicts, null, or
+      // indirect refs ("N G R" is ONE element — miscounting it would shift
+      // every later stage's parms)
+      val elems = scala.collection.mutable.ArrayBuffer.empty[String]
+      var j = i + 1
+      def skipWs(): Unit =
+        while (j < dict.length && dict.charAt(j).isWhitespace) j += 1
+      skipWs()
+      while (j < dict.length && dict.charAt(j) != ']') {
+        if (dict.startsWith("<<", j)) {
+          val start = j
+          var depth = 0
+          while (j < dict.length && {
+            if (dict.startsWith("<<", j)) { depth += 1; j += 2 }
+            else if (dict.startsWith(">>", j)) { depth -= 1; j += 2 }
+            else j += 1
+            depth > 0
+          }) ()
+          elems += dict.substring(start, j)
+        } else {
+          val start = j
+          while (j < dict.length && dict.charAt(j) != ']' &&
+            !dict.charAt(j).isWhitespace && !dict.startsWith("<<", j)) j += 1
+          val tok = dict.substring(start, j)
+          if (tok.nonEmpty && tok.forall(_.isDigit)) {
+            // lookahead for the "G R" tail of an indirect reference
+            val save = j
+            skipWs()
+            val g0 = j
+            while (j < dict.length && dict.charAt(j).isDigit) j += 1
+            val gen = dict.substring(g0, j)
+            skipWs()
+            if (gen.nonEmpty && j < dict.length && dict.charAt(j) == 'R' &&
+              (j + 1 >= dict.length || !dict.charAt(j + 1).isLetterOrDigit))
+              j += 1
+            else j = save
+          }
+          elems += "" // null / ref / junk: no inline parms
+        }
+        skipWs()
+      }
+      elems.toSeq.padTo(filters.length, "").take(filters.length)
+    } else if (dict.startsWith("<<", i)) {
+      var j = i
+      var depth = 0
+      while (j < dict.length && {
+        if (dict.startsWith("<<", j)) { depth += 1; j += 2 }
+        else if (dict.startsWith(">>", j)) { depth -= 1; j += 2 }
+        else j += 1
+        depth > 0
+      }) ()
+      val parms = dict.substring(i, j)
+      val predStages = filters.count(f =>
+        f == "FlateDecode" || f == "Fl" || f == "LZWDecode" || f == "LZW")
+      if (filters.length == 1) Seq(parms)
+      else if (predStages == 1) filters.map(f =>
+        if (f == "FlateDecode" || f == "Fl" || f == "LZWDecode" || f == "LZW")
+          parms else "")
+      else none
+    } else none
+  }
+
   /** Apply the dict's filter chain: Flate, LZW, ASCIIHex, ASCII85 and
     * RunLength (all of ISO 32000 §7.4's general-purpose filters — the
     * remaining ones are image codecs: DCT/JPX/CCITT/JBIG2). Unknown
@@ -286,25 +366,31 @@ object PdfText {
     * horizontal differencing and the PNG row filters, §7.4.4.4) — writers
     * apply predictors to xref streams routinely and to content/object
     * streams occasionally, and an unpredicted stream is garbage bytes.
+    * Parms are matched to their stage via [[decodeParmsFor]] — positional,
+    * so a multi-filter chain where only one stage has a predictor no
+    * longer unpredicts the other stages' output.
     * `pre` is the per-object decryption transform — spec order: decrypt
     * first, THEN the filters (ISO 32000 §7.6.2). */
   private def decodeStream(st: Stream,
-                           pre: Array[Byte] => Array[Byte] = identity): Array[Byte] =
-    filtersOf(st.dict).foldLeft(pre(st.data)) { (d, f) =>
+                           pre: Array[Byte] => Array[Byte] = identity): Array[Byte] = {
+    val fs = filtersOf(st.dict)
+    val parms = decodeParmsFor(st.dict, fs)
+    fs.zip(parms).foldLeft(pre(st.data)) { case (d, (f, pm)) =>
       f match {
-        case "FlateDecode" | "Fl"      => unpredict(inflate(d), st.dict)
-        case "LZWDecode" | "LZW"       => unpredict(lzwDecode(d), st.dict)
+        case "FlateDecode" | "Fl"      => unpredict(inflate(d), pm)
+        case "LZWDecode" | "LZW"       => unpredict(lzwDecode(d), pm)
         case "ASCIIHexDecode" | "AHx"  => asciiHexDecode(d)
         case "ASCII85Decode" | "A85"   => ascii85Decode(d)
         case "RunLengthDecode" | "RL"  => runLengthDecode(d)
         case _                         => d
       }
     }
+  }
 
-  /** First integer value of `/Name N` in the dict text. The predictor
-    * parameter names (`Predictor`, `Columns`, `Colors`,
-    * `BitsPerComponent`) only occur inside `/DecodeParms`, so matching
-    * the whole dict is unambiguous for streams. */
+  /** First integer value of `/Name N` in the given dict text — callers
+    * pass the stage's own `/DecodeParms` sub-dict (see
+    * [[decodeParmsFor]]), so the lookup cannot pick up another stage's
+    * parameters. */
   private def intParam(dict: String, name: String, default: Int): Int =
     ("/" + name + """\s+(\d+)""").r.findFirstMatchIn(dict)
       .map(_.group(1).toInt).getOrElse(default)

@@ -130,8 +130,14 @@ object StreamingDedup {
         // the prune partition column — neither is index data
         df.drop(Seq("bid", "bp").filter(df.columns.contains): _*)
       }
-    def merged(live: String, base: String): Option[DataFrame] =
-      unionOpt(readAll(live), readAll(base))
+    // Dedup on the table's key so re-compaction CONVERGES: a crash after
+    // publish() but before the live-dir delete leaves the live rows both
+    // in the new base and still on disk — without the key-dedup the next
+    // run would bake those duplicates into the base permanently, and
+    // repeated crash cycles would compound index size (admission is
+    // decision-insensitive to duplicates, but not cost-insensitive).
+    def merged(live: String, base: String, key: Seq[String]): Option[DataFrame] =
+      unionOpt(readAll(live), readAll(base)).map(_.dropDuplicates(key))
     def publish(df: DataFrame, base: String, partitioned: Boolean): Unit = {
       val tmp = new org.apache.hadoop.fs.Path(base + "_compacting")
       val old = new org.apache.hadoop.fs.Path(base + "_old")
@@ -159,8 +165,10 @@ object StreamingDedup {
       }
       fs.delete(old, true)
     }
-    Seq(("fp", false), ("buckets", true), ("sig", false)).foreach {
-      case (t, part) =>
+    Seq(("fp", false, Seq("id", "fp")),
+        ("buckets", true, Seq("id", "band", "bkey")),
+        ("sig", false, Seq("id"))).foreach {
+      case (t, part, key) =>
         val base = s"$indexDir/${t}_c"
         // ROLLBACK FIRST: a crash between publish's two renames leaves the
         // base aside under *_old and the new copy under *_compacting; if
@@ -172,7 +180,7 @@ object StreamingDedup {
         if (!fs.exists(baseP) && fs.exists(oldP) &&
           !fs.rename(oldP, baseP))
           sys.error(s"compactIndex: cannot roll back $oldP to $baseP")
-        merged(s"$indexDir/$t", base).foreach { df =>
+        merged(s"$indexDir/$t", base, key).foreach { df =>
           publish(df, base, part)
           fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$t"), true)
         }

@@ -6,10 +6,12 @@ package graft
   */
 class BatterySpec extends SparkSpec {
 
-  test("every query is oracle-checked except the documented FP k-means") {
+  test("every query is oracle-checked — no rows-only entries") {
+    // r12: q_kmeans (the last rows-only row, four rounds running) gained a
+    // DuckDB FP-replay oracle under the dRound6 tolerance pattern
     val rowsOnly = Queries.queries.keySet -- Queries.oracles.keySet
-    assert(rowsOnly == Set("q_kmeans"),
-      s"un-oracled queries must stay exactly {q_kmeans}: $rowsOnly")
+    assert(rowsOnly.isEmpty,
+      s"every battery query must have an oracle: $rowsOnly")
   }
 
   test("battery names are unique and well-formed") {

@@ -306,6 +306,42 @@ class ReadersSpec extends SparkSpec {
     assert(PdfText.unpredict(data, "<< >>").toSeq == data.toSeq)
   }
 
+  test("pdf: /DecodeParms matches its filter stage positionally (§7.3.8.2)") {
+    // array form: null pairs with stage 1, the parms dict with stage 2
+    assert(PdfText.decodeParmsFor(
+      "<< /Filter [/ASCIIHexDecode /FlateDecode] " +
+        "/DecodeParms [null << /Predictor 12 /Columns 4 >>] >>",
+      Seq("ASCIIHexDecode", "FlateDecode")) ==
+      Seq("", "<< /Predictor 12 /Columns 4 >>"))
+    // single dict + single filter: the conformant simple case
+    assert(PdfText.decodeParmsFor(
+      "<< /Filter /FlateDecode /DecodeParms << /Predictor 2 /Columns 4 >> >>",
+      Seq("FlateDecode")) == Seq("<< /Predictor 2 /Columns 4 >>"))
+    // single dict + multi-filter: best-effort — attaches to the chain's ONE
+    // predictor-capable (Flate/LZW) stage, not to every stage
+    assert(PdfText.decodeParmsFor(
+      "<< /Filter [/ASCII85Decode /FlateDecode] " +
+        "/DecodeParms << /Predictor 2 /Columns 4 >> >>",
+      Seq("ASCII85Decode", "FlateDecode")) ==
+      Seq("", "<< /Predictor 2 /Columns 4 >>"))
+    // two predictor-capable stages + one dict: ambiguous — no predictor
+    // (mis-applying it would corrupt the stage the writer never predicted)
+    assert(PdfText.decodeParmsFor(
+      "<< /Filter [/FlateDecode /LZWDecode] /DecodeParms << /Predictor 2 >> >>",
+      Seq("FlateDecode", "LZWDecode")) == Seq("", ""))
+    // short array (writer omitted trailing nulls) pads out; /DP works; an
+    // indirect-ref element resolves to no parms
+    assert(PdfText.decodeParmsFor(
+      "<< /Filter [/FlateDecode /RunLengthDecode] /DP [<< /Predictor 2 >>] >>",
+      Seq("FlateDecode", "RunLengthDecode")) == Seq("<< /Predictor 2 >>", ""))
+    assert(PdfText.decodeParmsFor(
+      "<< /Filter [/FlateDecode /FlateDecode] /DecodeParms [7 0 R << /Predictor 2 >>] >>",
+      Seq("FlateDecode", "FlateDecode")) == Seq("", "<< /Predictor 2 >>"))
+    // no DecodeParms at all
+    assert(PdfText.decodeParmsFor("<< /Filter /FlateDecode >>",
+      Seq("FlateDecode")) == Seq(""))
+  }
+
   test("pdf: Flate stream with /DecodeParms /Predictor 12 decodes") {
     val dir = tmpDir("pdfpred_")
     val content = "BT (Predicted text) Tj ET".getBytes(StandardCharsets.ISO_8859_1)

@@ -157,6 +157,37 @@ class StreamingDedupSpec extends SparkSpec {
     assert(a.toSeq == Seq(12L), s"admitted ${a.toSeq}")
   }
 
+  test("compactIndex: converges when a crash left live rows already folded into the base") {
+    // the one crash window re-running could previously COMPOUND: publish()
+    // succeeded (live rows are in the new base) but the process died before
+    // the live-dir delete — the survivors exist in BOTH places, and without
+    // the key-dedup in merged() every re-run would bake another copy of
+    // them into the base (admission is decision-insensitive to duplicates,
+    // but scan cost is not)
+    val indexDir = tmpDir("dedupidx_")
+    StreamingDedup.admitBatch(spark,
+      Seq((1L, docA), (2L, docB)).toDF("id", "text"), "id", "text",
+      indexDir, 0.5, batchId = Some(0L)).count()
+    StreamingDedup.compactIndex(spark, indexDir, pruneBuckets = 8)
+    val counts0 = Seq("fp_c", "buckets_c", "sig_c")
+      .map(t => spark.read.parquet(s"$indexDir/$t").count())
+    // recreate the live tail as an exact copy of what was just compacted
+    spark.read.parquet(s"$indexDir/fp_c").write.parquet(s"$indexDir/fp")
+    spark.read.parquet(s"$indexDir/buckets_c").drop("bp")
+      .write.parquet(s"$indexDir/buckets")
+    spark.read.parquet(s"$indexDir/sig_c").write.parquet(s"$indexDir/sig")
+    StreamingDedup.compactIndex(spark, indexDir, pruneBuckets = 8)
+    val counts1 = Seq("fp_c", "buckets_c", "sig_c")
+      .map(t => spark.read.parquet(s"$indexDir/$t").count())
+    assert(counts1 == counts0,
+      s"re-compaction must converge, not accrete: $counts0 -> $counts1")
+    // and admission over the converged base still dedups
+    val a = StreamingDedup.admitBatch(spark,
+      Seq((11L, docA), (12L, docC)).toDF("id", "text"), "id", "text",
+      indexDir, 0.5, batchId = Some(1L)).select("id").as[Long].collect().sorted
+    assert(a.toSeq == Seq(12L), s"admitted ${a.toSeq}")
+  }
+
   test("compactIndex: rolls back an interrupted base swap instead of deleting it") {
     val indexDir = tmpDir("dedupidx_")
     StreamingDedup.admitBatch(spark,

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Build BENCH_FLOORS.json: per-query historical floor medians.
+
+    bench_floors.py OUT.json ARTIFACT [ARTIFACT ...]
+
+Floor = MIN median per query across the given Bench artifacts (kept
+full-precision files and/or driver tail captures — bench_diff.load
+handles both). Machine contamination only ever INFLATES timings, so the
+cross-round minimum is the best available estimate of a query's true
+cost on this box; Bench reads the file at run time and re-probes any row
+landing >3x its floor (see Bench.scala's floor-memory comment — the r11
+join_semi/join_anti lesson: a sustained mid-battery slow window has
+TIGHT spreads and is invisible to per-row noise flags, only cross-run
+memory catches it).
+
+Keys are canonicalized to the full "q_"-prefixed query names. Driver
+tails are front-truncated (the first surviving pair may be clipped) and
+compact-precision — both fine for a 3x threshold. Queries missing from
+every artifact simply get no floor (no check).
+"""
+import json
+import sys
+
+from bench_diff import load
+
+
+def main():
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 1
+    out, arts = sys.argv[1], sys.argv[2:]
+    hist = {}
+    fullnames = {}  # stripped -> full, learned from full-precision artifacts
+    parsed = [load(a) for a in arts]
+    for d in parsed:
+        for k in d.get("queries", {}):
+            if k.startswith("q"):
+                fullnames[k[2:] if k.startswith("q_") else k] = k
+    for d in parsed:
+        for k, v in d.get("queries", {}).items():
+            name = k if k.startswith("q") and k in fullnames.values() \
+                else fullnames.get(k, "q_" + k)
+            v = float(v)
+            if v <= 0:
+                continue  # a failed/near-zero row is not a real floor
+            hist.setdefault(name, []).append(v)
+    # Each entry is [floor, typical]: floor = cross-round MIN, typical =
+    # cross-round MEDIAN. Bench flags a row only when it is >3x floor AND
+    # >1.5x typical — the second guard stops a single anomalously-LOW
+    # historical reading (r10's q_kmeans_exact 0.4s vs its normal 2.2-2.6s)
+    # from turning every later normal round into a standing false suspect.
+    floors = {}
+    for name, vs in hist.items():
+        vs = sorted(vs)
+        floors[name] = [round(vs[0], 3), round(vs[len(vs) // 2], 3)]
+    with open(out, "w") as f:
+        json.dump(dict(sorted(floors.items())), f, separators=(",", ":"))
+        f.write("\n")
+    print(f"wrote {out}: {len(floors)} floors from {len(arts)} artifacts")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
