@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Keep-time gate for bench artifacts (the r11 contamination lesson).
+
+    bench_keep.py FULL.json KEPT.json [--sf-dir DIR] [--cpus N]
+
+Validates a `graft_bench_full.json` before it becomes the round's kept
+artifact, and closes the one gap per-row retry + spread flags cannot:
+a SUSTAINED mid-battery slow window that inflates medians with TIGHT
+spreads (r11 kept q_join_semi at 4.6 s vs a 0.49 s fresh-JVM floor).
+
+Checks, in order:
+  1. canary pre/post must agree within 1.5x (else the whole RUN is
+     contaminated — exit 2, don't keep);
+  2. `failed` must be empty (exit 3);
+  3. for every `floor_suspect` row (Bench's own cross-run floor check,
+     already re-probed once in-process), run a FRESH-JVM probe via
+     `graft.tools.BenchOne` and take the min of artifact median and
+     probe — the probe result replaces the row value and is recorded
+     under `floor_probes`; a row STILL >3x floor after the fresh-JVM
+     probe stays listed in `floor_suspect` (root-cause it or discard
+     the run), otherwise it is cleared.
+
+Writes KEPT.json (the full artifact + `floor_probes` + the updated
+`floor_suspect`) and exits 0 if clean, 1 if suspects survive.
+"""
+import json
+import subprocess
+import sys
+
+
+def fresh_jvm_probe(query, sf_dir, cpus):
+    """One fresh-JVM timing of `query` via graft.tools.BenchOne."""
+    cmd = ["sbt", "-batch", f"runMain graft.tools.BenchOne {query}"]
+    env = dict(__import__("os").environ,
+               SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         timeout=900).stdout
+    for line in out.splitlines():
+        # "[benchone] TARGET q_x 0.52 s" (sbt prefixes "[info] ")
+        if "TARGET" in line and query in line:
+            return float(line.split()[-2])
+    return None
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(a.lstrip("-").split("=", 1) if "=" in a else (a.lstrip("-"), True)
+                for a in sys.argv[1:] if a.startswith("--"))
+    if len(args) != 2:
+        print(__doc__)
+        return 1
+    full_path, kept_path = args
+    sf_dir = opts.get("sf-dir", "/root/testdata/sf0.1")
+    cpus = opts.get("cpus", "32")
+    art = json.loads(open(full_path).read().strip())
+
+    can = art.get("canary", [])
+    if can and max(can) / max(min(can), 1e-9) > 1.5:
+        print(f"REJECT: canary pre/post disagree >1.5x: {can} — "
+              "machine load changed mid-run; re-run the battery")
+        return 2
+    if art.get("failed"):
+        print(f"REJECT: failed queries present: {art['failed']}")
+        return 3
+
+    suspects = art.get("floor_suspect", [])
+    try:
+        floors = json.load(open("BENCH_FLOORS.json"))
+    except OSError:
+        floors = {}
+    probes, still = {}, []
+    for q in suspects:
+        p = fresh_jvm_probe(q, sf_dir, cpus)
+        print(f"fresh-JVM probe {q}: {p if p is not None else 'FAILED'} s "
+              f"(artifact {art['queries'].get(q):.2f} s)")
+        if p is None:
+            still.append(q)
+            continue
+        probes[q] = p
+        old = art["queries"].get(q, p)
+        if p < old:
+            art["queries"][q] = p  # contamination only inflates: min wins
+        f = floors.get(q)
+        if f and art["queries"][q] > 3 * f[0] and art["queries"][q] > 1.5 * f[1]:
+            still.append(q)  # survives a fresh JVM: real regression signal
+    if probes:
+        art["floor_probes"] = probes
+        art["value"] = sum(art["queries"].values())
+    art["floor_suspect"] = still
+
+    with open(kept_path, "w") as f:
+        json.dump(art, f, separators=(",", ":"))
+        f.write("\n")
+    if still:
+        print(f"KEPT with surviving floor suspects (root-cause these): {still}")
+        return 1
+    print(f"KEPT clean: {kept_path} total={art['value']:.1f}s "
+          f"noisy={art.get('noisy', [])}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
