@@ -79,6 +79,12 @@ object Bench {
       }
       runs.sorted.apply(1) // median of 3
     }
+    // One untimed canary first: its groupBy/orderBy/limit shapes JIT-compile
+    // on first use, so without this the PRE reading carries ~0.5-1.0s of
+    // one-time compilation and always disagrees with POST by 2-4x on a
+    // clean machine (r11 clean runs: [0.72, 0.31]; r12: [1.28, 0.34]) —
+    // drowning the load signal the pre/post comparison exists to catch.
+    canary()
     val canaryPre = canary()
     // A query that THROWS must not be silently timed as near-zero: a
     // round-11 testdata format change broke 12 events queries and the
@@ -152,11 +158,20 @@ object Bench {
     // annotated "floor_suspect" in both artifacts: either a real regression
     // to root-cause or a run to discard, never a silent keep.
     // entries are "name":[floor, typical]; the 1.5x-typical guard stops one
-    // anomalously-low historical reading from minting a standing false flag
+    // anomalously-low historical reading from minting a standing false flag.
+    // The floors are built from KEPT sf0.1 artifacts, so they only apply to
+    // an sf0.1 battery — at any other scale every heavy row would read as
+    // ">3x floor" and trigger spurious re-probes (SPARK_GRAFT_FLOORS_FILE
+    // overrides the path for a future per-sf floors file).
     val floors: Map[String, (Double, Double)] = {
       try {
-        val p = java.nio.file.Paths.get("BENCH_FLOORS.json")
-        if (!java.nio.file.Files.exists(p)) Map.empty
+        val floorsPath = sys.env.get("SPARK_GRAFT_FLOORS_FILE").orElse {
+          if (java.nio.file.Paths.get(sfDir).getFileName.toString == "sf0.1")
+            Some("BENCH_FLOORS.json")
+          else None
+        }
+        val p = java.nio.file.Paths.get(floorsPath.getOrElse("BENCH_FLOORS.json"))
+        if (floorsPath.isEmpty || !java.nio.file.Files.exists(p)) Map.empty
         else """"([^"]+)":\[([0-9.eE+-]+),([0-9.eE+-]+)\]""".r
           .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
           .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble)).toMap

@@ -316,6 +316,29 @@ object Queries {
     writeBytes(dir.resolve("iso2022jp.txt"),
       "こんにちは世界".getBytes(
         java.nio.charset.Charset.forName("ISO-2022-JP")))
+    // r12 encoding micro-tail (VERDICT r11 "What's missing" #2):
+    //   - ISO-2022-KR (RFC 1557, ESC $ ) C designator + SO/SI shifts) —
+    //     chardet's escape prober detects it, Python decodes it; ours gates
+    //     on the designator and strict-decodes via the JDK charset
+    writeBytes(dir.resolve("iso2022kr.txt"),
+      "한국어 뉴스 기사 본문".getBytes(
+        java.nio.charset.Charset.forName("ISO-2022-KR")))
+    //   - HZ-GB2312 (RFC 1843, '~{' GB pairs '~}') — chardet detects it;
+    //     the JDK has no HZ coder either way, so the fixture hand-encodes
+    //     (GB2312 bytes with the high bit stripped inside ~{ ~}) and
+    //     Readers.decodeHz parses per the RFC
+    writeBytes(dir.resolve("hz.txt"),
+      "hz mode ".getBytes(StandardCharsets.US_ASCII) ++
+        Array[Byte]('~', '{') ++
+        "中文信息处理".getBytes(java.nio.charset.Charset.forName("GB2312"))
+          .map(x => (x & 0x7f).toByte) ++
+        Array[Byte]('~', '}'))
+    //   - UTF-7 (RFC 2152) behind its explicit +/v8- BOM; body exercises
+    //     implicit run termination (space / '?') and explicit '-'. Bytes
+    //     verified against CPython's utf_7 codec output.
+    writeBytes(dir.resolve("utf7.txt"),
+      "+/v8-d+AOk-j+AOA vu +IBQ utf-7 +AL8-s+AO0?"
+        .getBytes(StandardCharsets.US_ASCII))
     dir.toString
   }
 
@@ -1146,6 +1169,11 @@ object Queries {
               | -- r9: EUC-KR (hangul dominance) and ISO-2022-JP (escape gate)
               | UNION ALL SELECT '\ud55c\uad6d\uc5b4 \uc778\ucf54\ub529 \ud14c\uc2a4\ud2b8\uc785\ub2c8\ub2e4'
               | UNION ALL SELECT '\u3053\u3093\u306b\u3061\u306f\u4e16\u754c'
+              | -- r12 micro-tail: ISO-2022-KR + HZ-GB2312 (escape-prober
+              | -- gates) and UTF-7 behind its explicit BOM
+              | UNION ALL SELECT '\ud55c\uad6d\uc5b4 \ub274\uc2a4 \uae30\uc0ac \ubcf8\ubb38'
+              | UNION ALL SELECT 'hz mode \u4e2d\u6587\u4fe1\u606f\u5904\u7406'
+              | UNION ALL SELECT 'd\u00e9j\u00e0 vu \u2014 utf-7 \u00bfs\u00ed?'
               |) ORDER BY content""".stripMargin)),
 
     // ------------------------------------------------ F1/F2 extraction

@@ -94,14 +94,20 @@ object Readers {
     *     cp1252's five undefined slots. For streams without 0x80–0x9F
     *     bytes cp1252 and Latin-1 agree, so the Latin-1 floor is used.
     *
-    * ISO-2022-JP — pure 7-bit, so invisible to a validity scan — is gated
-    * on its ESC $ B / ESC $ @ shift-in sequences before the UTF-8 pass,
-    * exactly like chardet's escape prober. The [[decodeCjkOrCyrillic]]
-    * tail then covers chardet's remaining common catches — EUC-JP, EUC-KR,
-    * GBK, Big5, KOI8-R, windows-1251 — via strict decoding plus
-    * script/frequency/case scoring. Residual divergence from chardet
-    * (SURVEY §7.4): rarer families (ISO-8859-5/7, TIS-620, ...) still
-    * floor to Latin-1. All ladder behavior is PINNED by the
+    * The 7-bit escape family — invisible to a validity scan — is gated on
+    * shift-in markers before the UTF-8 pass, exactly like chardet's escape
+    * prober: ISO-2022-JP (ESC $ B / ESC $ @), ISO-2022-KR (ESC $ ) C,
+    * RFC 1557), and HZ-GB2312 ('~{' … '~}', RFC 1843, [[decodeHz]] — the
+    * JDK has no HZ charset). UTF-7 is caught only via its explicit BOM
+    * (+/v8-…, [[decodeUtf7]]); BOM-less UTF-7 is indistinguishable from
+    * ASCII-with-'+' text and chardet skips it too (the reference lands in
+    * ascii-ignore there). The [[decodeCjkOrCyrillic]] tail then covers
+    * chardet's remaining common catches — EUC-JP, EUC-KR, GBK, Big5,
+    * KOI8-R, windows-1251 — via strict decoding plus script/frequency/case
+    * scoring. Residual divergence from chardet (SURVEY §7.4): rarer
+    * families (ISO-8859-5/7, TIS-620, ISO-2022-CN — which Python cannot
+    * even decode, so the reference ascii-ignores it) still floor to
+    * Latin-1. All ladder behavior is PINNED by the
     * `q_ingest_txt_encodings` fixture, so a future detector upgrade shows
     * up as a deliberate oracle change, not drift.
     */
@@ -132,6 +138,18 @@ object Readers {
       return new String(bytes, 3, bytes.length - 3, StandardCharsets.UTF_8)
     if (bytes.length >= 2 && ((b(0) == 0xff && b(1) == 0xfe) || (b(0) == 0xfe && b(1) == 0xff)))
       return new String(bytes, StandardCharsets.UTF_16) // detects + strips BOM
+    // UTF-7 BOM (+/v8 +/v9 +/v+ +/v/ — the four modified-base64 spellings
+    // of a leading U+FEFF): the only unambiguous UTF-7 signal. BOM-less
+    // UTF-7 is indistinguishable from ASCII-with-'+' text, so it
+    // (correctly) falls through to the UTF-8 path — chardet doesn't detect
+    // it either, and the reference lands in its ascii-ignore fallback.
+    if (bytes.length >= 4 && b(0) == '+' && b(1) == '/' && b(2) == 'v' &&
+        (b(3) == '8' || b(3) == '9' || b(3) == '+' || b(3) == '/')) {
+      decodeUtf7(bytes) match {
+        case Some(t) => return t
+        case None    => () // malformed run — keep sniffing
+      }
+    }
     // BOM-less UTF-16 heuristic BEFORE the UTF-8 scan: NUL is a *valid*
     // UTF-8 byte, but no real text file contains it — mostly-ASCII UTF-16
     // is ~50% NULs, and their parity gives the endianness
@@ -142,21 +160,45 @@ object Readers {
                else StandardCharsets.UTF_16BE
       return new String(bytes, cs)
     }
-    // ISO-2022-JP is pure 7-bit, so it would sail through the strict UTF-8
-    // scan below with raw ESC sequences intact — like chardet's escape
-    // prober, gate on the JIS X 0208 shift-in sequences (ESC $ B / ESC $ @)
+    // ISO-2022-JP/KR are pure 7-bit, so they would sail through the strict
+    // UTF-8 scan below with raw ESC sequences intact — like chardet's
+    // escape prober, gate on the shift-in designators (JP: ESC $ B /
+    // ESC $ @ for JIS X 0208; KR: ESC $ ) C for KS X 1001, RFC 1557)
     // BEFORE the UTF-8 pass, then let a strict decode validate the full
     // escape grammar. Real UTF-8/ASCII text never contains these.
     var ji = 0
     while (ji + 2 < bytes.length) {
-      if (bytes(ji) == 0x1b && bytes(ji + 1) == '$' &&
-          (bytes(ji + 2) == 'B' || bytes(ji + 2) == '@')) {
-        strictDecode(bytes, "ISO-2022-JP") match {
-          case Some(t) => return t
-          case None    => ji = bytes.length
+      if (bytes(ji) == 0x1b && bytes(ji + 1) == '$') {
+        if (bytes(ji + 2) == 'B' || bytes(ji + 2) == '@') {
+          strictDecode(bytes, "ISO-2022-JP") match {
+            case Some(t) => return t
+            case None    => ji = bytes.length
+          }
+        } else if (bytes(ji + 2) == ')' && ji + 3 < bytes.length &&
+                   bytes(ji + 3) == 'C') {
+          strictDecode(bytes, "ISO-2022-KR") match {
+            case Some(t) => return t
+            case None    => ji = bytes.length
+          }
         }
       }
       ji += 1
+    }
+    // HZ-GB2312 (RFC 1843) is 7-bit too: '~{' shifts into GB2312 byte
+    // pairs, '~}' shifts back out, '~~' is a literal tilde. Gate on the
+    // shift-in marker (chardet's escape prober keys on the same bytes) and
+    // require the WHOLE stream to parse strictly — '~{' in ASCII prose
+    // (brace soup in code, say) almost never parses as valid GB pairs
+    // through to a matching '~}'.
+    var hi = 0
+    while (hi + 1 < bytes.length) {
+      if (bytes(hi) == '~' && bytes(hi + 1) == '{') {
+        decodeHz(bytes) match {
+          case Some(t) => return t
+          case None    => hi = bytes.length
+        }
+      }
+      hi += 1
     }
     // strict UTF-8 validity scan
     val utf8 = StandardCharsets.UTF_8.newDecoder()
@@ -214,6 +256,96 @@ object Readers {
   private val commonHan: Set[Char] =
     ("的一是不了人我在有他这中大来上国个到说们为子和你地出道也时年得就那要下以生会自着去之过家学对可她里后小么心多天而能好都然没日于起还发成事只作当想看文无开手十用主行方又如前所本见经头面公同三已老从动两长知民样现分将外但身些与高意进把法此实回二理美点月明其种声全工己话儿者向情部正名定问力机给等几很业最间新什打便位因重被走电四第门相次东政海口使教西再平真听世气信北少关并内加化由却代军产入先山五太水万市眼体别处总才场师书比住员九笑性通目华报立马命张活党带行周期码编测试" +
      "這為來個們說國時後學進將還沒關於會東動問開頭實體點現應該讓對馬風龍門長書見貝車金經濟臺灣變邊辦權觀歡舊點間兩萬機發當給從業樣總處確報立聲等電號眾園圖專鄉戰愛綿繁體測試縈統過達選證請謝讀語誰雖然臽歷歸濃獲環繼續聽聴").toSet
+
+  /** Strict UTF-7 decoder (RFC 2152; the JDK ships no UTF-7 charset).
+    * Direct ASCII passes through; '+' opens a modified-base64 run encoding
+    * big-endian 16-bit units ('+-' is a literal '+'); a run ends at '-'
+    * (consumed) or any non-base64 byte (kept). Declines (None) on high
+    * bytes, an empty run, or nonzero padding bits — the caller then falls
+    * through to the ordinary ladder.
+    */
+  private def decodeUtf7(bytes: Array[Byte]): Option[String] = {
+    val inv = Array.fill(128)(-1)
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+      .zipWithIndex.foreach { case (c, v) => inv(c) = v }
+    val sb = new StringBuilder
+    var i = 0
+    while (i < bytes.length) {
+      val c = bytes(i) & 0xff
+      if (c >= 0x80) return None
+      if (c != '+') { sb.append(c.toChar); i += 1 }
+      else if (i + 1 < bytes.length && bytes(i + 1) == '-') {
+        sb.append('+'); i += 2
+      } else {
+        i += 1
+        var bits = 0
+        var nbits = 0
+        var any = false
+        while (i < bytes.length && (bytes(i) & 0xff) < 0x80 &&
+               inv(bytes(i) & 0xff) >= 0) {
+          bits = (bits << 6) | inv(bytes(i) & 0xff)
+          nbits += 6
+          if (nbits >= 16) {
+            nbits -= 16
+            sb.append(((bits >> nbits) & 0xffff).toChar)
+          }
+          any = true
+          i += 1
+        }
+        if (!any) return None // lone '+' before non-base64: not UTF-7
+        if (nbits > 0 && (bits & ((1 << nbits) - 1)) != 0) return None
+        if (i < bytes.length && bytes(i) == '-') i += 1 // explicit terminator
+      }
+    }
+    val t = sb.toString
+    Some(if (t.nonEmpty && t.charAt(0) == '\ufeff') t.substring(1) else t)
+  }
+
+  /** Strict HZ-GB2312 decoder (RFC 1843; the JDK ships no HZ charset).
+    * ASCII mode: bytes pass through; '~~' → '~', '~{' shifts to GB mode,
+    * '~\n' is a line continuation (dropped). GB mode: pairs of bytes in
+    * 0x21–0x7E are GB2312 codes (high bit stripped); '~}' shifts back.
+    * Declines (None) on high bytes, a dangling '~', an odd/out-of-range GB
+    * pair, an unterminated GB section, or a pair the GB2312 table rejects.
+    */
+  private def decodeHz(bytes: Array[Byte]): Option[String] = {
+    val sb = new StringBuilder
+    val gbBytes = new java.io.ByteArrayOutputStream
+    var gb = false
+    var i = 0
+    def flushGb(): Boolean = {
+      val mapped = gbBytes.toByteArray.map(x => (x | 0x80).toByte)
+      gbBytes.reset()
+      strictDecode(mapped, "GB2312") match {
+        case Some(t) => sb.append(t); true
+        case None    => false
+      }
+    }
+    while (i < bytes.length) {
+      val c = bytes(i) & 0xff
+      if (c >= 0x80) return None
+      if (!gb) {
+        if (c == '~') {
+          if (i + 1 >= bytes.length) return None
+          ((bytes(i + 1) & 0xff).toChar: @scala.annotation.switch) match {
+            case '{'  => gb = true; i += 2
+            case '~'  => sb.append('~'); i += 2
+            case '\n' => i += 2
+            case _    => return None
+          }
+        } else { sb.append(c.toChar); i += 1 }
+      } else {
+        if (c == '~' && i + 1 < bytes.length && bytes(i + 1) == '}') {
+          if (!flushGb()) return None
+          gb = false; i += 2
+        } else if (c >= 0x21 && c <= 0x7e && i + 1 < bytes.length &&
+                   (bytes(i + 1) & 0xff) >= 0x21 && (bytes(i + 1) & 0xff) <= 0x7e) {
+          gbBytes.write(c); gbBytes.write(bytes(i + 1) & 0xff); i += 2
+        } else return None
+      }
+    }
+    if (gb) None else Some(sb.toString)
+  }
 
   private def strictDecode(bytes: Array[Byte], cs: String): Option[String] = {
     val dec = java.nio.charset.Charset.forName(cs).newDecoder()

@@ -76,6 +76,36 @@ class ReadersSpec extends SparkSpec {
     assert(dec("déjà vu très tôt café", "ISO-8859-1") == "déjà vu très tôt café")
   }
 
+  test("r12 micro-tail: ISO-2022-KR, HZ-GB2312, UTF-7 (BOM-gated)") {
+    def dec(bytes: Array[Byte]): String = Readers.decodeFallbackForTest(bytes)
+    // ISO-2022-KR: ESC $ ) C designator gates, JDK strict decode validates
+    assert(dec("한국어 뉴스 기사 본문".getBytes(
+      java.nio.charset.Charset.forName("ISO-2022-KR"))) == "한국어 뉴스 기사 본문")
+    // HZ-GB2312: hand-encode (JDK has no HZ coder) — GB2312 bytes with the
+    // high bit stripped between ~{ ~}; '~~' is a literal tilde
+    def hz(ascii: String, han: String): Array[Byte] =
+      ascii.getBytes("US-ASCII") ++ Array[Byte]('~', '{') ++
+        han.getBytes(java.nio.charset.Charset.forName("GB2312"))
+          .map(x => (x & 0x7f).toByte) ++ Array[Byte]('~', '}')
+    assert(dec(hz("hz mode ", "中文信息处理")) == "hz mode 中文信息处理")
+    assert(dec("a ~~ b".getBytes("US-ASCII") ++ hz("", "汉字")) == "a ~ b汉字")
+    // '~{' in plain ASCII prose must NOT be claimed: the braces content
+    // fails the strict GB pair grammar and the stream stays as-is
+    val soup = "code soup ~{ x = 1; } end"
+    assert(dec(soup.getBytes("US-ASCII")) == soup)
+    // UTF-7 with its explicit BOM: implicit (space/'?') and explicit ('-')
+    // run termination, '+AL8-' mid-word (bytes match CPython utf_7 output)
+    assert(dec("+/v8-d+AOk-j+AOA vu +IBQ utf-7 +AL8-s+AO0?"
+      .getBytes("US-ASCII")) == "déjà vu — utf-7 ¿sí?")
+    // '+-' is a literal plus
+    assert(dec("+/v8-1 +- 2 +AOk-".getBytes("US-ASCII")) == "1 + 2 é")
+    // BOM-less UTF-7 is indistinguishable from ASCII-with-'+' text: stays
+    // raw (chardet skips it too; the reference lands in ascii-ignore)
+    assert(dec("d+AOk-j+AOA vu".getBytes("US-ASCII")) == "d+AOk-j+AOA vu")
+    // a BOM-shaped prefix over a malformed body declines and falls through
+    assert(dec("+/v8-ok +***".getBytes("US-ASCII")) == "+/v8-ok +***")
+  }
+
   test("txtSafe: good file has null _ingest_error; rows survive") {
     val dir = tmpDir("txt_")
     write(dir, "ok.txt", "hello\nworld\n".getBytes(StandardCharsets.UTF_8))
