@@ -160,6 +160,76 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("r12 micro-tail round-trips on generated text (UTF-7, HZ, ISO-2022-KR)") {
+    def dec(bytes: Array[Byte]): String =
+      graft.ingest.Readers.decodeFallbackForTest(bytes)
+    // UTF-7: independent test-side encoder (RFC 2152 modified base64, all
+    // non-direct chars encoded) + the +/v8- BOM; mixed ASCII/BMP text
+    def encodeUtf7(s: String): Array[Byte] = {
+      val b64 = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+      val out = new StringBuilder("+/v8-")
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c < 0x80 && c != '+') { out.append(c); i += 1 }
+        else if (c == '+') { out.append("+-"); i += 1 }
+        else {
+          val run = new StringBuilder
+          while (i < s.length && s.charAt(i) >= 0x80) { run.append(s.charAt(i)); i += 1 }
+          var bits = 0L
+          var nbits = 0
+          out.append('+')
+          run.foreach { rc =>
+            bits = (bits << 16) | rc.toLong; nbits += 16
+            while (nbits >= 6) {
+              nbits -= 6; out.append(b64(((bits >> nbits) & 0x3f).toInt))
+            }
+          }
+          if (nbits > 0) out.append(b64(((bits << (6 - nbits)) & 0x3f).toInt))
+          out.append('-')
+        }
+      }
+      out.toString.getBytes("US-ASCII")
+    }
+    val mixedGen = Gen.nonEmptyListOf(Gen.oneOf(
+      "a", "Z", "3", " ", "+", "é", "Ω", "中", "한", "—", "🙂")).map(_.mkString)
+    samples(mixedGen, 40).foreach { t =>
+      assert(dec(encodeUtf7(t)) == t, s"utf-7 round-trip failed for $t")
+    }
+    // HZ: generated GB2312-repertoire text with interleaved ASCII runs
+    def encodeHz(parts: Seq[(String, Boolean)]): Array[Byte] =
+      parts.flatMap { case (txt, isGb) =>
+        if (isGb)
+          Array[Byte]('~', '{') ++
+            txt.getBytes(java.nio.charset.Charset.forName("GB2312"))
+              .map(x => (x & 0x7f).toByte) ++ Array[Byte]('~', '}')
+        else txt.replace("~", "~~").getBytes("US-ASCII")
+      }.toArray
+    val hanGen = Gen.nonEmptyListOf(Gen.oneOf(
+      "中", "文", "信", "息", "处", "理", "汉", "字", "测", "试")).map(_.mkString)
+    val asciiRun = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '~', '.', ','))).map(_.mkString)
+    val partsGen = Gen.nonEmptyListOf(Gen.zip(Gen.oneOf(true, false), hanGen, asciiRun)
+      .map { case (gb, han, asc) => if (gb) (han, true) else (asc, false) })
+    samples(partsGen, 40).foreach { parts0 =>
+      // at least one GB section, else there is no '~{' gate to trip and
+      // the stream (correctly) stays ASCII with its '~~' un-collapsed
+      val parts = parts0 :+ ("汉字" -> true)
+      val expected = parts.map(_._1).mkString
+      assert(dec(encodeHz(parts)) == expected, s"hz round-trip failed for $parts")
+    }
+    // ISO-2022-KR via the JDK's own encoder
+    val hangulGen = Gen.nonEmptyListOf(Gen.oneOf(
+      "한", "국", "어", "글", "말", "세", "계", " ", "ok ")).map(_.mkString)
+    samples(hangulGen, 30).foreach { t0 =>
+      val t = t0.trim
+      if (t.exists(_ >= 0x80)) { // pure-ASCII samples have no KR designator
+        val bytes = t.getBytes(java.nio.charset.Charset.forName("ISO-2022-KR"))
+        assert(dec(bytes) == t, s"iso-2022-kr round-trip failed for $t")
+      }
+    }
+  }
+
   test("no binary decoder throws on arbitrary bytes (fuzz)") {
     import graft.functions.MediaCodecs
     val blobGen = Gen.oneOf(
