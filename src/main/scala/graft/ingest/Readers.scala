@@ -187,9 +187,13 @@ object Readers {
     // HZ-GB2312 (RFC 1843) is 7-bit too: '~{' shifts into GB2312 byte
     // pairs, '~}' shifts back out, '~~' is a literal tilde. Gate on the
     // shift-in marker (chardet's escape prober keys on the same bytes) and
-    // require the WHOLE stream to parse strictly — '~{' in ASCII prose
-    // (brace soup in code, say) almost never parses as valid GB pairs
-    // through to a matching '~}'.
+    // require the WHOLE stream to parse strictly. NOTE the known claim
+    // window: an even run of letters between '~{' and '~}' ("see ~{ab~}")
+    // maps into valid GB2312 pairs and IS transcoded to hanzi — chardet
+    // claims such streams as HZ from the same marker and Python's hz codec
+    // decodes them identically, so this matches the reference end to end
+    // (pinned in ReadersSpec); a space, brace, or any byte <0x21 inside
+    // the section blocks the claim, which keeps real code/prose safe.
     var hi = 0
     while (hi + 1 < bytes.length) {
       if (bytes(hi) == '~' && bytes(hi + 1) == '{') {

@@ -89,10 +89,15 @@ class ReadersSpec extends SparkSpec {
           .map(x => (x & 0x7f).toByte) ++ Array[Byte]('~', '}')
     assert(dec(hz("hz mode ", "中文信息处理")) == "hz mode 中文信息处理")
     assert(dec("a ~~ b".getBytes("US-ASCII") ++ hz("", "汉字")) == "a ~ b汉字")
-    // '~{' in plain ASCII prose must NOT be claimed: the braces content
-    // fails the strict GB pair grammar and the stream stays as-is
+    // '~{' in plain ASCII prose must NOT be claimed when the section holds
+    // any byte <0x21 (space, controls) — real code/prose stays as-is
     val soup = "code soup ~{ x = 1; } end"
     assert(dec(soup.getBytes("US-ASCII")) == soup)
+    // KNOWN claim window, pinned as chardet/reference parity: an even
+    // letter run between ~{ ~} forms valid GB2312 pairs and transcodes
+    // ('ab' -> 0xE1,0xE2 -> U+5F95) — chardet detects such streams as HZ
+    // from the same marker and Python's hz codec decodes them identically
+    assert(dec("see ~{ab~} end".getBytes("US-ASCII")) == "see 徕 end")
     // UTF-7 with its explicit BOM: implicit (space/'?') and explicit ('-')
     // run termination, '+AL8-' mid-word (bytes match CPython utf_7 output)
     assert(dec("+/v8-d+AOk-j+AOA vu +IBQ utf-7 +AL8-s+AO0?"

@@ -34,11 +34,17 @@ def main():
     parsed = [load(a) for a in arts]
     for d in parsed:
         for k in d.get("queries", {}):
-            if k.startswith("q"):
-                fullnames[k[2:] if k.startswith("q_") else k] = k
+            # learn stripped->full only from genuinely full-precision keys
+            # ("q_..." or the prefixless "q1_agg" style); a compact key that
+            # happens to start with 'q' (a future "q_q..." query's tail form)
+            # must not register itself as a full name
+            if k.startswith("q_"):
+                fullnames[k[2:]] = k
+            elif k.startswith("q") and not k[1:2].isalpha():
+                fullnames[k] = k  # "q1_agg": compact == full
     for d in parsed:
         for k, v in d.get("queries", {}).items():
-            name = k if k.startswith("q") and k in fullnames.values() \
+            name = k if k in fullnames.values() \
                 else fullnames.get(k, "q_" + k)
             v = float(v)
             if v <= 0:

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Keep-time gate for bench artifacts (the r11 contamination lesson).
 
-    bench_keep.py FULL.json KEPT.json [--sf-dir DIR] [--cpus N]
+    bench_keep.py FULL.json KEPT.json [--sf-dir=DIR] [--cpus=N]
 
 Validates a `graft_bench_full.json` before it becomes the round's kept
 artifact, and closes the one gap per-row retry + spread flags cannot:
@@ -33,8 +33,12 @@ def fresh_jvm_probe(query, sf_dir, cpus):
     cmd = ["sbt", "-batch", f"runMain graft.tools.BenchOne {query}"]
     env = dict(__import__("os").environ,
                SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
-    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                         timeout=900).stdout
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                             timeout=900).stdout
+    except (subprocess.TimeoutExpired, OSError) as e:
+        print(f"probe subprocess failed for {query}: {e}")
+        return None
     for line in out.splitlines():
         # "[benchone] TARGET q_x 0.52 s" (sbt prefixes "[info] ")
         if "TARGET" in line and query in line:
@@ -52,6 +56,9 @@ def main():
     full_path, kept_path = args
     sf_dir = opts.get("sf-dir", "/root/testdata/sf0.1")
     cpus = opts.get("cpus", "32")
+    if not isinstance(sf_dir, str) or not isinstance(cpus, str):
+        print(__doc__)
+        return 1
     art = json.loads(open(full_path).read().strip())
 
     can = art.get("canary", [])
@@ -81,7 +88,9 @@ def main():
         if p < old:
             art["queries"][q] = p  # contamination only inflates: min wins
         f = floors.get(q)
-        if f and art["queries"][q] > 3 * f[0] and art["queries"][q] > 1.5 * f[1]:
+        v = art["queries"][q]
+        # same rule as Bench.overFloor: >3x floor AND >0.3s over AND >1.5x typical
+        if f and v > 3 * f[0] and v - f[0] > 0.3 and v > 1.5 * f[1]:
             still.append(q)  # survives a fresh JVM: real regression signal
     if probes:
         art["floor_probes"] = probes
