@@ -201,6 +201,22 @@ object Dedup {
     require(bits >= 1 && bits <= 64, s"bad fingerprint width $bits")
     require(maxDistance >= 0 && maxDistance < bits,
       s"bad maxDistance $maxDistance for $bits bits")
+    // Narrow fingerprints (≤ 2^20 possible values): collapse to DISTINCT
+    // values first — candidate generation becomes independent of corpus
+    // size (see [[collapsedHammingJoin]]). Wide fingerprints (image pHash
+    // at 64 bits) keep the segment join: their value space dwarfs any
+    // corpus, so collapsing buys nothing.
+    if (bits <= 20 && maxDistance >= 1)
+      collapsedHammingJoin(hashes, bits, maxDistance)
+    else
+      segmentedHammingJoin(hashes, bits, maxDistance)
+  }
+
+  /** The segment self-join core of [[bandedHammingJoin]] (wide-fingerprint
+    * path; also reachable directly for A/B probes).
+    */
+  private[graft] def segmentedHammingJoin(hashes: DataFrame, bits: Int,
+                                          maxDistance: Int): DataFrame = {
     val nSeg = maxDistance + 1
     val segLen = math.ceil(bits.toDouble / nSeg).toInt
     // Segment s of a fingerprint, as a small int (long bits from the top,
@@ -228,6 +244,64 @@ object Dedup {
       .withColumn("distance", hammingDistance(col("sig_a"), col("sig_b")))
       .filter(col("distance") <= maxDistance)
       .select("id_a", "id_b", "distance")
+  }
+
+  /** Narrow-fingerprint Hamming join via distinct-value collapse + XOR-mask
+    * neighbor enumeration — the 100 TB path for ≤20-bit fingerprints.
+    *
+    * A 16-bit simhash has at most 65,536 distinct values no matter how many
+    * documents carry one, so the segment self-join's O(n²/2^(bits/(d+1)))
+    * candidate cost is pure waste at corpus scale: billions of rows hashing
+    * into 65 k values means every bucket collision is re-verified once per
+    * DOCUMENT pair instead of once per VALUE pair. Collapsing first makes
+    * candidate work corpus-size-independent:
+    *
+    *   1. distinct sigs (one hash-agg; map-side combine ships one row per
+    *      value, ≤ 2^bits total);
+    *   2. neighbor enumeration: explode each distinct value against the
+    *      fixed mask table of all XOR deltas with popcount 1..maxDistance
+    *      (C(16,1)+C(16,2)+C(16,3) = 696 masks at 16/3) and semi-join the
+    *      XOR result back against the distinct set — emits exactly the
+    *      qualifying (value_a < value_b) pairs, no post-filter, recall 1 by
+    *      construction (every fingerprint within distance d differs by
+    *      exactly one such mask);
+    *   3. expansion: the value-pair table joins the (id, sig) table twice to
+    *      materialize document pairs — the only corpus-proportional work
+    *      left, and it is proportional to the OUTPUT, which no exact
+    *      algorithm can avoid;
+    *   4. distance-0 pairs (same value) come from a same-sig self-join with
+    *      `id_a < id_b` — skew in hot fingerprints is AQE skew-join work.
+    *
+    * Equivalent to the segment join (one spec asserts it on random
+    * fingerprints); dispatch lives in [[bandedHammingJoin]].
+    */
+  private[graft] def collapsedHammingJoin(hashes: DataFrame, bits: Int,
+                                          maxDistance: Int): DataFrame = {
+    val masks: Array[Long] = (1 to maxDistance).toArray.flatMap(k =>
+      (0 until bits).combinations(k)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toArray)
+    val sigs = hashes.select(col("id"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val distinctSigs = sigs.select("sig").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val valuePairs = distinctSigs
+      .select(col("sig").as("sig_a"),
+        explode(typedLit(masks)).as("__m"))
+      .select(col("sig_a"), col("sig_a").bitwiseXOR(col("__m")).as("sig_b"))
+      .filter(col("sig_a") < col("sig_b"))
+      .join(distinctSigs.withColumnRenamed("sig", "sig_b"), Seq("sig_b"), "leftsemi")
+    val cross = valuePairs
+      .join(sigs.select(col("id").as("__ida"), col("sig").as("sig_a")), "sig_a")
+      .join(sigs.select(col("id").as("__idb"), col("sig").as("sig_b")), "sig_b")
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"),
+        hammingDistance(col("sig_a"), col("sig_b")).as("distance"))
+    val same = sigs.select(col("id").as("id_a"), col("sig"))
+      .join(sigs.select(col("id").as("id_b"), col("sig")), "sig")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        lit(0).cast("int").as("distance"))
+    cross.union(same)
   }
 
   /** Exact dedup: canonical representative (min id) per duplicate group.

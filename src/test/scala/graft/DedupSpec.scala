@@ -60,6 +60,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
 
+  test("bandedHammingJoin: collapsed (narrow) and segmented (wide) paths both equal brute force") {
+    // 300 random 16-bit fingerprints with forced value collisions: run the
+    // SAME values through the ≤20-bit distinct-collapse path and, widened to
+    // 64 bits (values unchanged, so distances unchanged), through the
+    // segment self-join path; both must equal the in-test cross product.
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(1 << 16) & 0xffffL))).toSeq
+    val expected = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(sa ^ sb))).toSet
+    val df = rows.toDF("id", "sig")
+    def run(bits: Int) = Dedup.bandedHammingJoin(df, bits, maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(run(16) == expected)  // collapsed path
+    assert(run(64) == expected)  // segmented path, same data
+  }
+
   test("hammingDistance is popcount of xor") {
     val d = spark.range(1).select(
       Dedup.hammingDistance(lit(0xb101L), lit(0xb010L)).as("d")).collect()(0).getInt(0)
