@@ -201,15 +201,27 @@ object Dedup {
     require(bits >= 1 && bits <= 64, s"bad fingerprint width $bits")
     require(maxDistance >= 0 && maxDistance < bits,
       s"bad maxDistance $maxDistance for $bits bits")
-    // Narrow fingerprints (≤ 2^20 possible values): collapse to DISTINCT
-    // values first — candidate generation becomes independent of corpus
-    // size (see [[collapsedHammingJoin]]). Wide fingerprints (image pHash
-    // at 64 bits) keep the segment join: their value space dwarfs any
-    // corpus, so collapsing buys nothing.
-    if (bits <= 20 && maxDistance >= 1)
+    if (useCollapsedHamming(bits, maxDistance))
       collapsedHammingJoin(hashes, bits, maxDistance)
     else
       segmentedHammingJoin(hashes, bits, maxDistance)
+  }
+
+  /** Dispatch rule for [[bandedHammingJoin]]. Narrow fingerprints (≤ 2^20
+    * possible values) collapse to DISTINCT values first — candidate
+    * generation becomes independent of corpus size (see
+    * [[collapsedHammingJoin]]). Wide fingerprints (image pHash at 64 bits)
+    * keep the segment join: their value space dwarfs any corpus, so
+    * collapsing buys nothing. The mask budget caps the neighbor-enumeration
+    * fan-out (sum of C(bits, 1..d) masks per distinct value): a large
+    * maxDistance on a narrow code makes the mask table itself combinatorial
+    * (C(20, ≤19) ≈ 1 M), where the segment join's per-segment buckets
+    * degrade more gracefully.
+    */
+  private[graft] def useCollapsedHamming(bits: Int, maxDistance: Int): Boolean = {
+    val maskCount = (1 to maxDistance).map(k =>
+      (0 until k).map(i => (bits - i).toDouble / (i + 1)).product).sum
+    bits <= 20 && maxDistance >= 1 && maskCount <= 16384
   }
 
   /** The segment self-join core of [[bandedHammingJoin]] (wide-fingerprint

@@ -79,6 +79,14 @@ class DedupSpec extends SparkSpec {
     assert(run(64) == expected)  // segmented path, same data
   }
 
+  test("Hamming-join dispatch: collapse for narrow codes, segment for wide or combinatorial") {
+    assert(Dedup.useCollapsedHamming(16, 3))        // simhash default: 696 masks
+    assert(Dedup.useCollapsedHamming(20, 3))        // 1,350 masks
+    assert(!Dedup.useCollapsedHamming(64, 3))       // wide pHash: value space too big
+    assert(!Dedup.useCollapsedHamming(16, 0))       // exact match: plain groupBy path
+    assert(!Dedup.useCollapsedHamming(20, 10))      // C(20,<=10) ~ 431k masks: budget blown
+  }
+
   test("hammingDistance is popcount of xor") {
     val d = spark.range(1).select(
       Dedup.hammingDistance(lit(0xb101L), lit(0xb010L)).as("d")).collect()(0).getInt(0)
