@@ -92,15 +92,26 @@ object Bench {
     // artifacts before anyone noticed. Failures are tracked, reported in
     // the full artifact, and fail the process exit code.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // `record = false` for diagnostic re-runs (noisy retry, floor re-probe):
+    // a query that timed cleanly through the battery must not be
+    // retroactively marked FAILED — and its valid battery median discarded —
+    // because a post-battery diagnostic probe flaked. A throw there returns
+    // an infinite triple instead, which no min/comparison ever picks.
     def timeTriple(name: String,
-                   fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+                   fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                   record: Boolean = true)
         : (Double, Double) = {
+      var threw = false
       val dts = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
-            if (failed.add(name))
+            threw = true
+            if (record && failed.add(name))
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            else if (!record)
+              System.err.println(
+                s"[bench] $name diagnostic re-run threw (ignored): ${e.getMessage}")
         }
         val t = (System.nanoTime() - t0) / 1e9
         // Operators that persist derived tables (LSH buckets, simhash
@@ -109,9 +120,13 @@ object Bench {
         spark.catalog.clearCache()
         t
       }
-      val sorted = dts.sorted
-      val warm = if (dts.length > 1) dts.drop(1) else dts
-      (sorted(sorted.length / 2), warm.max - warm.min) // (median, warm spread)
+      if (threw && !record)
+        (Double.PositiveInfinity, Double.PositiveInfinity)
+      else {
+        val sorted = dts.sorted
+        val warm = if (dts.length > 1) dts.drop(1) else dts
+        (sorted(sorted.length / 2), warm.max - warm.min) // (median, warm spread)
+      }
     }
     def isNoisy(med: Double, sp: Double): Boolean =
       sp > math.max(0.25 * med, 0.25)
@@ -138,7 +153,7 @@ object Bench {
         val triples = scala.collection.mutable.ArrayBuffer((med, sp))
         var tries = 0
         while (tries < 2 && triples.forall(t => isNoisy(t._1, t._2))) {
-          triples += timeTriple(name, SparkEntry.queries(name))
+          triples += timeTriple(name, SparkEntry.queries(name), record = false)
           tries += 1
         }
         val clean = triples.filterNot(t => isNoisy(t._1, t._2))
@@ -164,18 +179,44 @@ object Bench {
     // ">3x floor" and trigger spurious re-probes (SPARK_GRAFT_FLOORS_FILE
     // overrides the path for a future per-sf floors file).
     val floors: Map[String, (Double, Double)] = {
-      try {
-        val floorsPath = sys.env.get("SPARK_GRAFT_FLOORS_FILE").orElse {
-          if (java.nio.file.Paths.get(sfDir).getFileName.toString == "sf0.1")
-            Some("BENCH_FLOORS.json")
-          else None
-        }
-        val p = java.nio.file.Paths.get(floorsPath.getOrElse("BENCH_FLOORS.json"))
-        if (floorsPath.isEmpty || !java.nio.file.Files.exists(p)) Map.empty
-        else """"([^"]+)":\[([0-9.eE+-]+),([0-9.eE+-]+)\]""".r
-          .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-          .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble)).toMap
-      } catch { case _: Exception => Map.empty }
+      // An unreadable/unparseable floors file must DISABLE the guard loudly,
+      // not silently: a silent Map.empty re-opens the exact r11 hole this
+      // guard closes (a contaminated row kept with no flag). The regex
+      // tolerates whitespace so a pretty-printed or hand-edited file still
+      // parses; a file that exists but yields zero entries warns too.
+      val floorsPath = sys.env.get("SPARK_GRAFT_FLOORS_FILE").orElse {
+        if (java.nio.file.Paths.get(sfDir).getFileName.toString == "sf0.1")
+          Some("BENCH_FLOORS.json")
+        else None
+      }
+      floorsPath match {
+        case None => Map.empty // non-sf0.1 battery: floors don't apply
+        case Some(path) =>
+          val p = java.nio.file.Paths.get(path)
+          if (!java.nio.file.Files.exists(p)) {
+            System.err.println(
+              s"[bench] WARNING: floors file $path missing — floor guard INACTIVE")
+            Map.empty
+          } else try {
+            val parsed =
+              """"([^"]+)"\s*:\s*\[\s*([0-9.eE+-]+)\s*,\s*([0-9.eE+-]+)\s*\]""".r
+                .findAllMatchIn(
+                  new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+                .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+                .toMap
+            if (parsed.isEmpty)
+              System.err.println(
+                s"[bench] WARNING: floors file $path parsed to zero entries — " +
+                  "floor guard INACTIVE")
+            parsed
+          } catch {
+            case e: Exception =>
+              System.err.println(
+                s"[bench] WARNING: floors file $path unreadable " +
+                  s"(${e.getMessage}) — floor guard INACTIVE")
+              Map.empty
+          }
+      }
     }
     def overFloor(name: String, med: Double): Boolean =
       floors.get(name).exists { case (f, typ) =>
@@ -186,7 +227,7 @@ object Bench {
       if (failed.contains(name) || !overFloor(name, med)) r
       else {
         reprobed += name
-        val (m2, s2) = timeTriple(name, SparkEntry.queries(name))
+        val (m2, s2) = timeTriple(name, SparkEntry.queries(name), record = false)
         if (m2 < med) (name, m2, s2) else r
       }
     }

@@ -288,6 +288,23 @@ object PdfText {
     * to every stage mis-decodes the stages the writer never predicted).
     * Indirect-reference parms (`N 0 R`) resolve to "no parms", matching
     * the rest of this extractor's best-effort posture. */
+  /** End index (exclusive) of the nested `<< ... >>` dictionary starting at
+    * `from` (which must point at "<<"), counting nesting depth. Shared by
+    * both [[decodeParmsFor]] branches so a future fix (e.g. `>>` inside a
+    * string literal) lands in one place.
+    */
+  private def scanNestedDict(s: String, from: Int): Int = {
+    var j = from
+    var depth = 0
+    while (j < s.length && {
+      if (s.startsWith("<<", j)) { depth += 1; j += 2 }
+      else if (s.startsWith(">>", j)) { depth -= 1; j += 2 }
+      else j += 1
+      depth > 0
+    }) ()
+    j
+  }
+
   private[graft] def decodeParmsFor(dict: String, filters: Seq[String]): Seq[String] = {
     val none = Seq.fill(filters.length)("")
     val at = """/(?:DecodeParms|DP)\b""".r.findFirstMatchIn(dict)
@@ -307,13 +324,7 @@ object PdfText {
       while (j < dict.length && dict.charAt(j) != ']') {
         if (dict.startsWith("<<", j)) {
           val start = j
-          var depth = 0
-          while (j < dict.length && {
-            if (dict.startsWith("<<", j)) { depth += 1; j += 2 }
-            else if (dict.startsWith(">>", j)) { depth -= 1; j += 2 }
-            else j += 1
-            depth > 0
-          }) ()
+          j = scanNestedDict(dict, j)
           elems += dict.substring(start, j)
         } else {
           val start = j
@@ -339,15 +350,7 @@ object PdfText {
       }
       elems.toSeq.padTo(filters.length, "").take(filters.length)
     } else if (dict.startsWith("<<", i)) {
-      var j = i
-      var depth = 0
-      while (j < dict.length && {
-        if (dict.startsWith("<<", j)) { depth += 1; j += 2 }
-        else if (dict.startsWith(">>", j)) { depth -= 1; j += 2 }
-        else j += 1
-        depth > 0
-      }) ()
-      val parms = dict.substring(i, j)
+      val parms = dict.substring(i, scanNestedDict(dict, i))
       val predStages = filters.count(f =>
         f == "FlateDecode" || f == "Fl" || f == "LZWDecode" || f == "LZW")
       if (filters.length == 1) Seq(parms)

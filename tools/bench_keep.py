@@ -71,10 +71,20 @@ def main():
         return 3
 
     suspects = art.get("floor_suspect", [])
+    # Same resolution order as Bench: SPARK_GRAFT_FLOORS_FILE overrides the
+    # default path. Fail CLOSED: if there are suspects but the floors can't
+    # be read, a successful probe must not clear them (floors={} would make
+    # the >3x-floor re-check vacuously pass and launder exactly the
+    # contamination this gate exists to block).
+    floors_path = __import__("os").environ.get("SPARK_GRAFT_FLOORS_FILE",
+                                               "BENCH_FLOORS.json")
     try:
-        floors = json.load(open("BENCH_FLOORS.json"))
-    except OSError:
-        floors = {}
+        floors = json.load(open(floors_path))
+    except (OSError, ValueError) as e:
+        floors = None
+        if suspects:
+            print(f"WARNING: floors file {floors_path} unreadable ({e}) — "
+                  "suspects cannot be cleared, they stay listed")
     probes, still = {}, []
     for q in suspects:
         p = fresh_jvm_probe(q, sf_dir, cpus)
@@ -87,10 +97,13 @@ def main():
         old = art["queries"].get(q, p)
         if p < old:
             art["queries"][q] = p  # contamination only inflates: min wins
-        f = floors.get(q)
+        f = floors.get(q) if floors is not None else None
         v = art["queries"][q]
         # same rule as Bench.overFloor: >3x floor AND >0.3s over AND >1.5x typical
-        if f and v > 3 * f[0] and v - f[0] > 0.3 and v > 1.5 * f[1]:
+        # No floor entry to re-check against (missing file OR a suspect with
+        # no historical floor) → stays listed: a suspect is only cleared by
+        # EVIDENCE that it is back under its floor.
+        if f is None or (v > 3 * f[0] and v - f[0] > 0.3 and v > 1.5 * f[1]):
             still.append(q)  # survives a fresh JVM: real regression signal
     if probes:
         art["floor_probes"] = probes
