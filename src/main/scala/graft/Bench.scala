@@ -42,6 +42,17 @@ import org.apache.spark.sql.SparkSession
   * if still inflated, annotated `floor_suspect` — see the inline comment.
   */
 object Bench {
+  /** `BENCH_FLOORS.json` entries (`"name": [floor, typical]`), tolerant of
+    * whitespace so a pretty-printed or hand-edited file still parses — a
+    * parse miss silently disables the floor guard, so the parser must not
+    * be brittle about formatting (BenchSpec pins both spellings).
+    */
+  private[graft] def parseFloors(content: String): Map[String, (Double, Double)] =
+    """"([^"]+)"\s*:\s*\[\s*([0-9.eE+-]+)\s*,\s*([0-9.eE+-]+)\s*\]""".r
+      .findAllMatchIn(content)
+      .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+      .toMap
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -198,12 +209,8 @@ object Bench {
               s"[bench] WARNING: floors file $path missing — floor guard INACTIVE")
             Map.empty
           } else try {
-            val parsed =
-              """"([^"]+)"\s*:\s*\[\s*([0-9.eE+-]+)\s*,\s*([0-9.eE+-]+)\s*\]""".r
-                .findAllMatchIn(
-                  new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-                .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
-                .toMap
+            val parsed = parseFloors(
+              new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
             if (parsed.isEmpty)
               System.err.println(
                 s"[bench] WARNING: floors file $path parsed to zero entries — " +
