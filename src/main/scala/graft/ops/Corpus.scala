@@ -171,6 +171,7 @@ object Corpus {
     // duplicate id. Repair is writer-only (maxId never mutates): the next
     // append through here publishes an accurate sidecar and clears any
     // stale marker along with its own.
+    repairCompaction(fs, corpusDir) // never append beside an orphaned store
     fs.create(pendingPath(corpusDir), true).close()
     val obs = new org.apache.spark.sql.Observation()
     stamped.observe(obs, max(col("id")).as("max_id"))
@@ -184,8 +185,46 @@ object Corpus {
     fs.delete(pendingPath(corpusDir), false)
   }
 
-  def records(spark: SparkSession, corpusDir: String): DataFrame =
-    spark.read.parquet(s"$corpusDir/records")
+  /** The record store, resolving an interrupted [[compact]] READ-ONLY: if
+    * the live dir is missing, fall back to `_records_compacting` (complete
+    * by invariant — it is only ever renamed after its write finished; while
+    * a compact's write is in flight the live dir still exists, so a partial
+    * tmp is never read) and then `_records_old`. Readers never mutate
+    * (single-writer discipline, same reasoning as [[maxId]]); the next
+    * writer through [[append]]/[[compact]] runs [[repairCompaction]].
+    */
+  def records(spark: SparkSession, corpusDir: String): DataFrame = {
+    val fs = fsOf(spark, corpusDir)
+    val candidates = Seq(s"$corpusDir/records",
+      s"$corpusDir/_records_compacting", s"$corpusDir/_records_old")
+    val dir = candidates.find(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(d))).getOrElse(candidates.head)
+    spark.read.parquet(dir)
+  }
+
+  /** Writer-side repair of a [[compact]] interrupted between its two
+    * renames (live dir missing, data intact under a recoverable name).
+    * Without this, the next `append` would start a FRESH record store
+    * beside the orphaned one — silent corpus truncation from every
+    * reader's perspective. Preference order matches [[records]]: a
+    * complete `_records_compacting` finishes the interrupted compaction,
+    * else `_records_old` rolls it back.
+    */
+  private def repairCompaction(fs: org.apache.hadoop.fs.FileSystem,
+                               corpusDir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$corpusDir/records")
+    if (fs.exists(live)) return
+    val tmp = new org.apache.hadoop.fs.Path(s"$corpusDir/_records_compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$corpusDir/_records_old")
+    if (fs.exists(tmp)) {
+      if (!fs.rename(tmp, live))
+        sys.error(s"repairCompaction: cannot publish $tmp")
+      fs.delete(old, true)
+    } else if (fs.exists(old)) {
+      if (!fs.rename(old, live))
+        sys.error(s"repairCompaction: cannot restore $old")
+    }
+  }
 
   /** Offline small-files compaction. Every micro-batch append adds files;
     * at warehouse scale an append-only corpus degrades into millions of
@@ -199,10 +238,13 @@ object Corpus {
               rowsPerFile: Long = 1000000L): Unit = {
     val fs = new org.apache.hadoop.fs.Path(corpusDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairCompaction(fs, corpusDir) // finish/roll back an interrupted run
     val live = new org.apache.hadoop.fs.Path(s"$corpusDir/records")
     if (!fs.exists(live)) return
     val tmp = new org.apache.hadoop.fs.Path(s"$corpusDir/_records_compacting")
     val old = new org.apache.hadoop.fs.Path(s"$corpusDir/_records_old")
+    // live exists (authoritative), so leftovers under the working names are
+    // debris from a completed or abandoned run — safe to clear
     fs.delete(tmp, true); fs.delete(old, true)
     val df = records(spark, corpusDir)
     val n = math.max(1L, df.count())
@@ -273,12 +315,20 @@ object Corpus {
     */
   def maxId(spark: SparkSession, corpusDir: String): Long = {
     val fs = fsOf(spark, corpusDir)
-    val p = new org.apache.hadoop.fs.Path(s"$corpusDir/records")
-    if (!fs.exists(p)) return -1L
+    // Sidecar FIRST: the live records dir can be legitimately absent while
+    // the corpus is not (a compact interrupted between its renames). An
+    // early records-exists => -1 here seeded idBase at 0 in exactly that
+    // state — duplicate ids, the one corruption the sidecar discipline
+    // exists to prevent (pinned by PipelineSpec's compact-crash test).
     if (!fs.exists(pendingPath(corpusDir))) {
       val hw = readHighWater(spark, corpusDir)
       if (hw >= 0) return hw
     }
+    val anyStore = Seq("records", "_records_compacting", "_records_old")
+      .exists(d => fs.exists(new org.apache.hadoop.fs.Path(s"$corpusDir/$d")))
+    if (!anyStore) return -1L
+    // records() resolves the crash-recovery dirs read-only, so the
+    // authoritative scan sees the surviving store too
     records(spark, corpusDir).agg(max(col("id"))).collect()(0) match {
       case r if r.isNullAt(0) => -1L
       case r => r.getLong(0)

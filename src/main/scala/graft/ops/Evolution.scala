@@ -128,6 +128,55 @@ class Evolution(spark: SparkSession, corpusDir: String) {
 
   def latestVersion: Int = latest.map(_._1).getOrElse(0)
 
+  /** Writer-side repair of an `evolve` that died mid-publish (pending
+    * marker up). The publish order is history row → change row → state
+    * sidecar, so the only half-published TABLE state is "history row for
+    * version v landed, its change row didn't" — a permanently missing
+    * change-log entry unless reconciled (the reference's SQLite transaction
+    * is atomic here, `app.py:96-130`). The missing row is synthesized from
+    * the last two history rows (their name-set diff and the new row's own
+    * timestamp); every other crash point left the tables consistent. Then
+    * the state sidecar is rebuilt from the authoritative scans and the
+    * marker cleared, restoring O(1) reads. Single-writer discipline makes
+    * both the marker and the repair ours; readers never call this
+    * ([[readState]] just falls back while the marker is up).
+    */
+  private def repairPublish(): Unit = {
+    if (!fs.exists(statePendingPath)) return
+    val hist = schemaHistory
+      .orderBy(org.apache.spark.sql.functions.desc("version")).limit(2)
+      .collect()
+    if (hist.isEmpty) { fs.delete(statePendingPath, false); return }
+    val (vNew, sNew, tsNew) =
+      (hist(0).getInt(0), hist(0).getString(1), hist(0).getString(2))
+    var changeCount = schemaChanges.count()
+    if (hist.length == 2) {
+      val (vOld, sOld) = (hist(1).getInt(0), hist(1).getString(1))
+      val newNames = fieldNamesOfStoredSchema(sNew)
+      val oldNames = fieldNamesOfStoredSchema(sOld)
+      val added = (newNames -- oldNames).toSeq.sorted
+      val removed = (oldNames -- newNames).toSeq.sorted
+      val logged = schemaChanges
+        .filter(org.apache.spark.sql.functions.col("new_version") === vNew)
+        .limit(1).collect().nonEmpty
+      if ((added.nonEmpty || removed.nonEmpty) && !logged) {
+        changeCount += 1
+        writeRowFile(changesPath, changesParquetType) { g =>
+          g.append("id", changeCount)
+          g.append("old_version", vOld)
+          g.append("new_version", vNew)
+          val ag = g.addGroup("added_fields")
+          added.foreach(v => ag.addGroup("list").append("element", v))
+          val rg = g.addGroup("removed_fields")
+          removed.foreach(v => rg.addGroup("list").append("element", v))
+          g.append("created_at", tsNew)
+        }
+      }
+    }
+    writeState(vNew, changeCount, sNew)
+    fs.delete(statePendingPath, false)
+  }
+
   /** Store a newly inferred schema if the field-name set changed; returns the
     * current version number either way (reference `store_schema`,
     * `app.py:96-130` + trigger `app.py:335-350`).
@@ -135,6 +184,7 @@ class Evolution(spark: SparkSession, corpusDir: String) {
   def evolve(newSchema: JsonSchema, newFieldNames: Set[String],
              now: Instant = Instant.now()): Int = {
     val ts = isoMicros(now)
+    repairPublish() // writer-side: reconcile a predecessor that died mid-publish
     val state = readState()
     val current = state.map { case (v, _, s) => (v, s) }.orElse(latestScan)
     val currentVersion = current.map(_._1).getOrElse(0)

@@ -45,6 +45,43 @@ class EvolutionSpec extends SparkSpec {
     assert(change.getAs[scala.collection.Seq[String]]("removed_fields").toSeq == Seq("b"))
   }
 
+  test("evolve crash between history and change row: next writer reconciles") {
+    // Simulate the one half-published table state (history row for v2
+    // landed, its change row didn't, pending marker still up) and check
+    // the next evolve synthesizes the missing change-log row.
+    val dir = tmpDir("evo_")
+    val evo = new Evolution(spark, dir)
+    evo.evolve(schema("a", "b"), Set("a", "b"))
+    evo.evolve(schema("a", "c"), Set("a", "c")) // v2 with a real change row
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val changeFiles = walk(new java.io.File(s"$dir/schema_changes"))
+      .filter(_.getName.endsWith(".parquet"))
+    assert(changeFiles.size == 1)
+    assert(changeFiles.forall(_.delete()), "fixture: drop the change row")
+    assert(new java.io.File(s"$dir/_schema_pending").createNewFile(),
+      "fixture: leave the crash marker up")
+
+    // no-op evolve (same names as v2): repair runs first, row comes back
+    val v = evo.evolve(schema("a", "c"), Set("a", "c"))
+    assert(v == 2)
+    assert(!new java.io.File(s"$dir/_schema_pending").exists(),
+      "repair must clear the marker")
+    val change = evo.schemaChanges.collect()(0)
+    assert(change.getAs[Long]("id") == 1L)
+    assert(change.getAs[Int]("old_version") == 1)
+    assert(change.getAs[Int]("new_version") == 2)
+    assert(change.getAs[scala.collection.Seq[String]]("added_fields").toSeq == Seq("c"))
+    assert(change.getAs[scala.collection.Seq[String]]("removed_fields").toSeq == Seq("b"))
+    assert(evo.latest.map(_._1).contains(2), "sidecar rebuilt from the scans")
+
+    // a further real bump numbers its change row after the repaired one
+    val v3 = evo.evolve(schema("a", "c", "e"), Set("a", "c", "e"))
+    assert(v3 == 3)
+    val ids = evo.schemaChanges.collect().map(_.getAs[Long]("id")).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
   test("type-only changes are invisible (names drive evolution)") {
     val dir = tmpDir("evo_")
     val evo = new Evolution(spark, dir)

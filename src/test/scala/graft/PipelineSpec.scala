@@ -165,6 +165,47 @@ class PipelineSpec extends SparkSpec {
     assert(after.toSeq == before.toSeq, "compaction must not change the data")
   }
 
+  test("compact crash between its two renames: readers fall back, writers repair") {
+    // Simulate the unsafe window: live dir moved aside, new store complete
+    // under the working name, crash before publish. Readers must see the
+    // data READ-ONLY; the next writer (append or compact) must repair.
+    val dir = tmpDir("corpus_")
+    (1 to 3).foreach(i =>
+      Pipeline.ingest(spark, Seq((s"doc$i", i)).toDF("content", "n"), dir))
+    val before = Corpus.records(spark, dir).orderBy("id")
+      .select("id", "data").collect().map(r => (r.getLong(0), r.getString(1)))
+
+    def crashState(tmpComplete: Boolean): Unit = {
+      val live = new java.io.File(s"$dir/records")
+      val target = new java.io.File(
+        if (tmpComplete) s"$dir/_records_compacting" else s"$dir/_records_old")
+      assert(live.renameTo(target), s"fixture: cannot stage $target")
+    }
+
+    // state 1: crash AFTER rename1 with a complete tmp → repair publishes it
+    crashState(tmpComplete = true)
+    assert(Corpus.records(spark, dir).count() == before.length,
+      "reader must fall back to the complete compacting dir")
+    Pipeline.ingest(spark, Seq(("doc4", 4)).toDF("content", "n"), dir) // writer repairs
+    assert(new java.io.File(s"$dir/records").isDirectory &&
+      !new java.io.File(s"$dir/_records_compacting").exists(),
+      "append must publish the interrupted compaction before writing")
+    val after1 = Corpus.records(spark, dir).orderBy("id")
+      .select("id", "data").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(after1.take(before.length).toSeq == before.toSeq && after1.length == before.length + 1,
+      "no rows lost across the repair, new append lands after them")
+
+    // state 2: crash where only the old store survives → compact restores it
+    crashState(tmpComplete = false)
+    Corpus.compact(spark, dir)
+    assert(new java.io.File(s"$dir/records").isDirectory &&
+      !new java.io.File(s"$dir/_records_old").exists(),
+      "compact must restore the old store before compacting")
+    val after2 = Corpus.records(spark, dir).orderBy("id")
+      .select("id", "data").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(after2.toSeq == after1.toSeq, "rollback repair must not change the data")
+  }
+
   test("id seeding reads the high-water sidecar, not the corpus") {
     val dir = tmpDir("corpus_")
     Pipeline.ingest(spark, Seq(("a", 1), ("b", 2)).toDF("content", "n"), dir)
