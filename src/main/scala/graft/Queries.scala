@@ -69,6 +69,20 @@ object Queries {
     Files.write(p, bytes); p.toString
   }
 
+  /** True iff `dir` holds at least one file ending in `suffix`. Multi-file
+    * fixture guards check CONTENT, not just their completion marker: an
+    * age-based /tmp cleaner can sweep the payload files out from under a
+    * long-lived fixture dir while the (newer or luckier) marker survives —
+    * observed mid-bench — and a marker-only guard then hands every reader
+    * an empty glob. Single-file fixtures ([[cached]]) are immune: the
+    * payload IS the marker.
+    */
+  private def hasFiles(dir: Path, suffix: String): Boolean =
+    Files.isDirectory(dir) && {
+      val s = Files.list(dir)
+      try s.anyMatch(p => p.toString.endsWith(suffix)) finally s.close()
+    }
+
   /** Fixture files are deterministic per (sf, name): render once, reuse on
     * later queries in the same process run (bench/verify call several
     * fixture-backed readers back to back).
@@ -94,7 +108,7 @@ object Queries {
 
   private def csvFixture(spark: SparkSession, sfDir: String): String = {
     val dir = fixtureDir(sfDir).resolve("customer_csv")
-    if (!Files.exists(dir.resolve("_SUCCESS"))) {
+    if (!Files.exists(dir.resolve("_SUCCESS")) || !hasFiles(dir, ".csv")) {
       tbl(spark, sfDir, "customer").orderBy("c_custkey").coalesce(1)
         .write.mode("overwrite").option("header", "true").csv(dir.toString)
     }
@@ -103,7 +117,7 @@ object Queries {
 
   private def orcFixture(spark: SparkSession, sfDir: String): String = {
     val dir = fixtureDir(sfDir).resolve("supplier_orc")
-    if (!Files.exists(dir.resolve("_SUCCESS"))) {
+    if (!Files.exists(dir.resolve("_SUCCESS")) || !hasFiles(dir, ".orc")) {
       tbl(spark, sfDir, "supplier").orderBy("s_suppkey").coalesce(1)
         .write.mode("overwrite").orc(dir.toString)
     }
@@ -178,7 +192,7 @@ object Queries {
 
   private def encryptedPdfFixture(sfDir: String): String = {
     val dir = fixtureDir(sfDir).resolve("enc_pdf")
-    if (!Files.exists(dir.resolve("done"))) {
+    if (!Files.exists(dir.resolve("done")) || !hasFiles(dir, ".pdf")) {
       Files.createDirectories(dir)
       writeBytes(dir.resolve("rc4.pdf"),
         graft.ingest.PdfCrypt.samplePdf(encPdfRc4Texts, v = 2))
@@ -214,7 +228,7 @@ object Queries {
 
   private def htmlFixture(spark: SparkSession, sfDir: String): String = {
     val dir = fixtureDir(sfDir).resolve("html_pages")
-    if (!Files.exists(dir.resolve("done"))) {
+    if (!Files.exists(dir.resolve("done")) || !hasFiles(dir, ".html")) {
       Files.createDirectories(dir)
       docRows(spark, sfDir, 100).foreach { case (id, _, text) =>
         writeBytes(dir.resolve(f"doc_$id%03d.html"),
