@@ -69,18 +69,20 @@ object Queries {
     Files.write(p, bytes); p.toString
   }
 
-  /** True iff `dir` holds at least one file ending in `suffix`. Multi-file
-    * fixture guards check CONTENT, not just their completion marker: an
-    * age-based /tmp cleaner can sweep the payload files out from under a
-    * long-lived fixture dir while the (newer or luckier) marker survives —
-    * observed mid-bench — and a marker-only guard then hands every reader
-    * an empty glob. Single-file fixtures ([[cached]]) are immune: the
-    * payload IS the marker.
+  /** Number of files in `dir` ending in `suffix`. Multi-file fixture
+    * guards check the EXACT payload count, not just their completion
+    * marker: an age-based /tmp cleaner can sweep payload files out from
+    * under a long-lived fixture dir while the (newer or luckier) marker —
+    * or a lucky subset of the files — survives (observed mid-bench), and a
+    * weaker guard then hands readers an empty or PARTIAL fixture, silently
+    * timing the wrong workload. Single-file fixtures ([[cached]]) are
+    * immune: the payload IS the marker.
     */
-  private def hasFiles(dir: Path, suffix: String): Boolean =
-    Files.isDirectory(dir) && {
+  private def fileCount(dir: Path, suffix: String): Long =
+    if (!Files.isDirectory(dir)) 0L
+    else {
       val s = Files.list(dir)
-      try s.anyMatch(p => p.toString.endsWith(suffix)) finally s.close()
+      try s.filter(p => p.toString.endsWith(suffix)).count() finally s.close()
     }
 
   /** Fixture files are deterministic per (sf, name): render once, reuse on
@@ -108,7 +110,7 @@ object Queries {
 
   private def csvFixture(spark: SparkSession, sfDir: String): String = {
     val dir = fixtureDir(sfDir).resolve("customer_csv")
-    if (!Files.exists(dir.resolve("_SUCCESS")) || !hasFiles(dir, ".csv")) {
+    if (!Files.exists(dir.resolve("_SUCCESS")) || fileCount(dir, ".csv") != 1) {
       tbl(spark, sfDir, "customer").orderBy("c_custkey").coalesce(1)
         .write.mode("overwrite").option("header", "true").csv(dir.toString)
     }
@@ -117,7 +119,7 @@ object Queries {
 
   private def orcFixture(spark: SparkSession, sfDir: String): String = {
     val dir = fixtureDir(sfDir).resolve("supplier_orc")
-    if (!Files.exists(dir.resolve("_SUCCESS")) || !hasFiles(dir, ".orc")) {
+    if (!Files.exists(dir.resolve("_SUCCESS")) || fileCount(dir, ".orc") != 1) {
       tbl(spark, sfDir, "supplier").orderBy("s_suppkey").coalesce(1)
         .write.mode("overwrite").orc(dir.toString)
     }
@@ -192,7 +194,7 @@ object Queries {
 
   private def encryptedPdfFixture(sfDir: String): String = {
     val dir = fixtureDir(sfDir).resolve("enc_pdf")
-    if (!Files.exists(dir.resolve("done")) || !hasFiles(dir, ".pdf")) {
+    if (!Files.exists(dir.resolve("done")) || fileCount(dir, ".pdf") != 3) {
       Files.createDirectories(dir)
       writeBytes(dir.resolve("rc4.pdf"),
         graft.ingest.PdfCrypt.samplePdf(encPdfRc4Texts, v = 2))
@@ -228,7 +230,8 @@ object Queries {
 
   private def htmlFixture(spark: SparkSession, sfDir: String): String = {
     val dir = fixtureDir(sfDir).resolve("html_pages")
-    if (!Files.exists(dir.resolve("done")) || !hasFiles(dir, ".html")) {
+    if (!Files.exists(dir.resolve("done")) ||
+        fileCount(dir, ".html") != docRows(spark, sfDir, 100).size) {
       Files.createDirectories(dir)
       docRows(spark, sfDir, 100).foreach { case (id, _, text) =>
         writeBytes(dir.resolve(f"doc_$id%03d.html"),

@@ -193,10 +193,18 @@ object Corpus {
     * (single-writer discipline, same reasoning as [[maxId]]); the next
     * writer through [[append]]/[[compact]] runs [[repairCompaction]].
     */
+  /** Record-store dirs in PREFERENCE ORDER: live first, then the two
+    * crash-recovery names (the complete compaction output, then the
+    * moved-aside old store) — the one ordering [[records]],
+    * [[repairCompaction]] and [[maxId]] must all agree on.
+    */
+  private def storeDirs(corpusDir: String): Seq[String] =
+    Seq(s"$corpusDir/records", s"$corpusDir/_records_compacting",
+      s"$corpusDir/_records_old")
+
   def records(spark: SparkSession, corpusDir: String): DataFrame = {
     val fs = fsOf(spark, corpusDir)
-    val candidates = Seq(s"$corpusDir/records",
-      s"$corpusDir/_records_compacting", s"$corpusDir/_records_old")
+    val candidates = storeDirs(corpusDir)
     val dir = candidates.find(d =>
       fs.exists(new org.apache.hadoop.fs.Path(d))).getOrElse(candidates.head)
     spark.read.parquet(dir)
@@ -212,10 +220,9 @@ object Corpus {
     */
   private def repairCompaction(fs: org.apache.hadoop.fs.FileSystem,
                                corpusDir: String): Unit = {
-    val live = new org.apache.hadoop.fs.Path(s"$corpusDir/records")
+    val Seq(live, tmp, old) =
+      storeDirs(corpusDir).map(new org.apache.hadoop.fs.Path(_))
     if (fs.exists(live)) return
-    val tmp = new org.apache.hadoop.fs.Path(s"$corpusDir/_records_compacting")
-    val old = new org.apache.hadoop.fs.Path(s"$corpusDir/_records_old")
     if (fs.exists(tmp)) {
       if (!fs.rename(tmp, live))
         sys.error(s"repairCompaction: cannot publish $tmp")
@@ -324,8 +331,8 @@ object Corpus {
       val hw = readHighWater(spark, corpusDir)
       if (hw >= 0) return hw
     }
-    val anyStore = Seq("records", "_records_compacting", "_records_old")
-      .exists(d => fs.exists(new org.apache.hadoop.fs.Path(s"$corpusDir/$d")))
+    val anyStore = storeDirs(corpusDir)
+      .exists(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
     if (!anyStore) return -1L
     // records() resolves the crash-recovery dirs read-only, so the
     // authoritative scan sees the surviving store too

@@ -93,13 +93,20 @@ class Evolution(spark: SparkSession, corpusDir: String) {
     import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     if (!fs.exists(dirPath)) fs.mkdirs(dirPath)
-    val file = new org.apache.hadoop.fs.Path(
-      s"$dir/part-${java.util.UUID.randomUUID().toString.take(13)}-driver.parquet")
+    // Written under a dot-prefixed name, renamed only after close(): Spark's
+    // default path filter hides dotfiles, so a crash mid-write (after the
+    // PAR1 header, before the footer) leaves a torn file READERS NEVER SEE
+    // instead of one that breaks every schemaHistory/schemaChanges scan —
+    // including [[repairPublish]], which must be able to read these tables
+    // to repair anything.
+    val stem = s"part-${java.util.UUID.randomUUID().toString.take(13)}-driver.parquet"
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$stem.inprogress")
+    val file = new org.apache.hadoop.fs.Path(s"$dir/$stem")
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     GroupWriteSupport.setSchema(parquetSchema, conf)
     val writer = ExampleParquetWriter.builder(
-        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(tmp, conf))
       .withConf(conf)
       .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
       .build()
@@ -108,7 +115,26 @@ class Evolution(spark: SparkSession, corpusDir: String) {
       fill(g)
       writer.write(g)
     } finally writer.close()
+    if (!fs.rename(tmp, file))
+      sys.error(s"writeRowFile: cannot publish $tmp")
   }
+
+  /** The change-log row, rendered once for both its writers ([[evolve]]'s
+    * normal publish and [[repairPublish]]'s reconstruction) so the parquet
+    * layout can never diverge between them. */
+  private def writeChangeRow(id: Long, oldV: Int, newV: Int,
+                             added: Seq[String], removed: Seq[String],
+                             createdAt: String): Unit =
+    writeRowFile(changesPath, changesParquetType) { g =>
+      g.append("id", id)
+      g.append("old_version", oldV)
+      g.append("new_version", newV)
+      val ag = g.addGroup("added_fields")
+      added.foreach(v => ag.addGroup("list").append("element", v))
+      val rg = g.addGroup("removed_fields")
+      removed.foreach(v => rg.addGroup("list").append("element", v))
+      g.append("created_at", createdAt)
+    }
 
   /** Authoritative latest (version, schema) from the parquet dimension
     * (no-job short-circuit for a corpus with no history yet).
@@ -161,16 +187,7 @@ class Evolution(spark: SparkSession, corpusDir: String) {
         .limit(1).collect().nonEmpty
       if ((added.nonEmpty || removed.nonEmpty) && !logged) {
         changeCount += 1
-        writeRowFile(changesPath, changesParquetType) { g =>
-          g.append("id", changeCount)
-          g.append("old_version", vOld)
-          g.append("new_version", vNew)
-          val ag = g.addGroup("added_fields")
-          added.foreach(v => ag.addGroup("list").append("element", v))
-          val rg = g.addGroup("removed_fields")
-          removed.foreach(v => rg.addGroup("list").append("element", v))
-          g.append("created_at", tsNew)
-        }
+        writeChangeRow(changeCount, vOld, vNew, added, removed, tsNew)
       }
     }
     writeState(vNew, changeCount, sNew)
@@ -209,16 +226,7 @@ class Evolution(spark: SparkSession, corpusDir: String) {
       val removed = (oldNames -- newFieldNames).toSeq.sorted
       if (added.nonEmpty || removed.nonEmpty) {
         changeCount += 1
-        writeRowFile(changesPath, changesParquetType) { g =>
-          g.append("id", changeCount)
-          g.append("old_version", currentVersion)
-          g.append("new_version", newVersion)
-          val ag = g.addGroup("added_fields")
-          added.foreach(v => ag.addGroup("list").append("element", v))
-          val rg = g.addGroup("removed_fields")
-          removed.foreach(v => rg.addGroup("list").append("element", v))
-          g.append("created_at", ts)
-        }
+        writeChangeRow(changeCount, currentVersion, newVersion, added, removed, ts)
       }
     }
     writeState(newVersion, changeCount, newSchema.toJson)
