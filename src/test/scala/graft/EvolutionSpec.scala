@@ -82,6 +82,22 @@ class EvolutionSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("a torn in-progress row file is invisible to history scans") {
+    // writeRowFile publishes via dot-tmp + rename; a crash mid-write leaves
+    // .part-*.inprogress, which Spark's path filter must hide from every
+    // scan (a torn visible file would break even the repair path).
+    val dir = tmpDir("evo_")
+    val evo = new Evolution(spark, dir)
+    evo.evolve(schema("a", "b"), Set("a", "b"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/schema_history/.part-torn.parquet.inprogress"),
+      "PAR1garbage-no-footer".getBytes("UTF-8"))
+    assert(evo.schemaHistory.count() == 1)
+    assert(evo.latest.map(_._1).contains(1))
+    val v2 = evo.evolve(schema("a", "c"), Set("a", "c"))
+    assert(v2 == 2 && evo.schemaChanges.count() == 1)
+  }
+
   test("type-only changes are invisible (names drive evolution)") {
     val dir = tmpDir("evo_")
     val evo = new Evolution(spark, dir)
