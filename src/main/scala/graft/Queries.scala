@@ -134,6 +134,40 @@ object Queries {
         rows.mkString("[\n", ",\n", "\n]").getBytes(StandardCharsets.UTF_8))
     }
 
+  /** Two deflate-coded Avro object containers over the first 100 docs
+    * (split 0-49 / 50-99) — two files so the reader's per-file parallel
+    * decode and first-header schema pickup are both exercised; `lang` is a
+    * `["null","string"]` union to exercise nullable resolution. Written
+    * with the avro-core `DataFileWriter` (the same jars the reader uses).
+    */
+  private def avroFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = fixtureDir(sfDir).resolve("docs_avro")
+    if (!Files.exists(dir.resolve("done")) || fileCount(dir, ".avro") != 2) {
+      Files.createDirectories(dir)
+      val schema = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"doc","fields":[
+          |{"name":"doc_id","type":"long"},
+          |{"name":"lang","type":["null","string"]},
+          |{"name":"text","type":"string"}]}""".stripMargin)
+      val rows = docRows(spark, sfDir, 100)
+      Seq(rows.filter(_._1 < 50) -> "docs_a.avro",
+          rows.filter(_._1 >= 50) -> "docs_b.avro").foreach { case (part, name) =>
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](schema))
+        w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        w.create(schema, dir.resolve(name).toFile)
+        try part.foreach { case (id, lang, text) =>
+          val r = new org.apache.avro.generic.GenericData.Record(schema)
+          r.put("doc_id", id); r.put("lang", lang); r.put("text", text)
+          w.append(r)
+        } finally w.close()
+      }
+      Files.write(dir.resolve("done"), Array.emptyByteArray)
+    }
+    s"$dir/*.avro"
+  }
+
   private def xmlFixture(spark: SparkSession, sfDir: String): String =
    cached(fixtureDir(sfDir).resolve("docs.xml")) {
     val sb = new StringBuilder("<docs>\n")
@@ -3378,6 +3412,25 @@ object Queries {
              |UNION ALL
              |SELECT fp, 'b_only' FROM b ANTI JOIN a USING (fp)
              |ORDER BY side, fp""".stripMargin)),
+
+    // Avro object containers: the row-format staple of Kafka/warehouse
+    // landing zones. This distribution ships avro-core but NOT the
+    // spark-avro connector, so ingest rides graft's own reader
+    // (AvroReader: driver reads ONE header for the schema, executors
+    // decode containers in parallel with per-file writer-schema
+    // resolution). Battery addition justified: a first-class source
+    // format the engine previously could not read at all, with a full
+    // cross-engine oracle (the fixture is rendered FROM the documents
+    // table, the oracle reads documents directly).
+    ("q_ingest_avro",
+      (s: SparkSession, d: String) => {
+        val path = avroFixture(s, d)
+        graft.ingest.AvroReader.avro(s, path)
+          .select(col("doc_id"), col("lang"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, text FROM documents
+             |WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
     // ORC source/sink: the columnar sibling of the parquet path — write
     // the supplier dim to ORC once (cached fixture), read it back through

@@ -1,0 +1,112 @@
+package graft
+
+import graft.ingest.AvroReader
+import org.apache.avro.Schema
+import org.apache.avro.file.{CodecFactory, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+/** The from-scratch Avro container reader (no spark-avro connector on this
+  * classpath): type mapping, nullable unions, multi-file schema pickup,
+  * per-file writer-schema resolution, and the never-fail-the-batch
+  * malformed-container contract.
+  */
+class AvroSpec extends SparkSpec {
+
+  private def parse(json: String) = new Schema.Parser().parse(json)
+
+  private def writeContainer(path: java.nio.file.Path, schema: Schema)
+                            (rows: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.setCodec(CodecFactory.deflateCodec(3))
+    w.create(schema, path.toFile)
+    try rows.foreach(w.append) finally w.close()
+  }
+
+  test("full type mapping round-trips: scalars, bytes, enum, array, map, nested record") {
+    val schema = parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"i","type":"int"},{"name":"l","type":"long"},
+        |{"name":"f","type":"float"},{"name":"d","type":"double"},
+        |{"name":"b","type":"boolean"},{"name":"s","type":"string"},
+        |{"name":"opt","type":["null","string"]},
+        |{"name":"raw","type":"bytes"},
+        |{"name":"col","type":{"type":"enum","name":"c","symbols":["RED","BLUE"]}},
+        |{"name":"xs","type":{"type":"array","items":"long"}},
+        |{"name":"kv","type":{"type":"map","values":"int"}},
+        |{"name":"sub","type":{"type":"record","name":"p","fields":[
+        |  {"name":"x","type":"long"},{"name":"y","type":"string"}]}}
+        |]}""".stripMargin)
+    val dir = java.nio.file.Files.createTempDirectory("avro_")
+    val rec = new GenericData.Record(schema)
+    rec.put("i", 7); rec.put("l", 42L); rec.put("f", 1.5f); rec.put("d", 2.25)
+    rec.put("b", true); rec.put("s", "héllo"); rec.put("opt", null)
+    rec.put("raw", java.nio.ByteBuffer.wrap(Array[Byte](1, 2, 3)))
+    rec.put("col", new GenericData.EnumSymbol(schema.getField("col").schema(), "BLUE"))
+    rec.put("xs", java.util.List.of(java.lang.Long.valueOf(10L), java.lang.Long.valueOf(20L)))
+    rec.put("kv", java.util.Map.of("a", Integer.valueOf(1)))
+    val subSchema = schema.getField("sub").schema()
+    val sub = new GenericData.Record(subSchema)
+    sub.put("x", 9L); sub.put("y", "in")
+    rec.put("sub", sub)
+    writeContainer(dir.resolve("t.avro"), schema)(Seq(rec))
+
+    val df = AvroReader.avro(spark, s"$dir/*.avro")
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("i", "l", "f", "d", "b", "s", "opt", "raw", "col", "xs", "kv", "sub"))
+    assert(df.schema("opt").nullable && !df.schema("s").nullable)
+    val r = df.collect()(0)
+    assert(r.getInt(0) == 7 && r.getLong(1) == 42L && r.getFloat(2) == 1.5f)
+    assert(r.getDouble(3) == 2.25 && r.getBoolean(4) && r.getString(5) == "héllo")
+    assert(r.isNullAt(6))
+    assert(r.getAs[Array[Byte]](7).toSeq == Seq[Byte](1, 2, 3))
+    assert(r.getString(8) == "BLUE")
+    assert(r.getAs[scala.collection.Seq[Long]](9).toSeq == Seq(10L, 20L))
+    assert(r.getAs[Map[String, Int]](10) == Map("a" -> 1))
+    val subRow = r.getStruct(11)
+    assert(subRow.getLong(0) == 9L && subRow.getString(1) == "in")
+  }
+
+  test("multi-file read with per-file writer-schema resolution (int promotes to long)") {
+    val readerSchema = parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},{"name":"t","type":"string"}]}""".stripMargin)
+    val oldSchema = parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"int"},{"name":"t","type":"string"}]}""".stripMargin)
+    val dir = java.nio.file.Files.createTempDirectory("avro_")
+    // a.avro carries the reader schema (sorted first, so it drives the scan)
+    val r1 = new GenericData.Record(readerSchema)
+    r1.put("id", 1L); r1.put("t", "new")
+    writeContainer(dir.resolve("a.avro"), readerSchema)(Seq(r1))
+    // b.avro was written with the OLD schema (int id) — avro resolution
+    // must promote it to the reader's long
+    val r2 = new GenericData.Record(oldSchema)
+    r2.put("id", 2); r2.put("t", "old")
+    writeContainer(dir.resolve("b.avro"), oldSchema)(Seq(r2))
+
+    val rows = AvroReader.avro(spark, s"$dir/*.avro")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "new"), (2L, "old")))
+  }
+
+  test("a malformed container yields zero records, not a failed batch") {
+    val schema = parse(
+      """{"type":"record","name":"r","fields":[{"name":"id","type":"long"}]}""")
+    val dir = java.nio.file.Files.createTempDirectory("avro_")
+    val ok = new GenericData.Record(schema)
+    ok.put("id", 5L)
+    writeContainer(dir.resolve("good.avro"), schema)(Seq(ok))
+    java.nio.file.Files.write(dir.resolve("bad.avro"),
+      "Objgarbage-not-a-container".getBytes("UTF-8"))
+    val rows = AvroReader.avro(spark, s"$dir/*.avro").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
+  test("unsupported shapes fail at schema time on the driver") {
+    val multiUnion = parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"u","type":["int","string"]}]}""".stripMargin)
+    val e = intercept[IllegalArgumentException](AvroReader.structOf(multiUnion))
+    assert(e.getMessage.contains("null unions"))
+  }
+}
