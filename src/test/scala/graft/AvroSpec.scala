@@ -108,5 +108,48 @@ class AvroSpec extends SparkSpec {
         |{"name":"u","type":["int","string"]}]}""".stripMargin)
     val e = intercept[IllegalArgumentException](AvroReader.structOf(multiUnion))
     assert(e.getMessage.contains("null unions"))
+    // recursive records are legal Avro but unrepresentable in Spark — a
+    // naive schema walk would StackOverflow instead of erroring cleanly
+    val recursive = parse(
+      """{"type":"record","name":"node","fields":[
+        |{"name":"v","type":"long"},{"name":"next","type":["null","node"]}]}""".stripMargin)
+    val e2 = intercept[IllegalArgumentException](AvroReader.structOf(recursive))
+    assert(e2.getMessage.contains("recursive"))
+  }
+
+  test("hidden dot/underscore files neither supply the schema nor pollute the read") {
+    val goodSchema = parse(
+      """{"type":"record","name":"r","fields":[{"name":"id","type":"long"}]}""")
+    val staleSchema = parse(
+      """{"type":"record","name":"r","fields":[{"name":"other","type":"string"}]}""")
+    val dir = java.nio.file.Files.createTempDirectory("avro_")
+    // a stale dot-tmp container with a DIFFERENT schema sorts first — a
+    // hidden-blind header probe would adopt its schema for the whole load
+    val stale = new GenericData.Record(staleSchema)
+    stale.put("other", "stale")
+    writeContainer(dir.resolve(".old.avro.tmp"), staleSchema)(Seq(stale))
+    val ok = new GenericData.Record(goodSchema)
+    ok.put("id", 11L)
+    writeContainer(dir.resolve("live.avro"), goodSchema)(Seq(ok))
+    val df = AvroReader.avro(spark, s"$dir/*")
+    assert(df.schema.fieldNames.toSeq == Seq("id"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(11L))
+  }
+
+  test("a torn container tail yields the valid prefix, not a failed batch") {
+    val schema = parse(
+      """{"type":"record","name":"r","fields":[{"name":"id","type":"long"}]}""")
+    val dir = java.nio.file.Files.createTempDirectory("avro_")
+    writeContainer(dir.resolve("t.avro"), schema)(
+      (1L to 5L).map { i =>
+        val r = new GenericData.Record(schema); r.put("id", i); r
+      })
+    val whole = java.nio.file.Files.readAllBytes(dir.resolve("t.avro"))
+    // chop the final bytes: the last block's tail (and sync marker) is torn
+    val torn = whole.take(whole.length - 8)
+    val rows = AvroReader.decodeContainer(torn, schema.toString).toSeq
+    assert(rows.length < 5, "the torn block must not decode")
+    assert(rows.map(_.getLong(0)) == (1L to rows.length.toLong),
+      "the valid prefix must survive in order")
   }
 }
