@@ -168,6 +168,29 @@ object Queries {
     s"$dir/*.avro"
   }
 
+  /** A block-compressed (zlib DefaultCodec) Hadoop SequenceFile of the
+    * first 100 docs, key = doc_id as Text, value = text — written with the
+    * same hadoop-client classes the reader uses.
+    */
+  private def seqFixture(spark: SparkSession, sfDir: String): String = {
+    val file = fixtureDir(sfDir).resolve("docs.seq")
+    cached(file) {
+      import org.apache.hadoop.io.{SequenceFile, Text}
+      val conf = spark.sparkContext.hadoopConfiguration
+      val w = SequenceFile.createWriter(conf,
+        SequenceFile.Writer.file(new org.apache.hadoop.fs.Path(file.toString)),
+        SequenceFile.Writer.keyClass(classOf[Text]),
+        SequenceFile.Writer.valueClass(classOf[Text]),
+        SequenceFile.Writer.compression(
+          SequenceFile.CompressionType.BLOCK,
+          new org.apache.hadoop.io.compress.DefaultCodec()))
+      try docRows(spark, sfDir, 100).foreach { case (id, _, text) =>
+        w.append(new Text(id.toString), new Text(text))
+      } finally w.close()
+      file.toString
+    }
+  }
+
   private def xmlFixture(spark: SparkSession, sfDir: String): String =
    cached(fixtureDir(sfDir).resolve("docs.xml")) {
     val sb = new StringBuilder("<docs>\n")
@@ -3430,6 +3453,22 @@ object Queries {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, lang, text FROM documents
+             |WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
+    // Hadoop SequenceFile: the legacy-corpus container of Hadoop-era data
+    // lakes — and the only SPLITTABLE container this engine reads (sync
+    // markers let one multi-GB file fan out across tasks). Battery
+    // addition justified: a first-class source format previously
+    // unreadable, with a full cross-engine oracle (fixture rendered FROM
+    // documents, block-compressed zlib; the oracle reads documents).
+    ("q_ingest_seq",
+      (s: SparkSession, d: String) => {
+        val path = seqFixture(s, d)
+        graft.ingest.SequenceFiles.sequenceText(s, path)
+          .select(col("key").cast("long").as("doc_id"), col("value").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, text FROM documents
              |WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
     // ORC source/sink: the columnar sibling of the parquet path — write
