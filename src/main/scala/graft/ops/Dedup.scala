@@ -93,9 +93,14 @@ object Dedup {
     // per doc, orders of magnitude under the corpus — so persist it.
     val banded = lshBuckets(df, idCol, textCol, numHashes, bands, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Pin the self-join to shuffle-hash: both sides are the SAME
+    // corpus-proportional table, so a broadcast is never right at scale,
+    // and letting the planner flip to one on borderline size estimates
+    // made the whole minhash family bimodal across clean runs (see the
+    // verify-join note in minhashNearDuplicatesH).
     val pairs = banded.select(col("band"), col("bkey"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bkey"), col("id").as("id_b")),
-        Seq("band", "bkey"))
+      .join(banded.select(col("band"), col("bkey"), col("id").as("id_b"))
+        .hint("shuffle_hash"), Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
@@ -133,9 +138,18 @@ object Dedup {
       .join(candIds, Seq("id"), "leftsemi") // filter BEFORE shingling
       .select(col("id"),
         array_distinct(shingles(col("__text"), shingleSize)).as("sh"))
+    // The sets side carries the shingle ARRAYS — Catalyst's size estimate
+    // for array columns runs low, so left to itself the planner sometimes
+    // broadcasts a hundreds-of-MB HashedRelation of shingle sets (measured
+    // at sf1: the broadcast plan runs ~2x slower than the shuffled one,
+    // and the flip-flop made the row bimodal across clean runs). Pin the
+    // two verify joins to shuffle-hash: both sides are corpus-proportional,
+    // so the shuffled join is also the only plan that survives 100 TB.
     val verified = pairs
-      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
+        .hint("shuffle_hash"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
+        .hint("shuffle_hash"), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
