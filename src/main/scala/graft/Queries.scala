@@ -176,9 +176,22 @@ object Queries {
     val file = fixtureDir(sfDir).resolve("docs.seq")
     cached(file) {
       import org.apache.hadoop.io.{SequenceFile, Text}
+      // The writer CREATES its file at open (unlike the render-in-memory
+      // single-file fixtures), which would break cached()'s
+      // payload-is-the-marker invariant if a render died mid-append —
+      // write under a tmp name and move into place only when complete.
+      // Delete and rename through the Hadoop FS (ChecksumFileSystem):
+      // the local FS keeps .crc sidecars next to every file, and a
+      // java-level move strands them — a stale sidecar then fails every
+      // later read with ChecksumException.
       val conf = spark.sparkContext.hadoopConfiguration
+      val tmpP = new org.apache.hadoop.fs.Path(
+        fixtureDir(sfDir).resolve("docs.seq.inprogress").toString)
+      val fileP = new org.apache.hadoop.fs.Path(file.toString)
+      val hfs = fileP.getFileSystem(conf)
+      hfs.delete(tmpP, false); hfs.delete(fileP, false)
       val w = SequenceFile.createWriter(conf,
-        SequenceFile.Writer.file(new org.apache.hadoop.fs.Path(file.toString)),
+        SequenceFile.Writer.file(tmpP),
         SequenceFile.Writer.keyClass(classOf[Text]),
         SequenceFile.Writer.valueClass(classOf[Text]),
         SequenceFile.Writer.compression(
@@ -187,6 +200,8 @@ object Queries {
       try docRows(spark, sfDir, 100).foreach { case (id, _, text) =>
         w.append(new Text(id.toString), new Text(text))
       } finally w.close()
+      if (!hfs.rename(tmpP, fileP))
+        sys.error(s"seqFixture: cannot publish $tmpP")
       file.toString
     }
   }

@@ -19,8 +19,12 @@ object BenchOne {
     // A/B instrument: "k=v;k=v" extra confs (e.g. kill broadcasts to test
     // a suspected AQE join-strategy flip)
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => builder.config(k, v)
+        case Array("") => // empty segment (trailing ';')
+        case _ => sys.error(
+          s"SPARK_GRAFT_EXTRA_CONF segment '$kv' is not k=v")
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
