@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain stdout passes through UNPREFIXED (no "[info] ") and
+// sbt's "[success] Total time" epilogue is suppressed: Bench prints its
+// compact JSON as the process's last line, and three driver rounds
+// (BENCH_r11-13 "parsed": null) showed the driver cannot parse that line
+// when sbt's log framing wraps or follows it.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

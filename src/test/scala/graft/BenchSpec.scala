@@ -36,4 +36,54 @@ class BenchSpec extends AnyFunSuite {
     assert(m.nonEmpty)
     assert(m.values.forall { case (f, t) => f > 0 && t >= f * 0.5 })
   }
+
+  // --- isNoisy / keepBest: the r12 ADVICE Infinity-keep defect ---
+
+  test("isNoisy treats non-finite triples as noisy (never keepable as clean)") {
+    assert(Bench.isNoisy(Double.PositiveInfinity, Double.PositiveInfinity))
+    assert(Bench.isNoisy(Double.NaN, 0.0))
+    assert(Bench.isNoisy(0.5, Double.PositiveInfinity))
+    assert(!Bench.isNoisy(0.5, 0.05)) // a genuinely clean row stays clean
+    assert(Bench.isNoisy(0.5, 0.3))   // spread rule unchanged
+  }
+
+  test("a throwing retry (Inf,Inf) is never the kept row") {
+    // Battery recorded a noisy-but-finite triple; BOTH retries throw and
+    // return (Inf, Inf). Pre-fix, isNoisy(Inf,Inf)=false ended the retry
+    // loop with clean=[(Inf,Inf)] and minBy kept Infinity — invalid JSON
+    // downstream. The kept row must be the original finite triple.
+    var calls = 0
+    val inf = (Double.PositiveInfinity, Double.PositiveInfinity)
+    val kept = Bench.keepBest((2.0, 1.5), () => { calls += 1; inf })
+    assert(calls === 2) // Inf triples stay noisy, so both retries run
+    assert(kept === ((2.0, 1.5)))
+    assert(kept._1.isFinite && kept._2.isFinite)
+  }
+
+  test("keepBest prefers the lowest-median clean triple over noisy ones") {
+    val reruns = Iterator((5.0, 4.0), (0.6, 0.05))
+    val kept = Bench.keepBest((2.0, 1.5), () => reruns.next())
+    assert(kept === ((0.6, 0.05)))
+  }
+
+  test("keepBest stops retrying once a clean triple lands") {
+    var calls = 0
+    val kept = Bench.keepBest((2.0, 1.5), () => { calls += 1; (1.0, 0.1) })
+    assert(calls === 1 && kept === ((1.0, 0.1)))
+  }
+
+  // --- resolveFloorsPath: the r12 ADVICE silent-sf1-disarm defect ---
+
+  test("resolveFloorsPath auto-resolves the per-sf floors files") {
+    assert(Bench.resolveFloorsPath(None, "/root/testdata/sf0.1")
+      === Right("BENCH_FLOORS.json"))
+    assert(Bench.resolveFloorsPath(None, "/tmp/sf1")
+      === Right("BENCH_FLOORS_SF1.json"))
+  }
+
+  test("resolveFloorsPath: env override wins; unmapped scale is Left (warn)") {
+    assert(Bench.resolveFloorsPath(Some("custom.json"), "/tmp/sf1")
+      === Right("custom.json"))
+    assert(Bench.resolveFloorsPath(None, "/tmp/sf3") === Left("sf3"))
+  }
 }
