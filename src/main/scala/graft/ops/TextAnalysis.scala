@@ -485,12 +485,23 @@ object TextAnalysis {
     * vocab-truncation planning actually needs ("how big must the vocab be
     * to cover 95% of the corpus?"). Output: `(pct, n_vocab, total_tokens)`.
     *
-    * The corpus-side work is one distributed explode + hash-agg; the
-    * cumulative window then runs over the AGGREGATED vocabulary only
-    * (orders of magnitude smaller than the corpus — a few M rows at
-    * 100 TB), so the global-order window is control-plane-sized by
-    * construction. Threshold test is exact integer (`100*cum >= pct*total`
-    * — no float mass fractions), so the oracle replays it bit-identically.
+    * Fully distributed — NO global-order window anywhere (the per-token
+    * `row_number`/`sum` window this replaces was the battery's only "No
+    * Partition Defined for Window" warning). The trick: the rank ordering
+    * breaks count-ties by token, but every token in a tie group contributes
+    * the SAME mass `c`, so the crossing rank is a closed form over the
+    * FREQUENCY HISTOGRAM (one row per distinct count): with `before` =
+    * mass of all strictly-more-frequent groups and `n_before` their token
+    * count, the threshold falls inside the first group whose inclusive
+    * cumulative mass reaches it, at `n_before + ceil(need / (100·c))`
+    * tokens where `need = pct·total − 100·before`. The histogram is tiny
+    * by construction (distinct counts k satisfy k(k+1)/2 ≤ total, so
+    * k ≤ √(2·total) — a few M rows even at 100 TB), and its cumulative
+    * sum runs two-phase: range-partition by `c` desc (distinct values —
+    * no tie skew), per-partition window, driver prefix offsets over the
+    * ≤`shuffle.partitions` per-bucket totals (control plane), broadcast
+    * back. Arithmetic is integer end-to-end, so the per-token oracle
+    * replays the result bit-identically.
     */
   def vocabCoverage(df: DataFrame, textCol: String,
                     pcts: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
@@ -498,16 +509,43 @@ object TextAnalysis {
     import spark.implicits._
     val counts = df.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val total = counts.agg(sum(col("c"))).head().getLong(0)
-    val ord = org.apache.spark.sql.expressions.Window.orderBy(desc("c"), asc("w"))
-    val cum = counts
-      .withColumn("rank", row_number().over(ord))
-      .withColumn("cum", sum(col("c")).over(
-        ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val hist = counts.groupBy("c").agg(count(lit(1)).as("n"))
+      .withColumn("mass", col("c") * col("n"))
+    val nb = spark.sessionState.conf.numShufflePartitions
+    // persisted so the offsets job and the final job see the SAME pid
+    // assignment (range boundaries are sampled; released by the caller's
+    // per-run clearCache, the repo-wide convention for derived tables)
+    val bucketed = hist.repartitionByRange(nb, col("c").desc)
+      .withColumn("pid", spark_partition_id()).persist()
+    val perBucket = bucketed.groupBy("pid")
+      .agg(sum(col("mass")).as("m"), sum(col("n")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var (accM, accN) = (0L, 0L)
+    val offRows = perBucket.map { case (pid, m, t) =>
+      val row = (pid, accM, accN); accM += m; accN += t; row
+    }.toSeq
+    val total = accM
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(desc("c"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = bucketed
+      .withColumn("lm", sum(col("mass")).over(win))
+      .withColumn("ln", sum(col("n")).over(win))
+      .join(broadcast(offRows.toDF("pid", "moff", "noff")), "pid")
+      .withColumn("cum_mass", col("moff") + col("lm"))
+      .withColumn("before", col("cum_mass") - col("mass"))
+      .withColumn("n_before", col("noff") + col("ln") - col("n"))
+    // Only the FIRST qualifying group yields the true minimum: later groups
+    // have need ≤ 0 (clamped to ≥1 token), landing at n_before+1 ≥ the
+    // first group's answer — min() selects the closed form exactly.
     cum.crossJoin(broadcast(pcts.toDF("pct")))
-      .filter(lit(100L) * col("cum") >= col("pct") * lit(total))
+      .filter(lit(100L) * col("cum_mass") >= col("pct") * lit(total))
+      .withColumn("need", col("pct") * lit(total) - lit(100L) * col("before"))
+      .withColumn("k", greatest(
+        expr("(need + 100 * c - 1) div (100 * c)"), lit(1L)))
       .groupBy("pct")
-      .agg(min(col("rank")).cast("long").as("n_vocab"))
+      .agg(min(col("n_before") + col("k")).cast("long").as("n_vocab"))
       .withColumn("total_tokens", lit(total))
   }
 
