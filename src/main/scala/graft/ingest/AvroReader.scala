@@ -1,13 +1,11 @@
 package graft.ingest
 
 import org.apache.avro.Schema
-import org.apache.avro.file.DataFileStream
+import org.apache.avro.file.{DataFileReader, DataFileStream, SeekableInput}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericRecord}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
-import java.io.ByteArrayInputStream
 import scala.jdk.CollectionConverters._
 
 /** Apache Avro object-container ingest, built directly on the avro-core
@@ -17,13 +15,17 @@ import scala.jdk.CollectionConverters._
   *
   * Plan shape: the READER schema comes from ONE container header opened on
   * the driver (a bounded metadata read, like a parquet footer); executors
-  * then decode every container in parallel over `binaryFile`, resolving
-  * each file's own writer schema against the reader schema (Avro schema
-  * resolution — files written with older compatible schemas still decode).
-  * Parallelism is per FILE — the natural grain for the many-files corpora
-  * this engine ingests; a single multi-GB container would need a
-  * sync-marker-splitting reader (documented boundary, same posture as the
-  * other `binaryFile` readers in [[Readers]]).
+  * then decode SYNC-MARKER-ALIGNED BYTE RANGES in parallel — the Avro
+  * container format places its 16-byte sync marker at the end of the
+  * header and after every block, so a task can seek to an arbitrary byte
+  * offset, scan to the next marker, and decode blocks until it passes its
+  * range end (the classic Hadoop `AvroRecordReader` split protocol). A
+  * multi-GB container therefore fans out across tasks at
+  * `spark.sql.files.maxPartitionBytes` grain, and many small files are
+  * bin-packed into shared tasks (mirroring Spark's own `FilePartition`
+  * packing) — both corpus shapes scale. Each file's own writer schema is
+  * resolved against the reader schema (Avro schema resolution — files
+  * written with older compatible schemas still decode).
   *
   * Type mapping: null/boolean/int/long/float/double/string/enum →
   * their Spark scalars (enum as string), bytes/fixed → binary, and
@@ -35,10 +37,15 @@ import scala.jdk.CollectionConverters._
   * Never-fail-the-batch (the repo-wide ingest contract — see
   * [[Readers.parseXmlRecords]]): a container with an unreadable header
   * yields zero records, and corruption mid-file (a torn upload tail)
-  * yields the valid prefix — Avro blocks are independent. Hidden
-  * dot/underscore-prefixed files are excluded exactly as Spark's own file
-  * index excludes them, so a stale `.tmp`-style container can neither
-  * supply the schema nor pollute the read.
+  * yields the valid prefix — Avro blocks are independent. One exception
+  * is LOUD: a file whose writer schema is IRRECONCILABLE with the reader
+  * schema (`AvroTypeException`) is not corruption — it is whole-file data
+  * loss that would otherwise be indistinguishable from an empty file — so
+  * it emits a per-file skip warning and increments the
+  * `avro.schema.mismatch.files` accumulator. Hidden dot/underscore-
+  * prefixed files are excluded exactly as Spark's own file index excludes
+  * them, so a stale `.tmp`-style container can neither supply the schema
+  * nor pollute the read.
   */
 object AvroReader {
 
@@ -46,27 +53,66 @@ object AvroReader {
     * as one DataFrame with the schema of the first readable container.
     *
     * The path is listed ONCE on the driver (hidden dot/underscore files
-    * excluded — exactly Spark's own data-file convention, so a stale
-    * `.tmp`-style container can neither supply the schema nor be read) and
-    * the same concrete file list feeds both the schema probe and the
-    * `binaryFile` scan: schema source and data set cannot diverge, and
+    * excluded — exactly Spark's own data-file convention) and the same
+    * concrete file list feeds the schema probe, the split planner, and the
+    * executor scan: schema source and data set cannot diverge, and
     * object-store paths pay one listing round-trip, not two.
+    *
+    * `maxSplitBytes` overrides the split grain (0 = the session's
+    * `spark.sql.files.maxPartitionBytes`) — tests use a tiny grain to
+    * force multi-task reads of one container.
     */
-  def avro(spark: SparkSession, path: String): DataFrame = {
+  def avro(spark: SparkSession, path: String,
+           maxSplitBytes: Long = 0L): DataFrame = {
     val files = listDataFiles(spark, path)
-    val readerJson = headerSchemaJson(files, spark, path)
+    val readerJson = headerSchemaJson(files.map(_.getPath), spark, path)
     val struct = structOf(new Schema.Parser().parse(readerJson))
-    val bin = spark.read.format("binaryFile")
-      .load(files.map(_.toString): _*).select(col("content"))
-    val rows = bin.rdd.flatMap(r =>
-      decodeContainer(r.getAs[Array[Byte]](0), readerJson))
+    val grain = if (maxSplitBytes > 0) maxSplitBytes
+      else spark.sessionState.conf.filesMaxPartitionBytes
+    // (file, start, length) ranges at split grain; a task decodes the
+    // blocks whose preceding sync marker ends inside its range.
+    val splits = files.flatMap { st =>
+      val len = st.getLen
+      (0L until math.max(len, 1L) by grain).map(s =>
+        (st.getPath.toString, s, math.min(grain, len - s)))
+    }
+    // Bin-pack splits into tasks of ~grain total bytes (small files share a
+    // task; a big container's splits each get their own) — Spark's own
+    // FilePartition packing, re-expressed for this RDD-backed scan.
+    val packed = {
+      val bins = scala.collection.mutable.ArrayBuffer.empty[
+        (scala.collection.mutable.ArrayBuffer[(String, Long, Long)], Long)]
+      splits.sortBy(-_._3).foreach { sp =>
+        bins.indexWhere(_._2 + sp._3 <= grain) match {
+          case -1 => bins += ((scala.collection.mutable.ArrayBuffer(sp), sp._3))
+          case i  => bins(i)._1 += sp; bins(i) = (bins(i)._1, bins(i)._2 + sp._3)
+        }
+      }
+      bins.map(_._1.toSeq).toSeq
+    }
+    // Executors rebuild the Hadoop conf from the driver's entries (the
+    // Configuration object itself is not serializable).
+    val confProps = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toSeq
+    val mismatches = spark.sparkContext.longAccumulator("avro.schema.mismatch.files")
+    val rows =
+      if (packed.isEmpty) spark.sparkContext.emptyRDD[Row]
+      else spark.sparkContext.parallelize(packed, packed.size).flatMap { bin =>
+        bin.iterator.flatMap { case (f, start, len) =>
+          readSplit(f, start, len, readerJson, confProps, msg => {
+            mismatches.add(1L)
+            System.err.println(s"[avro] SKIPPED $f: writer schema is " +
+              s"irreconcilable with the reader schema ($msg)")
+          })
+        }
+      }
     spark.createDataFrame(rows, struct)
   }
 
   /** Matching data files (glob or dir, one level), hidden files excluded
     * the way Spark's file index excludes them. */
   private def listDataFiles(spark: SparkSession,
-                            path: String): Seq[org.apache.hadoop.fs.Path] = {
+                            path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def hidden(q: org.apache.hadoop.fs.Path): Boolean = {
@@ -76,13 +122,13 @@ object AvroReader {
     Option(fs.globStatus(p)).toSeq.flatten
       .flatMap(s => if (s.isDirectory) fs.listStatus(s.getPath).toSeq else Seq(s))
       .filter(s => s.isFile && !hidden(s.getPath))
-      .map(_.getPath).sortBy(_.toString)
+      .sortBy(_.getPath.toString)
   }
 
   /** Reader schema from the first listed container whose header PARSES —
     * a bounded driver-side read (the header is a few hundred bytes; only
     * the schema JSON is consumed, not the blocks). Unreadable files are
-    * skipped here exactly as [[decodeContainer]] skips them on executors
+    * skipped here exactly as the executor scan skips them
     * (never-fail-the-batch); only a path with NO readable container errors.
     */
   private def headerSchemaJson(files: Seq[org.apache.hadoop.fs.Path],
@@ -101,25 +147,63 @@ object AvroReader {
       sys.error(s"avro: no readable container matches $path"))
   }
 
-  /** One container's records resolved to the reader schema, as a LAZY
-    * iterator — rows stream out as Spark consumes them instead of being
-    * materialized next to the raw bytes `binaryFile` already holds (which
-    * would double peak task memory on a large container). Never fails the
-    * batch: an unreadable header → zero records, and corruption mid-file
-    * (a torn upload tail) ends the iterator after the valid prefix — Avro
-    * blocks are independent, so the prefix is sound. The schema travels as
-    * JSON and is re-parsed per task — `Schema` serialization is
-    * avro-version dependent, the JSON form is not.
+  /** Avro `SeekableInput` over a Hadoop stream. (hadoop-common ships an
+    * `AvroFSInput`, but it implements the SHADED
+    * `org.apache.hadoop.shaded...SeekableInput` — unusable with the
+    * unshaded avro-core `DataFileReader` on this classpath.)
     */
-  private[graft] def decodeContainer(bytes: Array[Byte],
-                                     readerJson: String): Iterator[Row] = {
+  private final class FsSeekableInput(
+      in: org.apache.hadoop.fs.FSDataInputStream, len: Long)
+      extends SeekableInput {
+    def length(): Long = len
+    def read(b: Array[Byte], off: Int, n: Int): Int = in.read(b, off, n)
+    def seek(p: Long): Unit = in.seek(p)
+    def tell(): Long = in.getPos
+    def close(): Unit = in.close()
+  }
+
+  /** Decode the blocks of `file` whose preceding sync marker ends in
+    * `[start, start+length)`, resolved to the reader schema, as a LAZY
+    * iterator — rows stream out as Spark consumes them. `sync(start)`
+    * scans to the next 16-byte marker (for start 0 that is the one closing
+    * the header, i.e. the first block), `pastSync(end)` hands everything
+    * after the range to the next task — together the split set decodes
+    * every block exactly once. Never fails the batch: an unreadable header
+    * → zero records; corruption mid-range (a torn upload tail) ends the
+    * iterator after the valid prefix — Avro blocks are independent, so the
+    * prefix is sound. An `AvroTypeException` is neither: it means the
+    * file's writer schema cannot resolve to the reader schema — silent
+    * zero rows would be indistinguishable from an empty file, so it
+    * reports through `onSchemaMismatch` (once, from the range that owns
+    * byte 0). The schema travels as JSON and is re-parsed per task —
+    * `Schema` serialization is avro-version dependent, the JSON form is
+    * not.
+    */
+  private[graft] def readSplit(file: String, start: Long, length: Long,
+                               readerJson: String,
+                               confProps: Seq[(String, String)],
+                               onSchemaMismatch: String => Unit): Iterator[Row] = {
+    val end = start + length
+    def reportIfOwner(e: Throwable): Unit =
+      if (start == 0L) onSchemaMismatch(e.getMessage)
     val opened =
       try {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        confProps.foreach { case (k, v) => conf.set(k, v) }
+        val p = new org.apache.hadoop.fs.Path(file)
+        val fs = p.getFileSystem(conf)
+        val len = fs.getFileStatus(p).getLen
         val reader = new Schema.Parser().parse(readerJson)
-        Some((reader, new DataFileStream[GenericRecord](
-          new ByteArrayInputStream(bytes),
-          new GenericDatumReader[GenericRecord](null, reader))))
-      } catch { case scala.util.control.NonFatal(_) => None }
+        val r = DataFileReader.openReader(
+          new FsSeekableInput(fs.open(p), len),
+          new GenericDatumReader[GenericRecord](null, reader))
+        r.sync(start)
+        Some((reader, r))
+      } catch {
+        case e: org.apache.avro.AvroTypeException =>
+          reportIfOwner(e); None
+        case scala.util.control.NonFatal(_) => None
+      }
     opened match {
       case None => Iterator.empty
       case Some((reader, stream)) =>
@@ -133,9 +217,14 @@ object AvroReader {
           def hasNext: Boolean = {
             if (!done && pending == null) {
               try {
-                if (stream.hasNext) pending = toRow(stream.next(), reader)
+                if (stream.hasNext && !stream.pastSync(end))
+                  pending = toRow(stream.next(), reader)
                 else close()
-              } catch { case scala.util.control.NonFatal(_) => close() }
+              } catch {
+                case e: org.apache.avro.AvroTypeException =>
+                  reportIfOwner(e); close()
+                case scala.util.control.NonFatal(_) => close()
+              }
             }
             pending != null
           }

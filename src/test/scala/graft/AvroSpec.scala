@@ -147,9 +147,65 @@ class AvroSpec extends SparkSpec {
     val whole = java.nio.file.Files.readAllBytes(dir.resolve("t.avro"))
     // chop the final bytes: the last block's tail (and sync marker) is torn
     val torn = whole.take(whole.length - 8)
-    val rows = AvroReader.decodeContainer(torn, schema.toString).toSeq
+    java.nio.file.Files.write(dir.resolve("t.avro"), torn)
+    var mismatches = 0
+    val rows = AvroReader.readSplit(dir.resolve("t.avro").toString, 0L,
+      torn.length.toLong, schema.toString, Nil, _ => mismatches += 1).toSeq
     assert(rows.length < 5, "the torn block must not decode")
     assert(rows.map(_.getLong(0)) == (1L to rows.length.toLong),
       "the valid prefix must survive in order")
+    assert(mismatches == 0, "corruption is salvage, not a schema-mismatch skip")
+  }
+
+  test("an irreconcilable writer schema is a LOUD per-file skip, not silence") {
+    val longSchema = parse(
+      """{"type":"record","name":"r","fields":[{"name":"id","type":"long"}]}""")
+    val strSchema = parse(
+      """{"type":"record","name":"r","fields":[{"name":"id","type":"string"}]}""")
+    val dir = java.nio.file.Files.createTempDirectory("avro_")
+    // a.avro (sorted first) supplies the reader schema: id long
+    val good = new GenericData.Record(longSchema)
+    good.put("id", 3L)
+    writeContainer(dir.resolve("a.avro"), longSchema)(Seq(good))
+    // b.avro's writer schema (id string) cannot resolve to long
+    val bad = new GenericData.Record(strSchema)
+    bad.put("id", "not-a-long")
+    writeContainer(dir.resolve("b.avro"), strSchema)(Seq(bad))
+
+    // unit level: the mismatch callback fires and the split yields no rows
+    var msgs = List.empty[String]
+    val rows = AvroReader.readSplit(dir.resolve("b.avro").toString, 0L,
+      java.nio.file.Files.size(dir.resolve("b.avro")), longSchema.toString,
+      Nil, m => msgs ::= m).toSeq
+    assert(rows.isEmpty && msgs.nonEmpty,
+      "schema mismatch must report, not vanish")
+
+    // end to end: the good file's rows survive, the mismatched file skips
+    val df = AvroReader.avro(spark, s"$dir/*.avro")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("one container fans out across >1 split with rows identical to a whole read") {
+    val schema = parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},{"name":"pad","type":"string"}]}""".stripMargin)
+    val dir = java.nio.file.Files.createTempDirectory("avro_")
+    val pad = "x" * 200
+    // no codec (stay >64KB sync interval per block): ~2000 * ~210B ≈ 420KB
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, dir.resolve("big.avro").toFile)
+    try (1L to 2000L).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("id", i); r.put("pad", pad)
+      w.append(r)
+    } finally w.close()
+
+    val whole = AvroReader.avro(spark, s"$dir/big.avro")
+      .collect().map(_.getLong(0)).sorted
+    val split = AvroReader.avro(spark, s"$dir/big.avro", maxSplitBytes = 32 * 1024L)
+    assert(split.rdd.getNumPartitions > 1,
+      "a 420KB container at 32KB grain must fan out across tasks")
+    assert(split.collect().map(_.getLong(0)).sorted.toSeq == whole.toSeq,
+      "split decode must see every block exactly once")
   }
 }
