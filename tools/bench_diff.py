@@ -17,6 +17,29 @@ import json
 import sys
 
 
+def fingerprint(sf_dir):
+    """Content fingerprint of a bench data dir: md5 over sorted
+    (relative-path, size) pairs of the data files (hidden dot/underscore
+    files — markers, checksums — excluded; their mtimes churn on every
+    regeneration while the data stays identical). Floors are only evidence
+    about the EXACT data they were measured on: the r12 mid-round testdata
+    regeneration proved stale floors mislead, so floors files carry this
+    stamp and the keep gate refuses to apply floors whose stamp does not
+    match the battery's data dir.
+    """
+    import hashlib
+    import os
+    pairs = []
+    for root, dirs, files in os.walk(sf_dir):
+        dirs[:] = sorted(d for d in dirs if not d.startswith((".", "_")))
+        for f in sorted(files):
+            if f.startswith((".", "_")):
+                continue
+            p = os.path.join(root, f)
+            pairs.append(f"{os.path.relpath(p, sf_dir)}:{os.path.getsize(p)}")
+    return hashlib.md5("\n".join(pairs).encode()).hexdigest()
+
+
 def load(path):
     with open(path) as f:
         txt = f.read().strip()

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Build BENCH_FLOORS.json: per-query historical floor medians.
 
-    bench_floors.py OUT.json ARTIFACT [ARTIFACT ...]
+    bench_floors.py OUT.json [--sf-dir=DIR] ARTIFACT [ARTIFACT ...]
 
 Floor = MIN median per query across the given Bench artifacts (kept
 full-precision files and/or driver tail captures — bench_diff.load
@@ -17,18 +17,27 @@ Keys are canonicalized to the full "q_"-prefixed query names. Driver
 tails are front-truncated (the first surviving pair may be clipped) and
 compact-precision — both fine for a 3x threshold. Queries missing from
 every artifact simply get no floor (no check).
+
+`--sf-dir=DIR` stamps a content fingerprint of DIR into the output under
+"_fingerprint"; tools/bench_keep.py refuses to APPLY floors whose stamp
+does not match the battery's data dir (stale floors mislead — the r12
+mid-round regeneration lesson). Bench.scala's own entry regex skips the
+stamp, so the in-process guard keeps working either way.
 """
 import json
 import sys
 
-from bench_diff import load
+from bench_diff import fingerprint, load
 
 
 def main():
-    if len(sys.argv) < 3:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(a.lstrip("-").split("=", 1)
+                for a in sys.argv[1:] if a.startswith("--") and "=" in a)
+    if len(args) < 2:
         print(__doc__)
         return 1
-    out, arts = sys.argv[1], sys.argv[2:]
+    out, arts = args[0], args[1:]
     hist = {}
     fullnames = {}  # stripped -> full, learned from full-precision artifacts
     parsed = [load(a) for a in arts]
@@ -59,10 +68,16 @@ def main():
     for name, vs in hist.items():
         vs = sorted(vs)
         floors[name] = [round(vs[0], 3), round(vs[len(vs) // 2], 3)]
+    doc = dict(sorted(floors.items()))
+    note = ""
+    if "sf-dir" in opts:
+        doc["_fingerprint"] = {"dir": opts["sf-dir"],
+                               "md5": fingerprint(opts["sf-dir"])}
+        note = f" (fingerprinted to {opts['sf-dir']})"
     with open(out, "w") as f:
-        json.dump(dict(sorted(floors.items())), f, separators=(",", ":"))
+        json.dump(doc, f, separators=(",", ":"))
         f.write("\n")
-    print(f"wrote {out}: {len(floors)} floors from {len(arts)} artifacts")
+    print(f"wrote {out}: {len(floors)} floors from {len(arts)} artifacts{note}")
     return 0
 
 

@@ -12,6 +12,10 @@ Checks, in order:
   1. canary pre/post must agree within 1.5x (else the whole RUN is
      contaminated — exit 2, don't keep);
   2. `failed` must be empty (exit 3);
+  2b. the floors file's `_fingerprint` stamp must match the battery's
+     sf dir content (stamped by tools/bench_floors.py --sf-dir); a
+     missing or mismatched stamp means the floors were measured on
+     DIFFERENT data — they are refused (fail closed, suspects stay);
   3. for every `floor_suspect` row (Bench's own cross-run floor check,
      already re-probed once in-process), run a FRESH-JVM probe via
      `graft.tools.BenchOne` and take the min of artifact median and
@@ -29,8 +33,14 @@ import sys
 
 
 def fresh_jvm_probe(query, sf_dir, cpus):
-    """One fresh-JVM timing of `query` via graft.tools.BenchOne."""
-    cmd = ["sbt", "-batch", f"runMain graft.tools.BenchOne {query}"]
+    """One fresh-JVM timing of `query` via graft.tools.BenchOne.
+    BENCH_KEEP_PROBE_CMD overrides the command (self-test hook — lets
+    tools/test_keep_gate.py exercise the gate without a 5-minute sbt run).
+    """
+    import os
+    override = os.environ.get("BENCH_KEEP_PROBE_CMD")
+    cmd = (override.split() + [query]) if override else \
+        ["sbt", "-batch", f"runMain graft.tools.BenchOne {query}"]
     env = dict(__import__("os").environ,
                SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
     try:
@@ -85,6 +95,27 @@ def main():
         if suspects:
             print(f"WARNING: floors file {floors_path} unreadable ({e}) — "
                   "suspects cannot be cleared, they stay listed")
+    # Data binding (the r12 stale-floors lesson): floors are evidence about
+    # the EXACT data they were measured on. A floors file whose content
+    # fingerprint is missing or does not match this battery's sf dir is
+    # treated exactly like an unreadable one — fail CLOSED, suspects stay.
+    if floors is not None:
+        from bench_diff import fingerprint
+        stamp = floors.get("_fingerprint")
+        actual = fingerprint(sf_dir)
+        if not stamp:
+            floors = None
+            if suspects:
+                print(f"WARNING: floors file {floors_path} carries no "
+                      "_fingerprint stamp — re-stamp it with "
+                      "tools/bench_floors.py --sf-dir; suspects stay listed")
+        elif stamp.get("md5") != actual:
+            floors = None
+            if suspects:
+                print(f"REFUSING stale floors: {floors_path} was built for "
+                      f"{stamp.get('dir')} (md5 {stamp.get('md5')}) but "
+                      f"{sf_dir} hashes to {actual} — the data changed; "
+                      "rebuild the floors. Suspects stay listed")
     probes, still = {}, []
     for q in suspects:
         p = fresh_jvm_probe(q, sf_dir, cpus)
