@@ -16,13 +16,20 @@ import org.apache.spark.sql.functions._
   * Perf rehearsal ONLY (VERDICT r6 #6): correctness stays pinned to the
   * driver's read-only testdata at sf0.01.
   *
-  * Usage: runMain graft.tools.ScaleUp [srcDir] [dstDir] [copies]
+  * Usage: runMain graft.tools.ScaleUp [srcDir] [dstDir] [copies] [tables]
+  * `tables` (comma-separated, default all) limits output — e.g.
+  * `documents` alone for the dedup-family scale curve, whose five queries
+  * read nothing else (generating 30× of all nine tables would cost more
+  * than the measurements).
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").toSet) else None
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,7 +41,7 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def tbl(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
-    def write(df: DataFrame, name: String): Unit = {
+    def write(df: => DataFrame, name: String): Unit = if (wanted(name)) {
       df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scaleup] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
     }
