@@ -316,14 +316,27 @@ object Dedup {
       .select(col("sig_a"), col("sig_a").bitwiseXOR(col("__m")).as("sig_b"))
       .filter(col("sig_a") < col("sig_b"))
       .join(distinctSigs.withColumnRenamed("sig", "sig_b"), Seq("sig_b"), "leftsemi")
+    // Pin the expansion joins and the same-sig self-join to shuffle-hash:
+    // `sigs` (one row per DOCUMENT) is corpus-proportional, so a broadcast
+    // is never right at scale — the same design rule as the minhash verify
+    // joins (minhashNearDuplicatesH). Measured on the ×30 ScaleUp corpus
+    // (150 k docs, 3.0 B output pairs): the planner's broadcast plan OOMs
+    // a 24 g local[32] heap mid-expansion, while the pinned shuffle plan
+    // finishes in 79 s at the same concurrency — and at 100 TB a
+    // billion-row sigs broadcast is impossible outright. The leftsemi
+    // against distinctSigs above stays broadcastable: that side is bounded
+    // by 2^bits VALUES, not by corpus size.
     val cross = valuePairs
-      .join(sigs.select(col("id").as("__ida"), col("sig").as("sig_a")), "sig_a")
-      .join(sigs.select(col("id").as("__idb"), col("sig").as("sig_b")), "sig_b")
+      .join(sigs.select(col("id").as("__ida"), col("sig").as("sig_a"))
+        .hint("shuffle_hash"), "sig_a")
+      .join(sigs.select(col("id").as("__idb"), col("sig").as("sig_b"))
+        .hint("shuffle_hash"), "sig_b")
       .select(least(col("__ida"), col("__idb")).as("id_a"),
         greatest(col("__ida"), col("__idb")).as("id_b"),
         hammingDistance(col("sig_a"), col("sig_b")).as("distance"))
     val same = sigs.select(col("id").as("id_a"), col("sig"))
-      .join(sigs.select(col("id").as("id_b"), col("sig")), "sig")
+      .join(sigs.select(col("id").as("id_b"), col("sig"))
+        .hint("shuffle_hash"), "sig")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         lit(0).cast("int").as("distance"))

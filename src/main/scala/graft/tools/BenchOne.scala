@@ -30,15 +30,19 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     val warm = args.dropRight(1)
     val target = args.last
+    // rows= rides BEFORE the seconds so bench_keep.py's `split()[-2]`
+    // parse keeps working; output size separates "operator got slower"
+    // from "operator emits more rows" in scale curves (ScaleUp's verbatim
+    // copies grow near-dup PAIR output quadratically in the copy count).
     warm.foreach { q =>
       val t0 = System.nanoTime()
-      graft.Queries.queries(q)(spark, sfDir).count()
+      val n = graft.Queries.queries(q)(spark, sfDir).count()
       spark.catalog.clearCache()
-      println(f"[benchone] warm $q ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[benchone] warm $q rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     val t0 = System.nanoTime()
-    graft.Queries.queries(target)(spark, sfDir).count()
-    println(f"[benchone] TARGET $target ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val n = graft.Queries.queries(target)(spark, sfDir).count()
+    println(f"[benchone] TARGET $target rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }
 }
