@@ -292,4 +292,42 @@ class PlanSpec extends SparkSpec {
       s"expected 1-2 graft_bloom renderings, got $occurrences:\n${plan.take(2000)}")
     assert(probed.count() > 0) // and it must actually execute compiled
   }
+
+  test("collapsed-Hamming join: corpus-proportional sides shuffle, never broadcast") {
+    // The r14 sf3 lesson (3.0B output pairs): Catalyst broadcast the
+    // per-DOCUMENT sigs table into the doc-pair expansion joins and the
+    // same-sig self-join, OOMing a 24g local[32] heap — and a billion-row
+    // broadcast is impossible at full scale. The pin keeps exactly one
+    // broadcast: the leftsemi against the DISTINCT values (bounded by
+    // 2^bits, corpus-size-independent).
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.ops.Dedup.simhashNearDuplicates(
+      docs, "doc_id", "text", bits = 16, maxDistance = 3))
+    val shuffled = "ShuffledHashJoin".r.findAllIn(plan).length
+    val broadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(shuffled == 3,
+      s"expected the 2 expansion joins + same-sig self-join pinned " +
+        s"shuffle-hash, got $shuffled:\n${plan.take(3000)}")
+    assert(broadcast == 1 &&
+        "BroadcastHashJoin .*LeftSemi".r.findFirstIn(plan).isDefined,
+      s"the only broadcast must be the bounded distinct-values leftsemi, " +
+        s"got $broadcast:\n${plan.take(3000)}")
+  }
+
+  test("minhash verify joins stay pinned shuffle-hash (no shingle-set broadcast)") {
+    // Same design rule, r12 vintage: the shingle-array sets side is
+    // corpus-proportional and its size estimate runs low — left to the
+    // planner the verify joins flip to broadcast near the threshold
+    // (measured 2x slower at sf1 and bimodal across clean runs).
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.ops.Dedup.minhashNearDuplicates(
+      docs, "doc_id", "text", threshold = 0.9))
+    val shuffled = "ShuffledHashJoin".r.findAllIn(plan).length
+    assert(shuffled >= 3,
+      s"expected banded self-join + 2 verify joins shuffle-hash, " +
+        s"got $shuffled:\n${plan.take(3000)}")
+    assert("BroadcastHashJoin .*, Inner".r.findFirstIn(plan).isEmpty,
+      s"no corpus-proportional side may broadcast into an inner join:\n" +
+        plan.take(3000))
+  }
 }
