@@ -264,7 +264,8 @@ object Dedup {
     segmented
       .select(col("seg"), col("segval"), col("id").as("id_a"), col("sig").as("sig_a"))
       .join(segmented.select(col("seg"), col("segval"),
-        col("id").as("id_b"), col("sig").as("sig_b")), Seq("seg", "segval"))
+          col("id").as("id_b"), col("sig").as("sig_b"))
+        .hint("shuffle_hash"), Seq("seg", "segval"))
       .filter(col("id_a") < col("id_b"))
       .filter(firstAgreement)
       .withColumn("distance", hammingDistance(col("sig_a"), col("sig_b")))
@@ -774,9 +775,14 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    pairs: DataFrame, n: Int = 3): DataFrame = {
     val sets = df.select(col(idCol).as("id"), array_distinct(shingles(col(textCol), n)).as("sh"))
+    // sets carries shingle ARRAYS — the size-underestimate shape that made
+    // the minhash verify joins flip to a broadcast of a corpus-proportional
+    // HashedRelation (see minhashNearDuplicatesH); pinned for the same reason
     pairs
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
         Nums.round6(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))

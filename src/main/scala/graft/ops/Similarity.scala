@@ -478,7 +478,11 @@ object Similarity {
       .withColumn("nrm", norm(col("vec")))
     val a = c.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = c.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
-    a.join(b, "bucket")
+    // both sides are the corpus carrying VECTOR ARRAYS (whose size estimate
+    // runs low) — pinned shuffle-hash so the planner can never broadcast a
+    // corpus-proportional HashedRelation of embeddings (the minhash/simhash
+    // design rule; a billion-vector broadcast is impossible at full scale)
+    a.join(b.hint("shuffle_hash"), "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosineFromNorms(dot(col("vec_a"), col("vec_b")), col("nrm_a"), col("nrm_b")).as("sim"))
@@ -566,7 +570,9 @@ object Similarity {
     val b = withNorm.select(col("cluster"), col("id").as("id_b"),
       col("iv").as("iv_b"), col("nrm").as("nb"))
     val d = dotQuantized(col("iv_a"), col("iv_b"))
-    val dupIds = a.join(b, "cluster")
+    // corpus ⋈ corpus with quantized-vector arrays on both sides — same
+    // shuffle-hash pin as embeddingNearDuplicates
+    val dupIds = a.join(b.hint("shuffle_hash"), "cluster")
       .filter(col("id_a") < col("id_b"))
       .filter(d > 0 &&
         d * d * lit(simDen * simDen) >= lit(simNum * simNum) * col("na") * col("nb"))
