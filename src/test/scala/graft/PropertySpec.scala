@@ -405,5 +405,32 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("vocabCoverage closed form equals the per-token cumulative reference") {
+    // The r14 rewrite replaced the per-token global-order window with a
+    // histogram closed form (within a count-tie group every token adds the
+    // same mass, so the crossing rank is n_before + ceil(need/(100·c))).
+    // This pins the algebra: for generated corpora, the distributed result
+    // must equal a brute-force per-token cumulative walk (ties by token).
+    val wordGen = Gen.oneOf("ba", "qu", "xo", "ze", "mi", "ta", "re", "lu")
+    val docGen = Gen.nonEmptyListOf(wordGen).map(_.mkString(" "))
+    samples(Gen.nonEmptyListOf(docGen), 8).foreach { docs =>
+      val df = docs.toDF("text")
+      val got = graft.ops.TextAnalysis.vocabCoverage(df, "text")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      // brute force: token counts, order (c desc, w asc), walk the cumsum
+      val counts = docs.flatMap(_.trim.toLowerCase.split("\\s+"))
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (w, c) => (-c, w) }
+      val total = counts.map(_._2).sum
+      val cums = counts.scanLeft(0L)(_ + _._2).drop(1) // inclusive cumsum
+      val expected = Seq(50, 90, 95, 99).map { pct =>
+        val rank = cums.indexWhere(c => 100L * c >= pct * total) + 1L
+        (pct, rank, total)
+      }
+      assert(got == expected, s"docs=$docs")
+    }
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
