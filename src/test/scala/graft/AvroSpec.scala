@@ -185,6 +185,22 @@ class AvroSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("many small containers bin-pack into shared tasks (FilePartition-style)") {
+    val schema = parse(
+      """{"type":"record","name":"r","fields":[{"name":"id","type":"long"}]}""")
+    val dir = java.nio.file.Files.createTempDirectory("avro_")
+    (0 until 10).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("id", i.toLong)
+      writeContainer(dir.resolve(f"f$i%02d.avro"), schema)(Seq(r))
+    }
+    val df = AvroReader.avro(spark, s"$dir/*.avro")
+    assert(df.rdd.getNumPartitions == 1,
+      "10 sub-KB files must share one task at a 128MB default grain, " +
+        s"got ${df.rdd.getNumPartitions}")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (0L until 10L))
+  }
+
   test("one container fans out across >1 split with rows identical to a whole read") {
     val schema = parse(
       """{"type":"record","name":"r","fields":[
