@@ -86,4 +86,15 @@ class BenchSpec extends AnyFunSuite {
       === Right("custom.json"))
     assert(Bench.resolveFloorsPath(None, "/tmp/sf3") === Left("sf3"))
   }
+
+  test("keep gate refuses stale/unstamped floors (tools/test_keep_gate.py)") {
+    // The python side of the floors contract (fingerprint verify + fail
+    // closed) has its own self-test; running it here keeps the refusal
+    // proof under `sbt test` instead of relying on someone remembering it.
+    val script = java.nio.file.Paths.get("tools/test_keep_gate.py")
+    assume(java.nio.file.Files.exists(script)) // repo-root working dir
+    val rc = new ProcessBuilder("python3", script.toString)
+      .inheritIO().start().waitFor()
+    assert(rc == 0, "keep-gate self-test reported failures")
+  }
 }
