@@ -201,6 +201,31 @@ class AvroSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == (0L until 10L))
   }
 
+  test("split boundaries decode exactly once at ANY grain (fuzz)") {
+    // The sync/pastSync protocol must hand every block to exactly one
+    // range no matter where the byte boundaries fall — including grains
+    // smaller than a block, grains that land mid-block, mid-sync-marker,
+    // and grains larger than the file.
+    val schema = parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},{"name":"pad","type":"string"}]}""".stripMargin)
+    val dir = java.nio.file.Files.createTempDirectory("avro_")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.setSyncInterval(2048) // many small blocks → many boundaries to fuzz
+    w.create(schema, dir.resolve("fz.avro").toFile)
+    try (1L to 500L).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("id", i); r.put("pad", "p" * 100)
+      w.append(r)
+    } finally w.close()
+    val expected = (1L to 500L)
+    for (grain <- Seq(997L, 2048L, 3001L, 5000L, 1 << 20)) {
+      val got = AvroReader.avro(spark, s"$dir/fz.avro", maxSplitBytes = grain)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expected, s"grain=$grain lost or duplicated blocks")
+    }
+  }
+
   test("one container fans out across >1 split with rows identical to a whole read") {
     val schema = parse(
       """{"type":"record","name":"r","fields":[

@@ -227,6 +227,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == ((1L, 1L, 1000000L)))
   }
 
+  test("vocabCoverage: empty corpus yields an empty curve, not a crash") {
+    // the pre-r14 implementation ran head() on an empty aggregate (NPE
+    // territory); the histogram form degrades to zero rows
+    import spark.implicits._
+    val out = graft.ops.TextAnalysis.vocabCoverage(
+      Seq.empty[String].toDF("text"), "text")
+    assert(out.collect().isEmpty)
+  }
+
   test("vocabCoverage: exact integer thresholds over the frequency curve") {
     // a×6, b×3, c×1 → total 10; cum: a=6, ab=9, abc=10
     val docs = Seq((1L, "a a a b"), (2L, "a a a b b c")).toDF("id", "text")
