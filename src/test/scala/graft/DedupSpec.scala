@@ -267,4 +267,33 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == (("beta two", 1L)))
     assert(!out.contains(3L), "boiler-only doc must drop out entirely")
   }
+
+  test("exact-dup collapse: collapsed chain row-identical to per-doc chain") {
+    // Duplication-heavy corpus (3 verbatim copies per base text + a near
+    // dup + a short doc): the gated public API takes the COLLAPSED path
+    // here; both private paths must agree row for row — same pairs, same
+    // jaccard values — because the expansion argument (identical texts →
+    // identical signatures → identical candidacy) is exact, not heuristic.
+    import spark.implicits._
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "the quick brown fox jumps over the lazy dog again and again tonight",
+      "completely different words in this one nothing shared at all here",
+      "short doc")
+    val dupDocs = base.zipWithIndex.flatMap { case (t, i) =>
+      (0 until 3).map(c => (i * 10L + c, t))
+    }.toDF("id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val keyed = dupDocs.select(col("id"), col("text").as("__text"))
+    val perDoc = canon(Dedup.minhashPerDoc(keyed, 0.9, 16, 4, 5)._1)
+    val collapsed = canon(Dedup.minhashCollapsed(keyed, 0.9, 16, 4, 5)._1)
+    assert(collapsed == perDoc)
+    // all 3 same-text pairs per base text at jaccard 1.0 are present
+    assert(perDoc.count(_._3 == 1.0) >= base.size * 3)
+    // and the public gated API returns the same rows on this corpus
+    val pub = canon(Dedup.minhashNearDuplicates(dupDocs, "id", "text", 0.9))
+    assert(pub == perDoc)
+  }
 }
