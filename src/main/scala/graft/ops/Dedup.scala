@@ -143,34 +143,39 @@ object Dedup {
                                      threshold: Double, numHashes: Int,
                                      bands: Int, shingleSize: Int): (DataFrame, Seq[DataFrame]) = {
     val keyed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-    // The duplication probe costs one corpus scan; memoize the VERDICT by
-    // the input plan's semantic hash so repeated runs of the same query
-    // (bench triples, retry loops, a user iterating) pay it once. Both
-    // paths are row-identical, so a stale or hash-colliding entry can only
-    // pick the slower-but-correct path — never a wrong answer.
-    val collapse = gateCache.getOrElseUpdate(
-      keyed.queryExecution.analyzed.semanticHash(), {
-        // approx (HLL) distinct: deterministic for the same data
-        // (hash-based, no randomness) and merge-only — an exact
-        // countDistinct would shuffle every distinct text and cost ~2 s at
-        // sf1, eating the win it gates
-        val s = keyed.agg(count(lit(1)).as("n"),
-          approx_count_distinct(col("__text")).as("d")).head()
-        s.getLong(1) * 10L < s.getLong(0) * 9L // >~10% duplicated
-      })
-    if (gateCache.size > 256) gateCache.clear() // bound the memo
-    if (collapse)
+    if (duplicationMaterial(keyed, col("__text")))
       minhashCollapsed(keyed, threshold, numHashes, bands, shingleSize)
     else
       minhashPerDoc(keyed, threshold, numHashes, bands, shingleSize)
   }
 
   /** Collapse-gate memo: input-plan semantic hash → "duplication is
-    * material". See [[minhashNearDuplicatesH]] — entries are advisory
-    * (both gated paths produce identical rows), so eviction or collision
-    * is a perf detail, never a correctness one.
+    * material". Entries are advisory (every gated operator's two paths
+    * produce identical rows), so eviction or collision is a perf detail,
+    * never a correctness one.
     */
   private val gateCache = scala.collection.concurrent.TrieMap.empty[Int, Boolean]
+
+  /** Deterministic duplication probe shared by the collapse-capable
+    * operators (minhash text collapse, [[Similarity.semanticDedup]]'s
+    * vector collapse): true when `key` is >~10 % duplicated in `df`. One
+    * corpus scan — approx (HLL) distinct is deterministic for the same
+    * data (hash-based, no randomness) and merge-only (an exact
+    * countDistinct would shuffle every distinct key and eat the win it
+    * gates) — and the VERDICT is memoized by the probed plan's semantic
+    * hash so repeated runs of the same query (bench triples, retry loops,
+    * a user iterating) pay it once.
+    */
+  private[graft] def duplicationMaterial(df: DataFrame, key: Column): Boolean = {
+    val verdict = gateCache.getOrElseUpdate(
+      df.select(key).queryExecution.analyzed.semanticHash(), {
+        val s = df.agg(count(lit(1)).as("n"),
+          approx_count_distinct(key).as("d")).head()
+        s.getLong(1) * 10L < s.getLong(0) * 9L
+      })
+    if (gateCache.size > 256) gateCache.clear() // bound the memo
+    verdict
+  }
 
   /** The per-document chain (no collapse) — optimal for all-distinct
     * corpora: signatures → banded candidates → pinned verify joins.

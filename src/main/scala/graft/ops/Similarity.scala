@@ -563,8 +563,29 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, k: Int, iters: Int,
                     simNum: Long = 9L, simDen: Long = 10L): DataFrame = {
     require(simDen > 0 && simNum >= 0, s"bad threshold $simNum/$simDen")
+    // k-means ALWAYS runs per-doc: its 10%-slice training set and the
+    // assignment are part of the operator's observable semantics (the
+    // oracle replays them over the full corpus) — only the within-cluster
+    // pair scan below is collapse-eligible.
     val (_, asg) = kmeansQuantized(corpus, k, iters)
     val withNorm = asg.withColumn("nrm", dotQuantized(col("iv"), col("iv")))
+    // The gate probes the INPUT vec column (probing asg would re-run the
+    // whole k-means training); identical vecs quantize and assign
+    // identically, so input duplication lower-bounds group duplication.
+    val dupIds =
+      if (Dedup.duplicationMaterial(corpus, col("vec")))
+        semanticDupIdsCollapsed(withNorm, simNum, simDen)
+      else semanticDupIdsPerDoc(withNorm, simNum, simDen)
+    withNorm.join(dupIds, Seq("id"), "left_anti")
+      .select(col("id"), col("cluster"))
+  }
+
+  /** Dropped ids via the direct within-cluster pair scan: b dropped iff
+    * some a < b in its cluster matches it (d > 0 and
+    * d²·simDen² ≥ simNum²·na·nb).
+    */
+  private[graft] def semanticDupIdsPerDoc(withNorm: DataFrame, simNum: Long,
+                                          simDen: Long): DataFrame = {
     val a = withNorm.select(col("cluster"), col("id").as("id_a"),
       col("iv").as("iv_a"), col("nrm").as("na"))
     val b = withNorm.select(col("cluster"), col("id").as("id_b"),
@@ -572,12 +593,55 @@ object Similarity {
     val d = dotQuantized(col("iv_a"), col("iv_b"))
     // corpus ⋈ corpus with quantized-vector arrays on both sides — same
     // shuffle-hash pin as embeddingNearDuplicates
-    val dupIds = a.join(b.hint("shuffle_hash"), "cluster")
+    a.join(b.hint("shuffle_hash"), "cluster")
       .filter(col("id_a") < col("id_b"))
       .filter(d > 0 &&
         d * d * lit(simDen * simDen) >= lit(simNum * simNum) * col("na") * col("nb"))
       .select(col("id_b").as("id")).distinct()
-    withNorm.join(dupIds, Seq("id"), "left_anti")
-      .select(col("id"), col("cluster"))
+  }
+
+  /** Dropped ids via (cluster, iv)-group collapse — row-identical to the
+    * per-doc scan, in group-pair work instead of doc-pair work. Members of
+    * a group share iv, so every pairwise dot/norm is a group-level
+    * constant, and "some a < b matches b" decomposes exactly:
+    *
+    *   - within B's own group: a match requires selfmatch(B) (the same
+    *     d > 0 predicate on (iv, iv) — a zero vector never self-matches,
+    *     exactly as 0/0 pairs never matched per-doc), and some member
+    *     below b exists iff b > min(B);
+    *   - from another group A: members of A below b exist iff
+    *     min(A) < b, so the only statistic needed is
+    *     minExt(B) = min over matching A of min(A).
+    *
+    *   dropped(b ∈ B) ⟺ (selfmatch(B) ∧ b > min(B)) ∨ (minExt(B) < b)
+    */
+  private[graft] def semanticDupIdsCollapsed(withNorm: DataFrame, simNum: Long,
+                                             simDen: Long): DataFrame = {
+    val groups = withNorm.groupBy(col("cluster"), col("iv"))
+      .agg(min(col("id")).as("rid"), min(col("nrm")).as("nrm"))
+    val ga = groups.select(col("cluster"), col("iv").as("iv_a"),
+      col("rid").as("rid_a"), col("nrm").as("na"))
+    val gb = groups.select(col("cluster"), col("iv").as("iv_b"),
+      col("rid").as("rid_b"), col("nrm").as("nb"))
+    val d = dotQuantized(col("iv_a"), col("iv_b"))
+    // group pairs, BOTH directions (minExt needs matches on either side);
+    // group tables are distinct-vector-proportional → pinned shuffle-hash
+    val minExt = ga.join(gb.hint("shuffle_hash"), "cluster")
+      .filter(col("rid_a") =!= col("rid_b"))
+      .filter(d > 0 &&
+        d * d * lit(simDen * simDen) >= lit(simNum * simNum) * col("na") * col("nb"))
+      .groupBy(col("rid_b").as("rid"))
+      .agg(min(col("rid_a")).as("min_ext"))
+    val selfmatch = col("nrm") > 0 &&
+      col("nrm") * col("nrm") * lit(simDen * simDen) >=
+        lit(simNum * simNum) * col("nrm") * col("nrm")
+    val m = withNorm
+      .join(groups.select(col("cluster"), col("iv"), col("rid"),
+          selfmatch.as("selfm"))
+        .hint("shuffle_hash"), Seq("cluster", "iv"))
+      .join(minExt.hint("shuffle_hash"), Seq("rid"), "left")
+    m.filter((col("selfm") && col("id") > col("rid")) ||
+        (col("min_ext").isNotNull && col("min_ext") < col("id")))
+      .select(col("id"))
   }
 }

@@ -283,4 +283,33 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(0L, 2L), s"got $kept")
   }
+
+  test("semanticDedup: collapsed dup-id scan row-identical to per-doc scan") {
+    // Duplication-heavy assignment table with the edge cases the collapse
+    // must replicate: identical-iv groups (drop all but min), a zero
+    // vector DUPLICATED (0/0 never matches per-doc → both copies survive),
+    // a cross-group near-dup pair, and an isolated cluster.
+    import spark.implicits._
+    val asg = Seq(
+      // cluster 0: group X = {1,4,7} identical; group Y = {2} similar to X
+      (1L, Seq(10L, 0L, 0L), 0L), (4L, Seq(10L, 0L, 0L), 0L),
+      (7L, Seq(10L, 0L, 0L), 0L), (2L, Seq(10L, 1L, 0L), 0L),
+      // cluster 0: duplicated ZERO vector — never matches anything
+      (3L, Seq(0L, 0L, 0L), 0L), (9L, Seq(0L, 0L, 0L), 0L),
+      // cluster 1: orthogonal pair (no match) + a dup group {5,8}
+      (6L, Seq(0L, 7L, 0L), 1L), (5L, Seq(0L, 0L, 7L), 1L),
+      (8L, Seq(0L, 0L, 7L), 1L)
+    ).toDF("id", "iv", "cluster")
+    val withNorm = asg.withColumn("nrm",
+      Similarity.dotQuantized(col("iv"), col("iv")))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).sorted.toSeq
+    val perDoc = ids(Similarity.semanticDupIdsPerDoc(withNorm, 9L, 10L))
+    val collapsed = ids(Similarity.semanticDupIdsCollapsed(withNorm, 9L, 10L))
+    assert(collapsed == perDoc, s"collapsed=$collapsed perDoc=$perDoc")
+    // group X: 4,7 drop (1 kept); Y's rep 2 matches X's members below it?
+    // sim(X,Y) = 10/√101·... cos ≈ 0.995 ≥ 0.9 → 2 drops (1 < 2); zero
+    // vecs 3,9 both survive; cluster 1: 8 drops (5 kept), 6 survives
+    assert(perDoc == Seq(2L, 4L, 7L, 8L))
+  }
 }
