@@ -476,6 +476,14 @@ object Similarity {
     val c = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
       .withColumn("bucket", lshBucket(col("vec"), numPlanes, dim))
       .withColumn("nrm", norm(col("vec")))
+    if (Dedup.duplicationMaterial(corpus, col("vec")))
+      embedPairsCollapsed(c, threshold)
+    else embedPairsPerDoc(c, threshold)
+  }
+
+  /** The direct bucket self-join — optimal for all-distinct corpora. */
+  private[graft] def embedPairsPerDoc(c: DataFrame,
+                                      threshold: Double): DataFrame = {
     val a = c.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = c.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     // both sides are the corpus carrying VECTOR ARRAYS (whose size estimate
@@ -488,6 +496,52 @@ object Similarity {
         cosineFromNorms(dot(col("vec_a"), col("vec_b")), col("nrm_a"), col("nrm_b")).as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Identical-vector collapse of the bucket self-join — row-identical to
+    * [[embedPairsPerDoc]] (the minhash-collapse argument: identical
+    * vectors share the bucket, the norm, and every pairwise cosine, so
+    * rep-level pairs expand exactly, and same-group sims come from the
+    * SAME cosine expression — a duplicated zero vector yields 0/0 = NaN
+    * which passes the threshold filter under Spark's NaN ordering,
+    * whatever the per-doc join emitted).
+    */
+  private[graft] def embedPairsCollapsed(c: DataFrame,
+                                         threshold: Double): DataFrame = {
+    val groups = c.groupBy(col("vec"))
+      .agg(min(col("id")).as("rid"), min(col("bucket")).as("bucket"),
+        min(col("nrm")).as("nrm"))
+    val membership = c
+      .join(groups.select(col("vec"), col("rid")).hint("shuffle_hash"), Seq("vec"))
+      .select(col("rid"), col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ga = groups.select(col("bucket"), col("rid").as("rid_a"),
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val gb = groups.select(col("bucket"), col("rid").as("rid_b"),
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    val repPairs = ga.join(gb.hint("shuffle_hash"), "bucket")
+      .filter(col("rid_a") < col("rid_b"))
+      .select(col("rid_a"), col("rid_b"),
+        cosineFromNorms(dot(col("vec_a"), col("vec_b")), col("nrm_a"), col("nrm_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+    val cross = repPairs
+      .join(membership.select(col("rid").as("rid_a"), col("id").as("__ma"))
+        .hint("shuffle_hash"), "rid_a")
+      .join(membership.select(col("rid").as("rid_b"), col("id").as("__mb"))
+        .hint("shuffle_hash"), "rid_b")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"),
+        round(col("sim"), 6).as("sim"))
+    val selfSim = groups
+      .select(col("rid"),
+        cosineFromNorms(dot(col("vec"), col("vec")), col("nrm"), col("nrm")).as("sim"))
+      .filter(col("sim") >= threshold)
+    val same = membership.join(selfSim.hint("shuffle_hash"), "rid")
+      .join(membership.select(col("rid"), col("id").as("id_b"))
+        .hint("shuffle_hash"), "rid")
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+    cross.union(same)
   }
 
   /** Cross-set embedding near-dup — semantic DECONTAMINATION: every corpus

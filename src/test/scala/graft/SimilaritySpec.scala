@@ -312,4 +312,23 @@ class SimilaritySpec extends SparkSpec {
     // vecs 3,9 both survive; cluster 1: 8 drops (5 kept), 6 survives
     assert(perDoc == Seq(2L, 4L, 7L, 8L))
   }
+
+  test("embeddingNearDuplicates: collapsed pair scan row-identical to per-doc") {
+    import spark.implicits._
+    // 3 copies of two near-dup directions + 2 copies of an orthogonal one
+    val rows = (Seq.fill(3)(Seq(1.0, 0.0, 0.0)) ++ Seq.fill(3)(Seq(0.98, 0.2, 0.0)) ++
+      Seq.fill(2)(Seq(0.0, 0.0, 1.0)))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+    val c = rows.select(col("id"), col("vec").cast("array<double>").as("vec"))
+      .withColumn("bucket", Similarity.lshBucket(col("vec"), 4, 3))
+      .withColumn("nrm", Similarity.norm(col("vec")))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val perDoc = canon(Similarity.embedPairsPerDoc(c, 0.9))
+    val collapsed = canon(Similarity.embedPairsCollapsed(c, 0.9))
+    assert(collapsed == perDoc, s"collapsed=$collapsed perDoc=$perDoc")
+    // every same-direction pair is present at sim 1.0
+    assert(perDoc.count(_._3 == 1.0) >= 3 + 3 + 1)
+  }
 }
