@@ -432,5 +432,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("minhash collapse law: collapsed == per-doc on random duplicated corpora") {
+    // Random corpora with random duplication factors (including none and
+    // heavy) — the collapse must be row-identical to the per-doc chain on
+    // every draw, not just the hand-built fixture in DedupSpec.
+    val word = Gen.oneOf("ba", "qu", "xo", "ze", "mi", "ta", "re", "lu", "ko")
+    val docGen = Gen.chooseNum(0, 9).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val corpusGen = for {
+      texts <- Gen.nonEmptyListOf(docGen)
+      dups <- Gen.listOfN(texts.size, Gen.chooseNum(1, 4))
+    } yield texts.zip(dups).zipWithIndex.flatMap { case ((t, d), i) =>
+      (0 until d).map(c => (i * 10L + c, t))
+    }
+    samples(corpusGen, 5).foreach { rows =>
+      val keyed = rows.toDF("id", "text")
+        .select(col("id"), col("text").as("__text"))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2))))
+          .sortBy(t => (t._1, t._2)).toSeq // bit-compare (NaN == NaN)
+      val perDoc = canon(graft.ops.Dedup.minhashPerDoc(keyed, 0.6, 16, 4, 3)._1)
+      val collapsed = canon(graft.ops.Dedup.minhashCollapsed(keyed, 0.6, 16, 4, 3)._1)
+      assert(collapsed == perDoc, s"corpus=$rows")
+    }
+  }
+
+  test("embedding collapse law: collapsed == per-doc on random duplicated vectors") {
+    val vecGen = Gen.listOfN(3, Gen.chooseNum(-2, 2)).map(_.map(_.toDouble))
+    val corpusGen = for {
+      vecs <- Gen.nonEmptyListOf(vecGen) // includes zero vectors
+      dups <- Gen.listOfN(vecs.size, Gen.chooseNum(1, 3))
+    } yield vecs.zip(dups).zipWithIndex.flatMap { case ((v, d), i) =>
+      (0 until d).map(c => (i * 10L + c, v))
+    }
+    samples(corpusGen, 5).foreach { rows =>
+      val c = rows.toDF("id", "vec")
+        .select(col("id"), col("vec").cast("array<double>").as("vec"))
+        .withColumn("bucket", graft.ops.Similarity.lshBucket(col("vec"), 4, 3))
+        .withColumn("nrm", graft.ops.Similarity.norm(col("vec")))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2))))
+          .sortBy(t => (t._1, t._2)).toSeq
+      val perDoc = canon(graft.ops.Similarity.embedPairsPerDoc(c, 0.8))
+      val collapsed = canon(graft.ops.Similarity.embedPairsCollapsed(c, 0.8))
+      assert(collapsed == perDoc, s"corpus=$rows")
+    }
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
