@@ -481,5 +481,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup collapse law: dropped ids identical on random assignments") {
+    // Random (id, iv, cluster) tables with duplicated quantized vectors
+    // (incl. zero vectors) across a few clusters: the group-collapsed
+    // min-neighborhood scan must drop exactly the per-doc scan's ids.
+    val ivGen = Gen.listOfN(3, Gen.chooseNum(-2L, 2L))
+    val asgGen = for {
+      vecs <- Gen.nonEmptyListOf(ivGen)
+      dups <- Gen.listOfN(vecs.size, Gen.chooseNum(1, 3))
+      clusters <- Gen.listOfN(vecs.size, Gen.chooseNum(0L, 2L))
+    } yield vecs.zip(dups).zip(clusters).zipWithIndex.flatMap {
+      case (((v, d), cl), i) => (0 until d).map(c => (i * 10L + c, v, cl))
+    }
+    samples(asgGen, 5).foreach { rows =>
+      val withNorm = rows.toDF("id", "iv", "cluster")
+        .withColumn("nrm",
+          graft.ops.Similarity.dotQuantized(col("iv"), col("iv")))
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.getLong(0)).sorted.toSeq
+      val perDoc = ids(graft.ops.Similarity.semanticDupIdsPerDoc(withNorm, 9L, 10L))
+      val collapsed = ids(graft.ops.Similarity.semanticDupIdsCollapsed(withNorm, 9L, 10L))
+      assert(collapsed == perDoc, s"asg=$rows")
+    }
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
