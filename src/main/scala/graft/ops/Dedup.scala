@@ -117,9 +117,10 @@ object Dedup {
     */
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                             threshold: Double, numHashes: Int = 16,
-                            bands: Int = 4, shingleSize: Int = 5): DataFrame =
+                            bands: Int = 4, shingleSize: Int = 5,
+                            collapse: Option[Boolean] = None): DataFrame =
     minhashNearDuplicatesH(df, idCol, textCol, threshold, numHashes, bands,
-      shingleSize)._1
+      shingleSize, collapse)._1
 
   /** [[minhashNearDuplicates]] plus the persisted intermediates, for eager
     * composites to release — see [[minhashCandidatePairsH]].
@@ -138,43 +139,83 @@ object Dedup {
     * planner estimate — same data always takes the same path, so there is
     * no run-to-run bimodality to launder (the r12 lesson). Both paths
     * produce row-identical output (spec-pinned).
+    *
+    * `collapse = None` runs the [[duplicationMaterial]] probe — ONE EAGER
+    * JOB at construction time; an explicit Some(_) picks the path with
+    * zero jobs (spec-pinned), for callers composing lazy plans.
     */
   private def minhashNearDuplicatesH(df: DataFrame, idCol: String, textCol: String,
                                      threshold: Double, numHashes: Int,
-                                     bands: Int, shingleSize: Int): (DataFrame, Seq[DataFrame]) = {
+                                     bands: Int, shingleSize: Int,
+                                     collapse: Option[Boolean] = None): (DataFrame, Seq[DataFrame]) = {
     val keyed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-    if (duplicationMaterial(keyed, col("__text")))
+    if (collapse.getOrElse(duplicationMaterial(keyed, col("__text"))))
       minhashCollapsed(keyed, threshold, numHashes, bands, shingleSize)
     else
       minhashPerDoc(keyed, threshold, numHashes, bands, shingleSize)
   }
 
-  /** Collapse-gate memo: input-plan semantic hash → "duplication is
-    * material". Entries are advisory (every gated operator's two paths
-    * produce identical rows), so eviction or collision is a perf detail,
-    * never a correctness one.
+  /** Collapse-gate memo: (input-plan semantic hash, optimizer size
+    * estimate) → "duplication is material". The size estimate — free, no
+    * job — comes from the file listing for scan-rooted plans, so
+    * re-reading a path whose files changed usually misses the memo instead
+    * of reusing a stale verdict. Entries are advisory (every gated
+    * operator's two paths produce identical rows), so eviction, collision,
+    * or a same-size stale hit is a perf detail, never a correctness one.
+    * Access-ordered LRU: the OLDEST entry is evicted past 256, not the
+    * whole memo.
     */
-  private val gateCache = scala.collection.concurrent.TrieMap.empty[Int, Boolean]
+  private val gateCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(Int, BigInt), java.lang.Boolean](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, BigInt), java.lang.Boolean]): Boolean =
+        size() > 256
+    })
 
   /** Deterministic duplication probe shared by the collapse-capable
     * operators (minhash text collapse, [[Similarity.semanticDedup]]'s
-    * vector collapse): true when `key` is >~10 % duplicated in `df`. One
-    * corpus scan — approx (HLL) distinct is deterministic for the same
-    * data (hash-based, no randomness) and merge-only (an exact
-    * countDistinct would shuffle every distinct key and eat the win it
-    * gates) — and the VERDICT is memoized by the probed plan's semantic
-    * hash so repeated runs of the same query (bench triples, retry loops,
-    * a user iterating) pay it once.
+    * vector collapse): true when `key` is >~10 % duplicated in `df`.
+    *
+    * EAGER: runs one Spark job over the input at operator-CONSTRUCTION
+    * time when the caller leaves `collapse = None` — callers composing
+    * lazy plans who don't want that job pass an explicit override and no
+    * job runs. One corpus scan, aggregate-only: the distinct estimate is
+    * HLL over a deterministic 1-in-8 KEY-HASH sample (`xxhash64(key) % 8`
+    * — a pure function of the data, so the same corpus always takes the
+    * same path regardless of partitioning; the r12 anti-bimodality rule).
+    * Key-sampling keeps every copy of a sampled key, so sampled
+    * distinct/total estimates the corpus duplication ratio directly, and
+    * the HLL only hashes 1/8 of the (possibly long-text) keys. Corpora
+    * whose sample is too small for a stable ratio (< 4096 rows sampled)
+    * fall back to a full-input HLL — trivially cheap at that size. An
+    * exact countDistinct would shuffle every distinct key and eat the win
+    * it gates; HLL is merge-only and deterministic (hash-based, no
+    * randomness). The verdict is memoized (see [[gateCache]]) so repeated
+    * runs of the same query (bench triples, retry loops, a user
+    * iterating) pay the probe once.
     */
   private[graft] def duplicationMaterial(df: DataFrame, key: Column): Boolean = {
-    val verdict = gateCache.getOrElseUpdate(
-      df.select(key).queryExecution.analyzed.semanticHash(), {
-        val s = df.agg(count(lit(1)).as("n"),
-          approx_count_distinct(key).as("d")).head()
-        s.getLong(1) * 10L < s.getLong(0) * 9L
-      })
-    if (gateCache.size > 256) gateCache.clear() // bound the memo
-    verdict
+    val probed = df.select(key.as("__k"))
+    val memoKey = (probed.queryExecution.analyzed.semanticHash(),
+      probed.queryExecution.optimizedPlan.stats.sizeInBytes)
+    val cached = gateCache.get(memoKey)
+    if (cached != null) cached.booleanValue()
+    else {
+      val inSample = pmod(xxhash64(col("__k")), lit(8L)) === 0L
+      val s = probed.agg(
+        count(lit(1)).as("n"),
+        count(when(inSample, lit(1))).as("ns"),
+        approx_count_distinct(when(inSample, col("__k"))).as("ds")).head()
+      val (n, ns, ds) = (s.getLong(0), s.getLong(1), s.getLong(2))
+      val verdict =
+        if (ns >= 4096L) ds * 10L < ns * 9L
+        else { // tiny corpus (< ~32k rows): exact-population HLL, one more cheap pass
+          val d = probed.agg(approx_count_distinct(col("__k"))).head().getLong(0)
+          d * 10L < n * 9L
+        }
+      gateCache.put(memoKey, java.lang.Boolean.valueOf(verdict))
+      verdict
+    }
   }
 
   /** The per-document chain (no collapse) — optimal for all-distinct
@@ -505,9 +546,18 @@ object Dedup {
   private[ops] def unpersistCheckpointed(df: DataFrame): Unit =
     scala.util.Try {
       val plan = df.queryExecution.analyzed
-      if (plan.getClass.getSimpleName == "LogicalRDD")
-        plan.getClass.getMethod("rdd").invoke(plan)
-          .asInstanceOf[org.apache.spark.rdd.RDD[_]].unpersist(blocking = false)
+      if (plan.getClass.getSimpleName == "LogicalRDD") {
+        val rdd = plan.getClass.getMethod("rdd").invoke(plan)
+          .asInstanceOf[org.apache.spark.rdd.RDD[_]]
+        // NOT rdd.unpersist(): that path warns "lineage has been truncated
+        // and cannot be recomputed after unpersisting" on every locally
+        // checkpointed RDD — deliberate here (the blocks ARE the data and
+        // the Dataset is dead), so go straight to the SparkContext cleanup
+        // RDD.unpersist delegates to (private[spark] → public in bytecode).
+        val sc = rdd.sparkContext
+        sc.getClass.getMethod("unpersistRDD", classOf[Int], classOf[Boolean])
+          .invoke(sc, Integer.valueOf(rdd.id), java.lang.Boolean.FALSE)
+      }
     }
 
   /** Connected components over an undirected pair list — the CLUSTER step
@@ -719,9 +769,10 @@ object Dedup {
     */
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 16, bands: Int = 4,
-                      shingleSize: Int = 5): DataFrame = {
+                      shingleSize: Int = 5,
+                      collapse: Option[Boolean] = None): DataFrame = {
     val (verified, caches) = minhashNearDuplicatesH(df, idCol, textCol,
-      threshold, numHashes, bands, shingleSize)
+      threshold, numHashes, bands, shingleSize, collapse)
     val cc = connectedComponents(verified.select("id_a", "id_b"))
     // the CC loop materialized (and checkpointed) everything derived from
     // the pair chain — its caches are dead weight from here on
@@ -737,9 +788,10 @@ object Dedup {
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double, numHashes: Int = 16,
-                         bands: Int = 4, shingleSize: Int = 5): DataFrame = {
+                         bands: Int = 4, shingleSize: Int = 5,
+                         collapse: Option[Boolean] = None): DataFrame = {
     val (verified, caches) = minhashNearDuplicatesH(df, idCol, textCol,
-      threshold, numHashes, bands, shingleSize)
+      threshold, numHashes, bands, shingleSize, collapse)
     val losers = connectedComponents(verified.select("id_a", "id_b"))
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
@@ -841,9 +893,10 @@ object Dedup {
   def dropNearDuplicatesBy(df: DataFrame, idCol: String, textCol: String,
                            scoreCol: String, threshold: Double,
                            numHashes: Int = 16, bands: Int = 4,
-                           shingleSize: Int = 5): DataFrame = {
+                           shingleSize: Int = 5,
+                           collapse: Option[Boolean] = None): DataFrame = {
     val (verified, caches) = minhashNearDuplicatesH(df, idCol, textCol,
-      threshold, numHashes, bands, shingleSize)
+      threshold, numHashes, bands, shingleSize, collapse)
     val labels = connectedComponents(verified.select("id_a", "id_b"))
     caches.foreach(_.unpersist(blocking = false))
     val scored = labels.join(

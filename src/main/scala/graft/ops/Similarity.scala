@@ -472,13 +472,29 @@ object Similarity {
     * join); within-bucket pairs get exact cosine.
     */
   def embeddingNearDuplicates(corpus: DataFrame, threshold: Double,
-                              numPlanes: Int, dim: Int): DataFrame = {
+                              numPlanes: Int, dim: Int,
+                              collapse: Option[Boolean] = None): DataFrame =
+    embeddingNearDuplicatesH(corpus, threshold, numPlanes, dim, collapse)._1
+
+  /** [[embeddingNearDuplicates]] plus the persisted intermediates
+    * (the collapsed path's membership table), for eager composites to
+    * release once materialized — the same deterministic-release pattern as
+    * `Dedup.minhashNearDuplicatesH`; without it the corpus-proportional
+    * membership cache lingers until a global clearCache.
+    *
+    * `collapse = None` runs the `Dedup.duplicationMaterial` probe — ONE
+    * EAGER JOB at construction time; an explicit Some(_) picks the path
+    * with zero jobs (spec-pinned), for callers composing lazy plans.
+    */
+  private[graft] def embeddingNearDuplicatesH(
+      corpus: DataFrame, threshold: Double, numPlanes: Int, dim: Int,
+      collapse: Option[Boolean] = None): (DataFrame, Seq[DataFrame]) = {
     val c = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
       .withColumn("bucket", lshBucket(col("vec"), numPlanes, dim))
       .withColumn("nrm", norm(col("vec")))
-    if (Dedup.duplicationMaterial(corpus, col("vec")))
+    if (collapse.getOrElse(Dedup.duplicationMaterial(corpus, col("vec"))))
       embedPairsCollapsed(c, threshold)
-    else embedPairsPerDoc(c, threshold)
+    else (embedPairsPerDoc(c, threshold), Seq.empty)
   }
 
   /** The direct bucket self-join — optimal for all-distinct corpora. */
@@ -505,9 +521,12 @@ object Similarity {
     * SAME cosine expression — a duplicated zero vector yields 0/0 = NaN
     * which passes the threshold filter under Spark's NaN ordering,
     * whatever the per-doc join emitted).
+    *
+    * Returns the pair frame plus the persisted membership table for the
+    * caller to release once the result is materialized.
     */
-  private[graft] def embedPairsCollapsed(c: DataFrame,
-                                         threshold: Double): DataFrame = {
+  private[graft] def embedPairsCollapsed(c: DataFrame, threshold: Double)
+      : (DataFrame, Seq[DataFrame]) = {
     val groups = c.groupBy(col("vec"))
       .agg(min(col("id")).as("rid"), min(col("bucket")).as("bucket"),
         min(col("nrm")).as("nrm"))
@@ -541,7 +560,7 @@ object Similarity {
         .hint("shuffle_hash"), "rid")
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
-    cross.union(same)
+    (cross.union(same), Seq(membership))
   }
 
   /** Cross-set embedding near-dup — semantic DECONTAMINATION: every corpus
@@ -615,19 +634,22 @@ object Similarity {
     *         kept-or-dropped a < b in b's cluster matches it).
     */
   def semanticDedup(corpus: DataFrame, k: Int, iters: Int,
-                    simNum: Long = 9L, simDen: Long = 10L): DataFrame = {
+                    simNum: Long = 9L, simDen: Long = 10L,
+                    collapse: Option[Boolean] = None): DataFrame = {
     require(simDen > 0 && simNum >= 0, s"bad threshold $simNum/$simDen")
     // k-means ALWAYS runs per-doc: its 10%-slice training set and the
     // assignment are part of the operator's observable semantics (the
     // oracle replays them over the full corpus) — only the within-cluster
-    // pair scan below is collapse-eligible.
+    // pair scan below is collapse-eligible. With `collapse = None` the
+    // `Dedup.duplicationMaterial` probe adds ONE EAGER JOB at construction
+    // time (k-means is eager here regardless); an explicit Some(_) skips it.
     val (_, asg) = kmeansQuantized(corpus, k, iters)
     val withNorm = asg.withColumn("nrm", dotQuantized(col("iv"), col("iv")))
     // The gate probes the INPUT vec column (probing asg would re-run the
     // whole k-means training); identical vecs quantize and assign
     // identically, so input duplication lower-bounds group duplication.
     val dupIds =
-      if (Dedup.duplicationMaterial(corpus, col("vec")))
+      if (collapse.getOrElse(Dedup.duplicationMaterial(corpus, col("vec"))))
         semanticDupIdsCollapsed(withNorm, simNum, simDen)
       else semanticDupIdsPerDoc(withNorm, simNum, simDen)
     withNorm.join(dupIds, Seq("id"), "left_anti")

@@ -497,11 +497,13 @@ object TextAnalysis {
     * tokens where `need = pct·total − 100·before`. The histogram is tiny
     * by construction (distinct counts k satisfy k(k+1)/2 ≤ total, so
     * k ≤ √(2·total) — a few M rows even at 100 TB), and its cumulative
-    * sum runs two-phase: range-partition by `c` desc (distinct values —
-    * no tie skew), per-partition window, driver prefix offsets over the
-    * ≤`shuffle.partitions` per-bucket totals (control plane), broadcast
-    * back. Arithmetic is integer end-to-end, so the per-token oracle
-    * replays the result bit-identically.
+    * sum runs two-phase: bucket by `c` against driver-frozen quantile
+    * boundaries (a PURE FUNCTION of the data — recomputes reproduce the
+    * assignment, so nothing rides on a cache surviving), per-bucket
+    * window, driver prefix offsets over the ≤`shuffle.partitions`
+    * per-bucket totals (control plane), broadcast back. Arithmetic is
+    * integer end-to-end, so the per-token oracle replays the result
+    * bit-identically.
     */
   def vocabCoverage(df: DataFrame, textCol: String,
                     pcts: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
@@ -512,27 +514,42 @@ object TextAnalysis {
     val hist = counts.groupBy("c").agg(count(lit(1)).as("n"))
       .withColumn("mass", col("c") * col("n"))
     val nb = spark.sessionState.conf.numShufflePartitions
-    // persisted so the offsets job and the final job see the SAME pid
-    // assignment (range boundaries are sampled; released by the caller's
-    // per-run clearCache, the repo-wide convention for derived tables)
-    val bucketed = hist.repartitionByRange(nb, col("c").desc)
-      .withColumn("pid", spark_partition_id()).persist()
-    val perBucket = bucketed.groupBy("pid")
+    // persisted for ECONOMY only (the histogram agg runs once, not once per
+    // downstream job; released by the caller's per-run clearCache, the
+    // repo-wide convention for derived tables). Correctness does NOT
+    // depend on the persist surviving: the bucket id below is a pure
+    // function of the data, so any recompute reproduces the assignment —
+    // unlike the previous spark_partition_id() scheme, where a dropped
+    // cache re-sampled range boundaries under the collected offsets.
+    val histP = hist.persist()
+    // Freeze nb-1 approximate c-quantile boundaries ON THE DRIVER (one tiny
+    // job over the histogram — distinct counts, k ≤ √(2·total) rows). Once
+    // frozen they are literals: bucket(c) = #{boundaries ≥ c}, desc order
+    // (bucket 0 = most frequent tokens), skew-free enough because the
+    // histogram has one row per DISTINCT count.
+    val bounds = histP.stat
+      .approxQuantile("c", (1 until nb).map(_.toDouble / nb).toArray, 0.001)
+      .map(math.floor).distinct.sorted(Ordering[Double].reverse)
+    val bucketExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("c") <= lit(b), 1).otherwise(0)
+    }
+    val bucketed = histP.withColumn("bkt", bucketExpr)
+    val perBucket = bucketed.groupBy("bkt")
       .agg(sum(col("mass")).as("m"), sum(col("n")).as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     var (accM, accN) = (0L, 0L)
-    val offRows = perBucket.map { case (pid, m, t) =>
-      val row = (pid, accM, accN); accM += m; accN += t; row
+    val offRows = perBucket.map { case (bkt, m, t) =>
+      val row = (bkt, accM, accN); accM += m; accN += t; row
     }.toSeq
     val total = accM
     val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("pid").orderBy(desc("c"))
+      .partitionBy("bkt").orderBy(desc("c"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = bucketed
       .withColumn("lm", sum(col("mass")).over(win))
       .withColumn("ln", sum(col("n")).over(win))
-      .join(broadcast(offRows.toDF("pid", "moff", "noff")), "pid")
+      .join(broadcast(offRows.toDF("bkt", "moff", "noff")), "bkt")
       .withColumn("cum_mass", col("moff") + col("lm"))
       .withColumn("before", col("cum_mass") - col("mass"))
       .withColumn("n_before", col("noff") + col("ln") - col("n"))

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.ops.{Dedup, Similarity}
+
+/** The collapse gate's laziness contract (r15): an explicit
+  * `collapse = Some(_)` override must pick the path WITHOUT launching any
+  * Spark job at operator-construction time (the `None` default runs the
+  * one-job duplication probe, documented in the operators' scaladoc), the
+  * override must be honored row-identically in either direction, and the
+  * collapsed paths' persisted intermediates must be releasable
+  * deterministically through the returned handles.
+  */
+class GateSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Jobs submitted while `body` runs (listener-counted; the listener bus
+    * is drained before reading — `waitUntilEmpty` is private[spark], so
+    * reached reflectively like the other bytecode-public test hooks).
+    */
+  private def jobsDuring(body: => Unit): Int = {
+    val sc = spark.sparkContext
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = n.incrementAndGet()
+    }
+    sc.addSparkListener(l)
+    try {
+      body
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods.filter(_.getName == "waitUntilEmpty")
+        .find(_.getParameterCount == 0).foreach(_.invoke(bus))
+      n.get()
+    } finally sc.removeSparkListener(l)
+  }
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again today"),
+    (3L, "completely different words in this one nothing shared at all"),
+    (4L, "completely different words in this one nothing shared at all")
+  ).toDF("id", "text")
+
+  private def emb = Seq(
+    (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(1.0, 0.0, 0.0)),
+    (3L, Seq(0.0, 1.0, 0.0)), (4L, Seq(0.0, 0.9, 0.1))
+  ).toDF("id", "vec")
+
+  test("explicit collapse override constructs every gated operator with zero jobs") {
+    // warm lazy session state (first-use listener/codegen jobs must not
+    // pollute the zero-job window)
+    docs.count(); emb.count()
+    // (only the LAZY pair operators belong here: minhashClusters /
+    // dropNearDuplicates run the eager CC loop at construction by design)
+    val jobs = jobsDuring {
+      Dedup.minhashNearDuplicates(docs, "id", "text", 0.9, collapse = Some(true))
+      Dedup.minhashNearDuplicates(docs, "id", "text", 0.9, collapse = Some(false))
+      Similarity.embeddingNearDuplicatesH(emb, 0.9, 4, 3, collapse = Some(true))
+      Similarity.embeddingNearDuplicatesH(emb, 0.9, 4, 3, collapse = Some(false))
+    }
+    assert(jobs == 0, s"expected zero jobs at construction with an explicit override, saw $jobs")
+  }
+
+  test("the None default probes (jobs > 0) and both override directions are row-identical to it") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    var probed: Seq[(Long, Long, Double)] = null
+    val jobs = jobsDuring {
+      probed = canon(Dedup.minhashNearDuplicates(docs, "id", "text", 0.9))
+    }
+    assert(jobs > 0) // the probe plus the query itself
+    val forced = canon(Dedup.minhashNearDuplicates(docs, "id", "text", 0.9,
+      collapse = Some(true)))
+    val direct = canon(Dedup.minhashNearDuplicates(docs, "id", "text", 0.9,
+      collapse = Some(false)))
+    assert(forced == probed && direct == probed,
+      s"override paths diverge: probed=$probed forced=$forced direct=$direct")
+    // same law for the embedding pair scan
+    val e1 = canon(Similarity.embeddingNearDuplicates(emb, 0.9, 4, 3, collapse = Some(true)))
+    val e2 = canon(Similarity.embeddingNearDuplicates(emb, 0.9, 4, 3, collapse = Some(false)))
+    assert(e1 == e2, s"embedding override paths diverge: $e1 vs $e2")
+    // and for semanticDedup's within-cluster scan
+    def idc(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val s1 = idc(Similarity.semanticDedup(emb, 2, 2, collapse = Some(true)))
+    val s2 = idc(Similarity.semanticDedup(emb, 2, 2, collapse = Some(false)))
+    assert(s1 == s2, s"semanticDedup override paths diverge: $s1 vs $s2")
+  }
+
+  test("embeddingNearDuplicatesH threads its persisted membership out for deterministic release") {
+    val (out, caches) = Similarity.embeddingNearDuplicatesH(emb, 0.9, 4, 3,
+      collapse = Some(true))
+    assert(caches.nonEmpty, "collapsed path must hand back its persisted intermediates")
+    out.count() // materialize (populates the persisted membership)
+    assert(caches.forall(_.storageLevel == StorageLevel.MEMORY_AND_DISK))
+    caches.foreach(_.unpersist(blocking = true))
+    assert(caches.forall(_.storageLevel == StorageLevel.NONE),
+      "membership persist must be released by the returned handle, not a global clearCache")
+    // the per-doc path has nothing persisted to leak
+    val (_, none) = Similarity.embeddingNearDuplicatesH(emb, 0.9, 4, 3,
+      collapse = Some(false))
+    assert(none.isEmpty)
+  }
+}

@@ -476,7 +476,7 @@ class PropertySpec extends SparkSpec {
           java.lang.Double.doubleToLongBits(r.getDouble(2))))
           .sortBy(t => (t._1, t._2)).toSeq
       val perDoc = canon(graft.ops.Similarity.embedPairsPerDoc(c, 0.8))
-      val collapsed = canon(graft.ops.Similarity.embedPairsCollapsed(c, 0.8))
+      val collapsed = canon(graft.ops.Similarity.embedPairsCollapsed(c, 0.8)._1)
       assert(collapsed == perDoc, s"corpus=$rows")
     }
   }

@@ -326,7 +326,7 @@ class SimilaritySpec extends SparkSpec {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .sortBy(t => (t._1, t._2)).toSeq
     val perDoc = canon(Similarity.embedPairsPerDoc(c, 0.9))
-    val collapsed = canon(Similarity.embedPairsCollapsed(c, 0.9))
+    val collapsed = canon(Similarity.embedPairsCollapsed(c, 0.9)._1)
     assert(collapsed == perDoc, s"collapsed=$collapsed perDoc=$perDoc")
     // every same-direction pair is present at sim 1.0
     assert(perDoc.count(_._3 == 1.0) >= 3 + 3 + 1)
