@@ -41,8 +41,11 @@ import scala.jdk.CollectionConverters._
   * is LOUD: a file whose writer schema is IRRECONCILABLE with the reader
   * schema (`AvroTypeException`) is not corruption — it is whole-file data
   * loss that would otherwise be indistinguishable from an empty file — so
-  * it emits a per-file skip warning and increments the
-  * `avro.schema.mismatch.files` accumulator. Hidden dot/underscore-
+  * it emits a per-split skip warning (any split may first observe a
+  * resolution failure, so each report is tagged file + byte range) and
+  * records the file in the `avro.schema.mismatch.files` collection
+  * accumulator (distinct file names — a k-split mismatched file is one
+  * file, not k). Hidden dot/underscore-
   * prefixed files are excluded exactly as Spark's own file index excludes
   * them, so a stale `.tmp`-style container can neither supply the schema
   * nor pollute the read.
@@ -94,13 +97,14 @@ object AvroReader {
     // Configuration object itself is not serializable).
     val confProps = spark.sparkContext.hadoopConfiguration.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toSeq
-    val mismatches = spark.sparkContext.longAccumulator("avro.schema.mismatch.files")
+    val mismatches = spark.sparkContext
+      .collectionAccumulator[String]("avro.schema.mismatch.files")
     val rows =
       if (packed.isEmpty) spark.sparkContext.emptyRDD[Row]
       else spark.sparkContext.parallelize(packed, packed.size).flatMap { bin =>
         bin.iterator.flatMap { case (f, start, len) =>
           readSplit(f, start, len, readerJson, confProps, msg => {
-            mismatches.add(1L)
+            mismatches.add(f)
             System.err.println(s"[avro] SKIPPED $f: writer schema is " +
               s"irreconcilable with the reader schema ($msg)")
           })
@@ -184,8 +188,14 @@ object AvroReader {
                                confProps: Seq[(String, String)],
                                onSchemaMismatch: String => Unit): Iterator[Row] = {
     val end = start + length
-    def reportIfOwner(e: Throwable): Unit =
-      if (start == 0L) onSchemaMismatch(e.getMessage)
+    // Report from ANY split, tagged with the byte range: a resolution
+    // failure can first manifest mid-file (a union branch only present in
+    // later blocks), and gating on the byte-0 range silently truncated
+    // those. The caller's message already names the file, so the tag makes
+    // each report file+split unique.
+    def report(e: Throwable): Unit =
+      onSchemaMismatch(s"split [$start, +$length): ${e.getMessage}")
+    var input: FsSeekableInput = null
     val opened =
       try {
         val conf = new org.apache.hadoop.conf.Configuration()
@@ -194,15 +204,21 @@ object AvroReader {
         val fs = p.getFileSystem(conf)
         val len = fs.getFileStatus(p).getLen
         val reader = new Schema.Parser().parse(readerJson)
+        input = new FsSeekableInput(fs.open(p), len)
         val r = DataFileReader.openReader(
-          new FsSeekableInput(fs.open(p), len),
-          new GenericDatumReader[GenericRecord](null, reader))
+          input, new GenericDatumReader[GenericRecord](null, reader))
         r.sync(start)
         Some((reader, r))
       } catch {
+        // openReader/sync threw AFTER fs.open succeeded: close the stream
+        // here or the executor leaks a file handle per unreadable split
         case e: org.apache.avro.AvroTypeException =>
-          reportIfOwner(e); None
-        case scala.util.control.NonFatal(_) => None
+          report(e)
+          if (input != null) scala.util.Try(input.close())
+          None
+        case scala.util.control.NonFatal(_) =>
+          if (input != null) scala.util.Try(input.close())
+          None
       }
     opened match {
       case None => Iterator.empty
@@ -222,7 +238,7 @@ object AvroReader {
                 else close()
               } catch {
                 case e: org.apache.avro.AvroTypeException =>
-                  reportIfOwner(e); close()
+                  report(e); close()
                 case scala.util.control.NonFatal(_) => close()
               }
             }
