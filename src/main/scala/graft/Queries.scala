@@ -2509,6 +2509,35 @@ object Queries {
               |WHERE ${dCosine("a.e", "b.e")} >= 0.45
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Survivor-oriented embedding dedup (the 100 TB shape): one row per
+    // DROPPED vector with its cluster survivor (min id over the
+    // transitive closure of the q_embed_neardup_lsh pair relation) — the
+    // Spark side never materializes within-group pairs; the oracle
+    // replays the same relation per-doc with a recursive min-label
+    // closure, exactly the q_dedup_clusters CC pattern.
+    ("q_embed_dedup_ids",
+      (s: SparkSession, d: String) =>
+        Similarity.embeddingDedupIds(
+          tbl(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
+          threshold = 0.45, numPlanes = 4, dim = 64)
+          .orderBy("survivor", "dropped_id"),
+      Some(s"""WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+              |  ${dLshBucket("embedding::DOUBLE[]", 4, 64)} AS bucket FROM embeddings),
+              |pairs AS (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM v a JOIN v b
+              |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |  WHERE ${dCosine("a.e", "b.e")} >= 0.45),
+              |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |reach(id, lbl) AS (
+              |  SELECT DISTINCT s, s FROM edges
+              |  UNION
+              |  SELECT e.d, r.lbl FROM reach r JOIN edges e
+              |    ON e.s = r.id WHERE r.lbl < e.d),
+              |comp AS (SELECT id, min(lbl) AS survivor FROM reach GROUP BY id)
+              |SELECT survivor, id AS dropped_id FROM comp
+              |WHERE id <> survivor ORDER BY survivor, dropped_id""".stripMargin)),
+
     // Semantic DECONTAMINATION (cross-set embedding near-dup): corpus
     // vectors (vec_id >= 30) swept against the eval set (vec_id < 30) via
     // the LSH-bucket equi-join — catches paraphrased eval leakage the

@@ -43,13 +43,38 @@ import scala.jdk.CollectionConverters._
   * loss that would otherwise be indistinguishable from an empty file — so
   * it emits a per-split skip warning (any split may first observe a
   * resolution failure, so each report is tagged file + byte range) and
-  * records the file in the `avro.schema.mismatch.files` collection
-  * accumulator (distinct file names — a k-split mismatched file is one
-  * file, not k). Hidden dot/underscore-
+  * records the file in the `avro.schema.mismatch.files` accumulator.
+  * That accumulator is a SET ([[DistinctFilesAccumulator]]): a k-split
+  * mismatched file is one entry, not k, and task retries / speculative
+  * duplicates (accumulator updates inside transformations are not
+  * exactly-once) cannot inflate the count — dedup happens at merge, so
+  * `value.size` IS the distinct mismatched-file count. Hidden dot/underscore-
   * prefixed files are excluded exactly as Spark's own file index excludes
   * them, so a stale `.tmp`-style container can neither supply the schema
   * nor pollute the read.
   */
+/** Set-semantics accumulator for mismatched-file names: `add` is
+  * idempotent per name, so per-split reporting and at-least-once task
+  * retries both collapse to one entry per file. (Spark's built-in
+  * `CollectionAccumulator` is a LIST — it would count a k-split file k
+  * times, and more under speculation.)
+  */
+final class DistinctFilesAccumulator
+    extends org.apache.spark.util.AccumulatorV2[String, java.util.Set[String]] {
+  private val set = java.util.Collections.synchronizedSet(
+    new java.util.TreeSet[String]())
+  def isZero: Boolean = set.isEmpty
+  def copy(): DistinctFilesAccumulator = {
+    val c = new DistinctFilesAccumulator
+    c.set.addAll(set); c
+  }
+  def reset(): Unit = set.clear()
+  def add(v: String): Unit = set.add(v)
+  def merge(other: org.apache.spark.util.AccumulatorV2[
+      String, java.util.Set[String]]): Unit = set.addAll(other.value)
+  def value: java.util.Set[String] = set
+}
+
 object AvroReader {
 
   /** All records of every `.avro` container under `path` (file or glob),
@@ -97,8 +122,8 @@ object AvroReader {
     // Configuration object itself is not serializable).
     val confProps = spark.sparkContext.hadoopConfiguration.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toSeq
-    val mismatches = spark.sparkContext
-      .collectionAccumulator[String]("avro.schema.mismatch.files")
+    val mismatches = new DistinctFilesAccumulator
+    spark.sparkContext.register(mismatches, "avro.schema.mismatch.files")
     val rows =
       if (packed.isEmpty) spark.sparkContext.emptyRDD[Row]
       else spark.sparkContext.parallelize(packed, packed.size).flatMap { bin =>
@@ -178,8 +203,12 @@ object AvroReader {
     * prefix is sound. An `AvroTypeException` is neither: it means the
     * file's writer schema cannot resolve to the reader schema — silent
     * zero rows would be indistinguishable from an empty file, so it
-    * reports through `onSchemaMismatch` (once, from the range that owns
-    * byte 0). The schema travels as JSON and is re-parsed per task —
+    * reports through `onSchemaMismatch` from WHICHEVER split observes the
+    * failure (a resolution error can first manifest mid-file, e.g. a
+    * union branch only present in later blocks), each report tagged with
+    * the split's byte range; the caller dedups file names
+    * ([[DistinctFilesAccumulator]]). The schema travels as JSON and is
+    * re-parsed per task —
     * `Schema` serialization is avro-version dependent, the JSON form is
     * not.
     */

@@ -122,8 +122,13 @@ object Dedup {
     minhashNearDuplicatesH(df, idCol, textCol, threshold, numHashes, bands,
       shingleSize, collapse)._1
 
-  /** [[minhashNearDuplicates]] plus the persisted intermediates, for eager
-    * composites to release — see [[minhashCandidatePairsH]].
+  /** [[minhashNearDuplicates]] plus the persisted intermediates — the
+    * H(andle) variant: `unpersist()` each returned frame once the pair
+    * result is materialized (see [[minhashCandidatePairsH]]). Public so
+    * long-lived drivers running many dedups get the same deterministic
+    * cache release the internal composites ([[minhashClusters]],
+    * [[dropNearDuplicates]]) use; the convenience wrapper above holds its
+    * persists until a global clearCache.
     *
     * EXACT-DUPLICATE COLLAPSE, data-gated (r14): production corpora are
     * heavily exact-duplicated (30-50 % of a web crawl), and every verbatim
@@ -144,7 +149,7 @@ object Dedup {
     * JOB at construction time; an explicit Some(_) picks the path with
     * zero jobs (spec-pinned), for callers composing lazy plans.
     */
-  private def minhashNearDuplicatesH(df: DataFrame, idCol: String, textCol: String,
+  def minhashNearDuplicatesH(df: DataFrame, idCol: String, textCol: String,
                                      threshold: Double, numHashes: Int,
                                      bands: Int, shingleSize: Int,
                                      collapse: Option[Boolean] = None): (DataFrame, Seq[DataFrame]) = {
@@ -184,10 +189,11 @@ object Dedup {
     * — a pure function of the data, so the same corpus always takes the
     * same path regardless of partitioning; the r12 anti-bimodality rule).
     * Key-sampling keeps every copy of a sampled key, so sampled
-    * distinct/total estimates the corpus duplication ratio directly, and
-    * the HLL only hashes 1/8 of the (possibly long-text) keys. Corpora
-    * whose sample is too small for a stable ratio (< 4096 rows sampled)
-    * fall back to a full-input HLL — trivially cheap at that size. An
+    * distinct/total estimates the corpus duplication ratio directly. A
+    * full-population HLL rides the SAME aggregate as one extra column
+    * (merge-only — the probe is one job on every corpus size); it decides
+    * the verdict when the sample is too small for a stable ratio
+    * (< 4096 rows sampled, i.e. < ~32k-row corpora). An
     * exact countDistinct would shuffle every distinct key and eat the win
     * it gates; HLL is merge-only and deterministic (hash-based, no
     * randomness). The verdict is memoized (see [[gateCache]]) so repeated
@@ -198,24 +204,27 @@ object Dedup {
     val probed = df.select(key.as("__k"))
     val memoKey = (probed.queryExecution.analyzed.semanticHash(),
       probed.queryExecution.optimizedPlan.stats.sizeInBytes)
-    val cached = gateCache.get(memoKey)
-    if (cached != null) cached.booleanValue()
-    else {
+    // computeIfAbsent (synchronized by the map wrapper): concurrent
+    // callers probing the same plan block on the one probe instead of each
+    // racing a redundant job — the probe runs under the memo lock, which
+    // is exactly the dedup we want (both outcomes are row-identical, so a
+    // waiting caller losing a few hundred ms beats a duplicate corpus scan).
+    gateCache.computeIfAbsent(memoKey, _ => {
       val inSample = pmod(xxhash64(col("__k")), lit(8L)) === 0L
+      // ONE job, always: the full-population HLL rides the same aggregate
+      // as a fourth column (merge-only, hashes keys the sample column
+      // skipped — cheap) so the tiny-sample fallback never needs a second
+      // pass. Sampled estimate when the sample is stable, population HLL
+      // below 4096 sampled rows (< ~32k-row corpora).
       val s = probed.agg(
         count(lit(1)).as("n"),
         count(when(inSample, lit(1))).as("ns"),
-        approx_count_distinct(when(inSample, col("__k"))).as("ds")).head()
-      val (n, ns, ds) = (s.getLong(0), s.getLong(1), s.getLong(2))
-      val verdict =
-        if (ns >= 4096L) ds * 10L < ns * 9L
-        else { // tiny corpus (< ~32k rows): exact-population HLL, one more cheap pass
-          val d = probed.agg(approx_count_distinct(col("__k"))).head().getLong(0)
-          d * 10L < n * 9L
-        }
-      gateCache.put(memoKey, java.lang.Boolean.valueOf(verdict))
-      verdict
-    }
+        approx_count_distinct(when(inSample, col("__k"))).as("ds"),
+        approx_count_distinct(col("__k")).as("d")).head()
+      val (n, ns, ds, d) = (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
+      java.lang.Boolean.valueOf(
+        if (ns >= 4096L) ds * 10L < ns * 9L else d * 10L < n * 9L)
+    }).booleanValue()
   }
 
   /** The per-document chain (no collapse) — optimal for all-distinct

@@ -470,6 +470,15 @@ object Similarity {
   /** Embedding near-duplicate pairs: cosine >= threshold. Scale variant is
     * the LSH self-join (both sides bucketed — an equi-join, not a cross
     * join); within-bucket pairs get exact cosine.
+    *
+    * CACHE LIFETIME: on the collapsed path this persists a
+    * corpus-proportional membership table that this convenience wrapper
+    * cannot release (it hands back only the pair frame). One-shot callers
+    * are fine — the session end or a `spark.catalog.clearCache()` reclaims
+    * it — but long-lived drivers running many dedups should call
+    * [[embeddingNearDuplicatesH]] and unpersist the returned handles once
+    * the result is materialized (the deterministic-release pattern every
+    * internal composite uses).
     */
   def embeddingNearDuplicates(corpus: DataFrame, threshold: Double,
                               numPlanes: Int, dim: Int,
@@ -477,16 +486,19 @@ object Similarity {
     embeddingNearDuplicatesH(corpus, threshold, numPlanes, dim, collapse)._1
 
   /** [[embeddingNearDuplicates]] plus the persisted intermediates
-    * (the collapsed path's membership table), for eager composites to
-    * release once materialized — the same deterministic-release pattern as
+    * (the collapsed path's membership table; empty on the per-doc path) —
+    * the H(andle) variant: `unpersist()` each returned frame once the pair
+    * result is materialized, the same deterministic-release pattern as
     * `Dedup.minhashNearDuplicatesH`; without it the corpus-proportional
-    * membership cache lingers until a global clearCache.
+    * membership cache lingers until a global clearCache. Public so
+    * long-lived drivers get the same lifetime control the internal
+    * composites have.
     *
     * `collapse = None` runs the `Dedup.duplicationMaterial` probe — ONE
     * EAGER JOB at construction time; an explicit Some(_) picks the path
     * with zero jobs (spec-pinned), for callers composing lazy plans.
     */
-  private[graft] def embeddingNearDuplicatesH(
+  def embeddingNearDuplicatesH(
       corpus: DataFrame, threshold: Double, numPlanes: Int, dim: Int,
       collapse: Option[Boolean] = None): (DataFrame, Seq[DataFrame]) = {
     val c = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
@@ -561,6 +573,86 @@ object Similarity {
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
     (cross.union(same), Seq(membership))
+  }
+
+  /** Survivor-oriented embedding dedup: one row `(survivor, dropped_id)`
+    * per NON-survivor member of each near-duplicate cluster (cosine ≥
+    * `threshold` edges, transitively closed — the same cluster relation
+    * [[embeddingNearDuplicates]] pairs induce), survivor = the cluster's
+    * min id. This is the 100 TB dedup shape: m identical vectors cost
+    * O(m) membership rows here, never the m²/2 pair expansion the
+    * pair-audit API materializes — identical vectors are collapsed to one
+    * representative BEFORE the bucket self-join, and within-group members
+    * ride a per-doc membership join, so no within-group pair ever exists
+    * in any plan. Anti-joining the corpus against `dropped_id` (or
+    * semi-joining on `survivor` ∪ singletons) materializes the deduped
+    * corpus.
+    *
+    * Row-equal to dropping non-min ids over the transitive closure of the
+    * pair API's output (spec-pinned on a duplicated corpus): identical
+    * vectors share the bucket and every pairwise cosine, so the rep graph's
+    * components expand exactly to the doc graph's, and min-rep = min-doc
+    * id because each rep IS its group's min id.
+    */
+  def embeddingDedupIds(corpus: DataFrame, threshold: Double,
+                        numPlanes: Int, dim: Int): DataFrame =
+    embeddingDedupIdsH(corpus, threshold, numPlanes, dim)._1
+
+  /** [[embeddingDedupIds]] plus the persisted membership handle (the
+    * H(andle) convention — unpersist once the result is materialized).
+    * The connected-components loop inside is EAGER, so construction runs
+    * jobs; the returned frame then reads only the CC loop's checkpointed
+    * labels plus the persisted membership.
+    */
+  def embeddingDedupIdsH(corpus: DataFrame, threshold: Double,
+                         numPlanes: Int, dim: Int): (DataFrame, Seq[DataFrame]) = {
+    val c = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
+      .withColumn("bucket", lshBucket(col("vec"), numPlanes, dim))
+      .withColumn("nrm", norm(col("vec")))
+    // One representative (min id) per DISTINCT vector — the same group /
+    // membership construction as [[embedPairsCollapsed]] (and the same
+    // row-identity argument), plus the group size for the self-dup test.
+    val groups = c.groupBy(col("vec"))
+      .agg(min(col("id")).as("rid"), min(col("bucket")).as("bucket"),
+        min(col("nrm")).as("nrm"), count(lit(1)).as("gsz"))
+    val membership = c
+      .join(groups.select(col("vec"), col("rid")).hint("shuffle_hash"), Seq("vec"))
+      .select(col("rid"), col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ga = groups.select(col("bucket"), col("rid").as("rid_a"),
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val gb = groups.select(col("bucket"), col("rid").as("rid_b"),
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    // rep-level near-dup edges: distinct-vector-sized, shuffle-hash pinned
+    // for the same never-broadcast-embeddings rule as the pair chain
+    val repEdges = ga.join(gb.hint("shuffle_hash"), "bucket")
+      .filter(col("rid_a") < col("rid_b"))
+      .filter(cosineFromNorms(dot(col("vec_a"), col("vec_b")),
+        col("nrm_a"), col("nrm_b")) >= threshold)
+      .select(col("rid_a").as("id_a"), col("rid_b").as("id_b"))
+    // duplicated-vector groups whose members are mutual near-dups (the
+    // self-cosine is 1 for any non-zero vector and NaN — which passes
+    // under Spark's NaN ordering — for the zero vector, so this matches
+    // the pair API's same-group semantics exactly)
+    val selfDup = groups.filter(col("gsz") >= 2)
+      .filter(cosineFromNorms(dot(col("vec"), col("vec")),
+        col("nrm"), col("nrm")) >= threshold)
+      .select(col("rid"))
+    // min-label components over the rep graph (EAGER, checkpointed); a
+    // component's label = its min rid = the cluster's min doc id, because
+    // every rep is its own group's min id — so the label IS the survivor.
+    val comp = Dedup.connectedComponents(repEdges)
+      .withColumnRenamed("id", "rid")
+    // reps in clusters: graph components ∪ self-dup singleton groups (a
+    // duplicated vector with no cross-group edge is still a cluster)
+    val repLabel = comp.unionByName(
+      selfDup.join(comp.select("rid"), Seq("rid"), "left_anti")
+        .select(col("rid"), col("rid").as("component")))
+    val dropped = membership
+      .join(repLabel.hint("shuffle_hash"), Seq("rid"))
+      .filter(col("id") =!= col("component"))
+      .select(col("component").as("survivor"), col("id").as("dropped_id"))
+    (dropped, Seq(membership))
   }
 
   /** Cross-set embedding near-dup — semantic DECONTAMINATION: every corpus

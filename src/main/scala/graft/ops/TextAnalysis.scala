@@ -524,15 +524,21 @@ object TextAnalysis {
     val histP = hist.persist()
     // Freeze nb-1 approximate c-quantile boundaries ON THE DRIVER (one tiny
     // job over the histogram — distinct counts, k ≤ √(2·total) rows). Once
-    // frozen they are literals: bucket(c) = #{boundaries ≥ c}, desc order
-    // (bucket 0 = most frequent tokens), skew-free enough because the
-    // histogram has one row per DISTINCT count.
+    // frozen they are literals: bucket(c) = #{boundaries ≥ c} (bucket 0 =
+    // most frequent tokens), skew-free enough because the histogram has
+    // one row per DISTINCT count.
     val bounds = histP.stat
       .approxQuantile("c", (1 until nb).map(_.toDouble / nb).toArray, 0.001)
-      .map(math.floor).distinct.sorted(Ordering[Double].reverse)
-    val bucketExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("c") <= lit(b), 1).otherwise(0)
-    }
+      .map(math.floor(_).toLong).distinct.sorted
+    // bucket(c) = #{boundaries ≥ c}, via ONE higher-order filter over a
+    // literal array — the expression is O(1) in nb (the when-chain it
+    // replaces grew one branch per boundary, ~80 bytes of codegen each:
+    // a cluster-scale shuffle.partitions=2000 would have pushed the
+    // generated method past the JVM's 64 KB limit into interpreted mode).
+    // The array is tiny (≤ nb-1 longs) and the histogram smaller than
+    // √(2·total) rows, so the O(nb) runtime scan per row is noise.
+    val bucketExpr = size(filter(
+      typedLit(bounds), b => col("c") <= b))
     val bucketed = histP.withColumn("bkt", bucketExpr)
     val perBucket = bucketed.groupBy("bkt")
       .agg(sum(col("mass")).as("m"), sum(col("n")).as("t"))

@@ -331,4 +331,32 @@ class SimilaritySpec extends SparkSpec {
     // every same-direction pair is present at sim 1.0
     assert(perDoc.count(_._3 == 1.0) >= 3 + 3 + 1)
   }
+
+  test("embeddingDedupIds row-equal to drop-over-pairs closure on a duplicated corpus") {
+    import spark.implicits._
+    // Duplication-heavy corpus: 3 copies of A + 3 of A' (2·A — same
+    // direction, so same LSH bucket and cosine 1, but a DISTINCT vector
+    // group) form one 6-member cluster; 2 copies of B (orthogonal) a
+    // 2-member cluster; an isolated singleton must yield NO rows.
+    // Exercises every path: a cross-group rep edge, within-group
+    // (rep-graph-invisible) members, a self-dup group with no cross edge,
+    // and singleton exclusion.
+    val rows = (Seq.fill(3)(Seq(1.0, 0.0, 0.0)) ++ Seq.fill(3)(Seq(2.0, 0.0, 0.0)) ++
+      Seq.fill(2)(Seq(0.0, 0.0, 1.0)) ++ Seq(Seq(0.0, 1.0, 0.0)))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+    val (dedupDf, caches) = Similarity.embeddingDedupIdsH(rows, 0.9, 4, 3)
+    val dedup = dedupDf.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    caches.foreach(_.unpersist(blocking = true))
+    assert(caches.forall(_.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE), "handle release must stick")
+    // reference: the pair API's output, transitively closed, minus min ids
+    val pairs = Similarity.embeddingNearDuplicates(rows, 0.9, 4, 3)
+      .select(col("id_a"), col("id_b"))
+    val ref = graft.ops.Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.toSeq
+    assert(dedup == ref, s"dedup=$dedup ref=$ref")
+    // cluster {0..5} keeps 0, cluster {6,7} keeps 6, singleton 8 absent
+    assert(dedup == Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L), (6L, 7L)))
+  }
 }
