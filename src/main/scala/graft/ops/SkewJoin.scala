@@ -25,6 +25,20 @@ object SkewJoin {
     * the dim side is replicated once per salt with `explode(sequence(...))`.
     * Join key becomes (key..., salt): a key with N fact rows fans out across
     * `salts` reducers instead of one.
+    *
+    * The join is PINNED to shuffle-hash with the replicated dims as the
+    * build side. Catalyst cannot see the `salts`× explode in its size
+    * estimate, so left to itself it broadcast the replicated side at
+    * mid scale (measured on the ×10 rehearsal: a 12 M-row HashedRelation
+    * build, slower than the ×30 corpus's shuffle plan — inverse scaling
+    * from a threshold flip; the same corpus-proportional-broadcast flaw
+    * the minhash/simhash chains pin away). A salted join's dim side is
+    * meaningfully sized BY PREMISE — if dims are broadcast-small, skip the
+    * salt and let a plain join broadcast them — so the shuffled plan is
+    * also the only one that survives 100 TB. Per-partition build =
+    * dims × salts / shuffle.partitions, bounded by sizing `salts` against
+    * the partition count; no sort, unlike the merge join AQE picks above
+    * its broadcast threshold.
     */
   def saltedJoin(facts: DataFrame, dims: DataFrame, keys: Seq[String],
                  salts: Int): DataFrame = {
@@ -34,6 +48,6 @@ object SkewJoin {
       pmod(hash(factCols.map(col).toSeq: _*), lit(salts)))
     val replicated = dims.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    salted.join(replicated, keys :+ "__salt").drop("__salt")
+    salted.join(replicated.hint("shuffle_hash"), keys :+ "__salt").drop("__salt")
   }
 }

@@ -185,6 +185,21 @@ class AvroSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("DistinctFilesAccumulator: per-split adds and retries count one file once") {
+    val acc = new graft.ingest.DistinctFilesAccumulator
+    // a 3-split mismatched file reports 3 times; a task retry re-adds
+    acc.add("f1.avro"); acc.add("f1.avro"); acc.add("f1.avro")
+    acc.add("f2.avro")
+    val worker = acc.copy() // executor-side copy merges back, as Spark does
+    worker.reset()
+    assert(worker.isZero)
+    worker.add("f2.avro"); worker.add("f3.avro") // speculative duplicate of f2
+    acc.merge(worker)
+    import scala.jdk.CollectionConverters._
+    assert(acc.value.asScala.toSeq.sorted == Seq("f1.avro", "f2.avro", "f3.avro"),
+      "value.size must be the DISTINCT mismatched-file count")
+  }
+
   test("many small containers bin-pack into shared tasks (FilePartition-style)") {
     val schema = parse(
       """{"type":"record","name":"r","fields":[{"name":"id","type":"long"}]}""")

@@ -330,4 +330,22 @@ class PlanSpec extends SparkSpec {
       s"no corpus-proportional side may broadcast into an inner join:\n" +
         plan.take(3000))
   }
+
+  test("saltedJoin stays pinned shuffle-hash (no replicated-dim broadcast)") {
+    // Same design rule, r16 vintage: Catalyst cannot see the salts×
+    // explode in its size estimate, so near the broadcast threshold the
+    // replicated dim side flips to broadcast (measured at ×10 rehearsal:
+    // a 12M-row HashedRelation build, SLOWER than the ×30 corpus's
+    // shuffle plan). A salted join's dim side is meaningfully sized by
+    // premise — the shuffled plan is the only one that survives scale.
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+    val plan = planOf(graft.ops.SkewJoin.saltedJoin(li, ord, Seq("l_orderkey"), 8))
+    assert("ShuffledHashJoin".r.findFirstIn(plan).isDefined,
+      s"the salted join must be shuffle-hash:\n${plan.take(3000)}")
+    assert("BroadcastHashJoin".r.findFirstIn(plan).isEmpty,
+      s"the salts-replicated dim side must never broadcast:\n${plan.take(3000)}")
+  }
 }
