@@ -35,7 +35,12 @@ object FuzzyJoin {
       .withColumn("__b", explode(array(band, band + 1)))
     val a = keyed.select(col("__b"), col("__id").as("id_a"), col("__s").as("s_a"))
     val b = keyed.select(col("__b"), col("__id").as("id_b"), col("__s").as("s_b"))
-    a.join(b, "__b")
+    // Pinned shuffle-hash: both sides are the corpus ×2 (the band explode),
+    // and Catalyst cannot see the fan-out in its size estimate — the same
+    // mid-scale broadcast flip measured and pinned away in
+    // [[SkewJoin.saltedJoin]]; an entity-resolution corpus is never
+    // broadcast-sized by premise.
+    a.join(b.hint("shuffle_hash"), "__b")
       .filter(col("id_a") < col("id_b"))
       // same-band pairs meet in TWO blocks (both emit b and b+1), and
       // adjacent-band pairs can be up to 2·maxDist+1 apart in length —

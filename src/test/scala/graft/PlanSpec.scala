@@ -348,4 +348,16 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findFirstIn(plan).isEmpty,
       s"the salts-replicated dim side must never broadcast:\n${plan.take(3000)}")
   }
+
+  test("fuzzy selfJoin stays pinned shuffle-hash (both sides are the corpus)") {
+    // Same estimate-blind-explode flip class as saltedJoin: each side is
+    // the corpus twice (band + band+1), so neither may ever broadcast.
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val plan = planOf(graft.ops.FuzzyJoin.selfJoin(
+      cust, "c_custkey", "c_name", maxDist = 1))
+    assert("ShuffledHashJoin".r.findFirstIn(plan).isDefined,
+      s"the band self-join must be shuffle-hash:\n${plan.take(3000)}")
+    assert("BroadcastHashJoin".r.findFirstIn(plan).isEmpty,
+      s"neither corpus side may broadcast:\n${plan.take(3000)}")
+  }
 }
