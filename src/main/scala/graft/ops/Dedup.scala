@@ -263,23 +263,30 @@ object Dedup {
     (verified, Seq(banded, pairs))
   }
 
-  /** The collapsed chain: one representative (min id) per DISTINCT text
-    * runs the full pipeline; doc pairs expand back afterwards. Identical
-    * texts have identical signatures, so (a) every same-text pair is
-    * always a candidate and (b) a cross-group doc pair is a candidate /
-    * match iff its rep pair is — the expansion reproduces the per-doc
-    * output EXACTLY, row for row. Same-text jaccard is computed with the
-    * same size/size expression as the verify join (NOT a literal 1.0):
-    * two empty-shingle copies yield 0/0 = NaN there, and NaN compares
-    * ABOVE the threshold under Spark's ordering — whatever the per-doc
-    * pipeline emitted, the collapsed one must too.
+  /** The rep-level material of the collapsed chain, shared by the pair API
+    * ([[minhashCollapsed]] expands it to member pairs) and the label API
+    * ([[minhashLabelsH]] runs connected components over it directly).
+    *
+    * @param membership (`__rid`, `id`) — persisted MEMORY_AND_DISK; listed
+    *        in `caches` for the caller's deterministic release.
+    * @param repVerified verified near-dup edges BETWEEN distinct texts
+    *        (`id_a`, `id_b`, `jaccard`), rep ids only.
+    * @param selfJ (`__rid`, `gsz`, `jaccard`) — groups whose same-text
+    *        jaccard clears the threshold (any group size; consumers gate
+    *        on `gsz` as their semantics need).
     */
-  private[graft] def minhashCollapsed(keyed: DataFrame, threshold: Double,
-                                      numHashes: Int, bands: Int,
-                                      shingleSize: Int): (DataFrame, Seq[DataFrame]) = {
+  private[graft] final case class CollapsedRep(
+      membership: DataFrame, repVerified: DataFrame, selfJ: DataFrame,
+      caches: Seq[DataFrame])
+
+  private[graft] def minhashCollapsedRep(keyed: DataFrame, threshold: Double,
+                                         numHashes: Int, bands: Int,
+                                         shingleSize: Int): CollapsedRep = {
     // one row per DISTINCT text, rep = min id (hash-agg; map-side combine
-    // ships one row per distinct text per partition)
-    val reps = keyed.groupBy("__text").agg(min(col("id")).as("id"))
+    // ships one row per distinct text per partition); gsz rides the same
+    // aggregate for the label path's self-dup gate
+    val reps = keyed.groupBy("__text")
+      .agg(min(col("id")).as("id"), count(lit(1)).as("gsz"))
     // (rep id, member id) — membership feeds the same-text self-join and
     // both expansion joins; corpus-proportional, so pinned shuffle-hash
     // everywhere below
@@ -315,29 +322,100 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), Nums.round6(col("jaccard")).as("jaccard"))
-    // expansion: rep pair → every member pair between the two (disjoint)
-    // groups; jaccard is a group-level constant, so it rides the join
-    val cross = repVerified
-      .join(membership.select(col("__rid").as("id_a"), col("id").as("__ma"))
-        .hint("shuffle_hash"), "id_a")
-      .join(membership.select(col("__rid").as("id_b"), col("id").as("__mb"))
-        .hint("shuffle_hash"), "id_b")
-      .select(least(col("__ma"), col("__mb")).as("id_a"),
-        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
-    // same-text pairs: jaccard via the SAME set expression as the verify
-    // join (n/n = 1.0, or 0/0 = NaN for empty-shingle texts, which passes
-    // the filter exactly as the per-doc pipeline did)
+    // same-text jaccard via the SAME set expression as the verify join
+    // (n/n = 1.0, or 0/0 = NaN for empty-shingle texts, which passes the
+    // filter exactly as the per-doc pipeline did)
     val selfJ = reps
       .withColumn("sh", array_distinct(shingles(col("__text"), shingleSize)))
       .withColumn("jaccard", size(col("sh")).cast("double") / size(col("sh")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id").as("__rid"), Nums.round6(col("jaccard")).as("jaccard"))
-    val same = membership.join(selfJ.hint("shuffle_hash"), "__rid")
-      .join(membership.select(col("__rid"), col("id").as("id_b"))
+      .select(col("id").as("__rid"), col("gsz"),
+        Nums.round6(col("jaccard")).as("jaccard"))
+    CollapsedRep(membership, repVerified, selfJ, Seq(banded, pairs, membership))
+  }
+
+  /** The collapsed chain: one representative (min id) per DISTINCT text
+    * runs the full pipeline; doc pairs expand back afterwards. Identical
+    * texts have identical signatures, so (a) every same-text pair is
+    * always a candidate and (b) a cross-group doc pair is a candidate /
+    * match iff its rep pair is — the expansion reproduces the per-doc
+    * output EXACTLY, row for row (see the NaN note on
+    * [[minhashCollapsedRep]]'s selfJ).
+    */
+  private[graft] def minhashCollapsed(keyed: DataFrame, threshold: Double,
+                                      numHashes: Int, bands: Int,
+                                      shingleSize: Int): (DataFrame, Seq[DataFrame]) = {
+    val r = minhashCollapsedRep(keyed, threshold, numHashes, bands, shingleSize)
+    // expansion: rep pair → every member pair between the two (disjoint)
+    // groups; jaccard is a group-level constant, so it rides the join
+    val cross = r.repVerified
+      .join(r.membership.select(col("__rid").as("id_a"), col("id").as("__ma"))
+        .hint("shuffle_hash"), "id_a")
+      .join(r.membership.select(col("__rid").as("id_b"), col("id").as("__mb"))
+        .hint("shuffle_hash"), "id_b")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+    val same = r.membership
+      .join(r.selfJ.select(col("__rid"), col("jaccard"))
+        .hint("shuffle_hash"), "__rid")
+      .join(r.membership.select(col("__rid"), col("id").as("id_b"))
         .hint("shuffle_hash"), "__rid")
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"), col("jaccard"))
-    (cross.union(same), Seq(banded, pairs, membership))
+    (cross.union(same), r.caches)
+  }
+
+  /** Doc-level connected-component labels of the verified near-duplicate
+    * graph — row-equal (spec-pinned) to
+    * `connectedComponents(minhashNearDuplicates(...).select("id_a","id_b"))`
+    * but WITHOUT ever materializing within-group pairs on the collapsed
+    * path: components run over the DISTINCT-content rep graph and labels
+    * expand through one membership join. This is the 100 TB shape for
+    * every cluster/survivor consumer ([[minhashClusters]],
+    * [[dropNearDuplicates]], [[dropNearDuplicatesBy]]): m verbatim copies
+    * cost O(m) membership rows here, never the m²/2 pair expansion the
+    * pair-audit API emits — the same rep-graph argument as
+    * [[graft.ops.Similarity.embeddingDedupIds]].
+    *
+    * Label identity: every rep is its own group's min member id, so a
+    * rep-graph component's min-rep label IS the min doc id over all member
+    * docs of the component — exactly the label the doc-level loop yields.
+    * Vertex identity: members of a group with a cross-group edge all
+    * appear in expanded pairs (labeled); a duplicated group (gsz ≥ 2)
+    * whose same-text jaccard clears the threshold is a cluster even with
+    * no cross edge (its members pair with each other); singletons without
+    * edges and threshold-failing groups are unlabeled in both shapes.
+    *
+    * The returned labels are localCheckpoint-materialized (the CC loop
+    * inside is already eager), so callers may release `caches`
+    * immediately; the labels then read executor blocks only.
+    */
+  private[graft] def minhashLabelsH(df: DataFrame, idCol: String,
+                                    textCol: String, threshold: Double,
+                                    numHashes: Int, bands: Int,
+                                    shingleSize: Int,
+                                    collapse: Option[Boolean]): (DataFrame, Seq[DataFrame]) = {
+    val keyed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    if (collapse.getOrElse(duplicationMaterial(keyed, col("__text")))) {
+      val r = minhashCollapsedRep(keyed, threshold, numHashes, bands, shingleSize)
+      val comp = connectedComponents(r.repVerified.select("id_a", "id_b"))
+        .withColumnRenamed("id", "__rid")
+      // duplicated groups that cleared the same-text threshold but have no
+      // cross-group edge are still clusters of their own (label = rep id)
+      val repLabel = comp.unionByName(
+        r.selfJ.filter(col("gsz") >= 2).select(col("__rid"))
+          .join(comp.select("__rid"), Seq("__rid"), "left_anti")
+          .select(col("__rid"), col("__rid").as("component")))
+      val labels = r.membership
+        .join(repLabel.hint("shuffle_hash"), "__rid")
+        .select(col("id"), col("component"))
+        .localCheckpoint() // pin label rows before the caches release
+      (labels, r.caches)
+    } else {
+      val (verified, caches) =
+        minhashPerDoc(keyed, threshold, numHashes, bands, shingleSize)
+      (connectedComponents(verified.select("id_a", "id_b")), caches)
+    }
   }
 
   /** SimHash fingerprint as a long (native `graft_simhash` kernel — requires
@@ -775,37 +853,41 @@ object Dedup {
 
   /** Near-duplicate cluster summary over MinHash-verified pairs: one row per
     * cluster (≥2 members) — canonical (min) id, member count, max id.
+    * Consumes [[minhashLabelsH]], so on the collapsed path no within-group
+    * pair is ever materialized (r16 — the pair expansion was ~2/3 of the
+    * chain's cost on a ×10-duplicated corpus, contracted right back by the
+    * component loop).
     */
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 16, bands: Int = 4,
                       shingleSize: Int = 5,
                       collapse: Option[Boolean] = None): DataFrame = {
-    val (verified, caches) = minhashNearDuplicatesH(df, idCol, textCol,
+    val (labels, caches) = minhashLabelsH(df, idCol, textCol,
       threshold, numHashes, bands, shingleSize, collapse)
-    val cc = connectedComponents(verified.select("id_a", "id_b"))
-    // the CC loop materialized (and checkpointed) everything derived from
-    // the pair chain — its caches are dead weight from here on
+    // labels are checkpoint-materialized — the chain's caches are dead
+    // weight from here on
     caches.foreach(_.unpersist(blocking = false))
-    cc.groupBy("component")
+    labels.groupBy("component")
       .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
   }
 
   /** Materialized near-dup dedup: drop every cluster member except the
     * canonical (min-id) one. Anti-join of the corpus against the non-
     * canonical vertex set — the corpus-sized side is touched once, map-only
-    * plus one broadcast-able join (non-canonical ids ≪ corpus).
+    * plus one broadcast-able join (non-canonical ids ≪ corpus). Labels come
+    * from [[minhashLabelsH]] — no within-group pair expansion.
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double, numHashes: Int = 16,
                          bands: Int = 4, shingleSize: Int = 5,
                          collapse: Option[Boolean] = None): DataFrame = {
-    val (verified, caches) = minhashNearDuplicatesH(df, idCol, textCol,
+    val (labels, caches) = minhashLabelsH(df, idCol, textCol,
       threshold, numHashes, bands, shingleSize, collapse)
-    val losers = connectedComponents(verified.select("id_a", "id_b"))
+    val losers = labels
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
-    // the CC loop (eager, checkpointed) was the caches' last consumer — the
-    // anti-join below touches only df and the checkpointed labels
+    // labels are checkpoint-materialized — the anti-join below touches
+    // only df and the label blocks
     caches.foreach(_.unpersist(blocking = false))
     df.join(losers, Seq(idCol), "left_anti")
   }
@@ -904,9 +986,8 @@ object Dedup {
                            numHashes: Int = 16, bands: Int = 4,
                            shingleSize: Int = 5,
                            collapse: Option[Boolean] = None): DataFrame = {
-    val (verified, caches) = minhashNearDuplicatesH(df, idCol, textCol,
+    val (labels, caches) = minhashLabelsH(df, idCol, textCol,
       threshold, numHashes, bands, shingleSize, collapse)
-    val labels = connectedComponents(verified.select("id_a", "id_b"))
     caches.foreach(_.unpersist(blocking = false))
     val scored = labels.join(
       df.select(col(idCol).as("id"), col(scoreCol).as("__score")), "id")

@@ -296,4 +296,70 @@ class DedupSpec extends SparkSpec {
     val pub = canon(Dedup.minhashNearDuplicates(dupDocs, "id", "text", 0.9))
     assert(pub == perDoc)
   }
+
+  test("label path: rep-graph labels row-identical to CC over expanded pairs") {
+    // The r16 label shape (CC over the distinct-content rep graph +
+    // membership join) must reproduce the doc-level loop exactly. Corpus
+    // exercises every vertex class: cross-group near-dup chains (two base
+    // texts within jaccard 0.9 of each other, each duplicated), an
+    // exact-dup group with NO cross edge (selfDup union branch), and a
+    // singleton with no edges at all (must be absent from labels).
+    import spark.implicits._
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "the quick brown fox jumps over the lazy dog again and again tonight",
+      "completely different words in this one nothing shared at all here",
+      "a lone unique document that matches nothing else in the corpus")
+    val copies = Seq(3, 3, 3, 1)
+    val dupDocs = base.zip(copies).zipWithIndex.flatMap { case ((t, m), i) =>
+      (0 until m).map(c => (i * 10L + c, t))
+    }.toDF("id", "text")
+    def canonL(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(identity).toSeq
+    // ground truth: the doc-level loop over the (expanded) pair API
+    val expected = canonL(Dedup.connectedComponents(
+      Dedup.minhashNearDuplicates(dupDocs, "id", "text", 0.9,
+        collapse = Some(false)).select("id_a", "id_b")))
+    val collapsed = canonL(Dedup.minhashLabelsH(dupDocs, "id", "text",
+      0.9, 16, 4, 5, Some(true))._1)
+    val perDoc = canonL(Dedup.minhashLabelsH(dupDocs, "id", "text",
+      0.9, 16, 4, 5, Some(false))._1)
+    assert(collapsed == expected)
+    assert(perDoc == expected)
+    // the singleton (id 30) is unlabeled; the no-cross-edge dup group is
+    // its own cluster labeled by its min (rep) id
+    assert(!expected.exists(_._1 == 30L))
+    assert(expected.filter(_._1 >= 20L).forall(_._2 == 20L))
+    // composites on the collapsed path match the old pairs→CC construction
+    def canonC(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(identity).toSeq
+    val oldClusters = Dedup.connectedComponents(
+      Dedup.minhashNearDuplicates(dupDocs, "id", "text", 0.9,
+        collapse = Some(false)).select("id_a", "id_b"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+    assert(canonC(Dedup.minhashClusters(dupDocs, "id", "text", 0.9,
+      collapse = Some(true))) == canonC(oldClusters))
+    // at 0.9 the today/tonight texts differ in 2 of 9 shingles (≈0.78) so every
+    // dup group is its own cluster: one survivor per group + the singleton
+    val survivors = Dedup.dropNearDuplicates(dupDocs, "id", "text", 0.9,
+      collapse = Some(true)).select("id").collect().map(_.getLong(0)).sorted
+    assert(survivors.toSeq == Seq(0L, 10L, 20L, 30L))
+    // at 0.7 the 0- and 10-groups MERGE through a cross-group rep edge —
+    // the repVerified→CC→membership expansion must label all six docs with
+    // the global min id, and the label paths must still agree exactly
+    val exp07 = canonL(Dedup.connectedComponents(
+      Dedup.minhashNearDuplicates(dupDocs, "id", "text", 0.7,
+        collapse = Some(false)).select("id_a", "id_b")))
+    val col07 = canonL(Dedup.minhashLabelsH(dupDocs, "id", "text",
+      0.7, 16, 4, 5, Some(true))._1)
+    assert(col07 == exp07)
+    assert(exp07.filter(_._1 <= 12L).forall(_._2 == 0L) &&
+      exp07.count(_._2 == 0L) == 6)
+    val surv07 = Dedup.dropNearDuplicates(dupDocs, "id", "text", 0.7,
+      collapse = Some(true)).select("id").collect().map(_.getLong(0)).sorted
+    assert(surv07.toSeq == Seq(0L, 20L, 30L))
+  }
 }
