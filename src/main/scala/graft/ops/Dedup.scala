@@ -170,12 +170,23 @@ object Dedup {
     * Access-ordered LRU: the OLDEST entry is evicted past 256, not the
     * whole memo.
     */
+  /** Memoized result of the duplication probe: corpus row count plus the
+    * >~10 %-duplicated verdict. `rows` is carried so per-operator gates can
+    * fold a SIZE term into the decision (the embedding LSH gate's bucket-
+    * occupancy cutoff) without a second probe job.
+    */
+  private[graft] final case class DupStats(rows: Long, material: Boolean)
+
   private val gateCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(Int, BigInt), java.lang.Boolean](64, 0.75f, true) {
+    new java.util.LinkedHashMap[(Int, BigInt), DupStats](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, BigInt), java.lang.Boolean]): Boolean =
+          e: java.util.Map.Entry[(Int, BigInt), DupStats]): Boolean =
         size() > 256
     })
+
+  /** Probe/test hook: drop every memoized gate verdict (so a probe can
+    * time the eager construction job instead of a memo hit). */
+  private[graft] def gateCacheClear(): Unit = gateCache.clear()
 
   /** Deterministic duplication probe shared by the collapse-capable
     * operators (minhash text collapse, [[Similarity.semanticDedup]]'s
@@ -200,7 +211,12 @@ object Dedup {
     * runs of the same query (bench triples, retry loops, a user
     * iterating) pay the probe once.
     */
-  private[graft] def duplicationMaterial(df: DataFrame, key: Column): Boolean = {
+  private[graft] def duplicationMaterial(df: DataFrame, key: Column): Boolean =
+    duplicationStats(df, key).material
+
+  /** [[duplicationMaterial]] plus the probed row count — same single job,
+    * same memo entry. */
+  private[graft] def duplicationStats(df: DataFrame, key: Column): DupStats = {
     val probed = df.select(key.as("__k"))
     val memoKey = (probed.queryExecution.analyzed.semanticHash(),
       probed.queryExecution.optimizedPlan.stats.sizeInBytes)
@@ -222,9 +238,9 @@ object Dedup {
         approx_count_distinct(when(inSample, col("__k"))).as("ds"),
         approx_count_distinct(col("__k")).as("d")).head()
       val (n, ns, ds, d) = (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
-      java.lang.Boolean.valueOf(
+      DupStats(n,
         if (ns >= 4096L) ds * 10L < ns * 9L else d * 10L < n * 9L)
-    }).booleanValue()
+    })
   }
 
   /** The per-document chain (no collapse) — optimal for all-distinct

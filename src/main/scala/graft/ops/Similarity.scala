@@ -494,18 +494,48 @@ object Similarity {
     * long-lived drivers get the same lifetime control the internal
     * composites have.
     *
-    * `collapse = None` runs the `Dedup.duplicationMaterial` probe — ONE
+    * `collapse = None` runs the `Dedup.duplicationStats` probe — ONE
     * EAGER JOB at construction time; an explicit Some(_) picks the path
-    * with zero jobs (spec-pinned), for callers composing lazy plans.
+    * with zero jobs (spec-pinned), for callers composing lazy plans. The
+    * default collapses only when duplication is material AND mean bucket
+    * occupancy clears [[collapseOccupancyCutoff]] (r16: below it the
+    * per-doc bucket join is cheaper even on a duplicated corpus — see the
+    * cutoff's scaladoc for the measured crossover).
     */
+  /** Minimum mean LSH-bucket occupancy (corpus rows / 2^numPlanes) for the
+    * identical-vector collapse to repay its fixed cost. The collapse
+    * machinery is ~5 corpus-sized shuffle stages (full-vector group-by,
+    * membership join, two expansion joins, same-group self-join) bought
+    * against the bucket self-join's quadratic-in-occupancy candidate work
+    * — which for the LSH chain is only a short dot product per candidate,
+    * so at LOW occupancy the per-doc join is cheaper even on a heavily
+    * duplicated corpus. Measured crossover on the ×10/×30 rehearsal
+    * corpora (64-dim, 16 buckets, 90-97 % verbatim duplicates): occupancy
+    * 1,250 → per-doc 0.8-1.7 s vs collapsed 2.2-3.0 s; occupancy 3,750 →
+    * per-doc 3.6-5.4 s vs collapsed ~2.3 s. 2,000 sits between them. The
+    * decision stays a pure function of the data (probed row count) and the
+    * operator's own parameters — no planner estimates, no bimodality —
+    * and both paths are row-identical, so the cutoff is advisory, never a
+    * correctness term. At 100 TB occupancy dwarfs any cutoff and the
+    * collapse always engages; minhash/semanticDedup keep the pure
+    * duplication gate because their per-document chain work (shingling +
+    * signatures, per-doc k-means assignment) is orders of magnitude
+    * heavier than one dot product, so collapse pays at any scale there.
+    */
+  private[graft] val collapseOccupancyCutoff = 2000L
+
   def embeddingNearDuplicatesH(
       corpus: DataFrame, threshold: Double, numPlanes: Int, dim: Int,
       collapse: Option[Boolean] = None): (DataFrame, Seq[DataFrame]) = {
     val c = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
       .withColumn("bucket", lshBucket(col("vec"), numPlanes, dim))
       .withColumn("nrm", norm(col("vec")))
-    if (collapse.getOrElse(Dedup.duplicationMaterial(corpus, col("vec"))))
-      embedPairsCollapsed(c, threshold)
+    val doCollapse = collapse.getOrElse {
+      val st = Dedup.duplicationStats(corpus, col("vec"))
+      st.material &&
+        st.rows / (1L << math.min(numPlanes, 62)) >= collapseOccupancyCutoff
+    }
+    if (doCollapse) embedPairsCollapsed(c, threshold)
     else (embedPairsPerDoc(c, threshold), Seq.empty)
   }
 

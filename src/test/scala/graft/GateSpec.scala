@@ -105,4 +105,25 @@ class GateSpec extends SparkSpec {
       collapse = Some(false))
     assert(none.isEmpty)
   }
+
+  test("embedding None-default gate folds bucket occupancy into the decision") {
+    // 4 rows / 2^4 buckets = occupancy ≪ cutoff: even though the corpus is
+    // 50 % verbatim-duplicated (the duplication term alone says collapse),
+    // the default must take the per-doc path — observable as an empty
+    // caches handle (the collapsed path always returns its membership).
+    val (out, caches) = Similarity.embeddingNearDuplicatesH(emb, 0.9, 4, 3,
+      collapse = None)
+    assert(caches.isEmpty,
+      "low-occupancy corpus must default to the per-doc bucket join")
+    // and the decision is advisory only: rows match the forced collapse
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(canon(out) == canon(
+      Similarity.embeddingNearDuplicates(emb, 0.9, 4, 3, collapse = Some(true))))
+    // the probe's stats memo carries the row count the occupancy term reads
+    val st = Dedup.duplicationStats(emb, col("vec"))
+    assert(st.rows == 4L && st.material,
+      s"probe stats should see 4 rows, 50% duplicated: $st")
+  }
 }
