@@ -1838,6 +1838,36 @@ object Queries {
               |   WHERE substr(a.sg, i, 1) <> substr(b.sg, i, 1)) <= 3
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Survivor-oriented SimHash dedup (the 100 TB shape, mirroring
+    // q_embed_dedup_ids): one row per DROPPED doc with its cluster
+    // survivor (min id over the transitive closure of the q_dedup_simhash
+    // pair relation). The Spark side runs connected components over the
+    // ≤2^16 distinct-VALUE graph and never materializes within-group
+    // pairs; the oracle replays the same relation doc-level with the
+    // recursive min-label closure.
+    ("q_simhash_dedup_ids",
+      (s: SparkSession, d: String) =>
+        Dedup.simhashDedupIds(tbl(s, d, "documents"), "doc_id", "text",
+          bits = 16, maxDistance = 3)
+          .orderBy("survivor", "dropped_id"),
+      Some(s"""WITH RECURSIVE sig AS (
+              |  SELECT doc_id, ${dSimhash(16)} AS sg FROM documents),
+              |pairs AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              |  WHERE (SELECT count(*) FROM generate_series(1, 16) g(i)
+              |     WHERE substr(a.sg, i, 1) <> substr(b.sg, i, 1)) <= 3),
+              |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |reach(id, lbl) AS (
+              |  SELECT DISTINCT s, s FROM edges
+              |  UNION
+              |  SELECT e.d, r.lbl FROM reach r JOIN edges e
+              |    ON e.s = r.id WHERE r.lbl < e.d),
+              |comp AS (SELECT id, min(lbl) AS survivor FROM reach GROUP BY id)
+              |SELECT survivor, id AS dropped_id FROM comp
+              |WHERE id <> survivor ORDER BY survivor, dropped_id""".stripMargin)),
+
     ("q_ngram_jaccard",
       (s: SparkSession, d: String) => {
         val docs = tbl(s, d, "documents")

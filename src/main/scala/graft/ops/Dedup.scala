@@ -578,21 +578,36 @@ object Dedup {
     * Equivalent to the segment join (one spec asserts it on random
     * fingerprints); dispatch lives in [[bandedHammingJoin]].
     */
-  private[graft] def collapsedHammingJoin(hashes: DataFrame, bits: Int,
-                                          maxDistance: Int): DataFrame = {
+  /** All (sig_a < sig_b) pairs of PRESENT fingerprint values within Hamming
+    * distance 1..maxDistance — the value-level candidate core shared by
+    * [[collapsedHammingJoin]] and [[hammingDedupIdsH]]. XOR-mask neighbor
+    * enumeration against the fixed popcount-1..d delta table, semi-joined
+    * back against the distinct set: exact by construction (every value
+    * within distance d differs by exactly one such mask), no verify pass.
+    * Cost is independent of corpus size — `distinctSigs` is bounded by
+    * 2^bits values no matter how many documents carry each.
+    */
+  private[graft] def hammingValuePairs(distinctSigs: DataFrame, bits: Int,
+                                       maxDistance: Int): DataFrame = {
     val masks: Array[Long] = (1 to maxDistance).toArray.flatMap(k =>
       (0 until bits).combinations(k)
         .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toArray)
-    val sigs = hashes.select(col("id"), col("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val distinctSigs = sigs.select("sig").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val valuePairs = distinctSigs
+    distinctSigs
       .select(col("sig").as("sig_a"),
         explode(typedLit(masks)).as("__m"))
       .select(col("sig_a"), col("sig_a").bitwiseXOR(col("__m")).as("sig_b"))
       .filter(col("sig_a") < col("sig_b"))
       .join(distinctSigs.withColumnRenamed("sig", "sig_b"), Seq("sig_b"), "leftsemi")
+      .select(col("sig_a"), col("sig_b"))
+  }
+
+  private[graft] def collapsedHammingJoin(hashes: DataFrame, bits: Int,
+                                          maxDistance: Int): DataFrame = {
+    val sigs = hashes.select(col("id"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val distinctSigs = sigs.select("sig").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val valuePairs = hammingValuePairs(distinctSigs, bits, maxDistance)
     // Pin the expansion joins and the same-sig self-join to shuffle-hash:
     // `sigs` (one row per DOCUMENT) is corpus-proportional, so a broadcast
     // is never right at scale — the same design rule as the minhash verify
@@ -618,6 +633,95 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         lit(0).cast("int").as("distance"))
     cross.union(same)
+  }
+
+  /** Survivor-oriented SimHash dedup: one row `(survivor, dropped_id)` per
+    * NON-survivor member of each Hamming-≤`maxDistance` cluster (the
+    * transitive closure of the [[simhashNearDuplicates]] pair relation,
+    * distance-0 same-sig pairs included), survivor = the cluster's min id.
+    * The 100 TB dedup shape, mirroring `Similarity.embeddingDedupIds`: the
+    * pair-audit API's output is quadratic in duplicate-group size, while
+    * this never materializes a within-group pair in any plan — on the
+    * narrow-fingerprint path connected components run over the DISTINCT
+    * VALUE graph (≤ 2^bits vertices, corpus-size-independent) and doc ids
+    * ride ONE membership join, so m documents sharing a fingerprint
+    * cluster cost O(m) rows end to end. Anti-joining the corpus against
+    * `dropped_id` materializes the deduped corpus.
+    */
+  def simhashDedupIds(df: DataFrame, idCol: String, textCol: String,
+                      bits: Int = 16, maxDistance: Int = 3): DataFrame =
+    simhashDedupIdsH(df, idCol, textCol, bits, maxDistance)._1
+
+  /** [[simhashDedupIds]] plus the persisted handles (the H(andle)
+    * convention — unpersist once the result is materialized). The
+    * connected-components step inside is EAGER, so construction runs jobs;
+    * the returned frame then reads the CC labels (checkpointed, value-graph
+    * sized) plus the persisted fingerprint table.
+    */
+  def simhashDedupIdsH(df: DataFrame, idCol: String, textCol: String,
+                       bits: Int = 16,
+                       maxDistance: Int = 3): (DataFrame, Seq[DataFrame]) =
+    hammingDedupIdsH(
+      df.select(col(idCol).as("id"), simhashLong(col(textCol), bits).as("sig")),
+      bits, maxDistance)
+
+  /** The fingerprint-generic survivor core behind [[simhashDedupIds]] (and
+    * usable over any (id, sig) table, e.g. image dHashes). Dispatch mirrors
+    * [[bandedHammingJoin]]:
+    *
+    * Narrow fingerprints (≤ 2^20 values) — the corpus-size-independent
+    * path: distinct sigs → XOR-mask value pairs ([[hammingValuePairs]]) →
+    * min-label components over the VALUE graph (≤ 2^bits vertices, so the
+    * CC loop's cost never grows with the corpus) → every document takes
+    * its sig's component label (isolated sigs label themselves — same-sig
+    * duplicate groups still collapse) → survivor = min doc id per label.
+    * The component and survivor tables are bounded by 2^bits VALUES, never
+    * corpus size, so both ride explicit broadcasts (the planner inherits
+    * the corpus-sized child estimate for aggregate outputs and would
+    * shuffle otherwise) — corpus-proportional work is one fingerprint
+    * projection, one map-side-combined min-aggregate, and two map-side
+    * broadcast joins. No shuffle of the corpus at all.
+    *
+    * Wide fingerprints keep the doc-level segment join (value collapse
+    * buys nothing when the value space dwarfs the corpus): pair edges →
+    * doc-graph components, whose min-id label IS the survivor.
+    *
+    * Row-identity across paths (spec-pinned): docs are in the same
+    * doc-graph component iff their sigs are in the same value-graph
+    * component — same-sig docs share a vertex (the oracle's distance-0
+    * pairs), cross-sig edges exist value-wise exactly when some doc pair
+    * carries them.
+    */
+  private[graft] def hammingDedupIdsH(hashes: DataFrame, bits: Int,
+                                      maxDistance: Int): (DataFrame, Seq[DataFrame]) = {
+    require(bits >= 1 && bits <= 64, s"bad fingerprint width $bits")
+    require(maxDistance >= 0 && maxDistance < bits,
+      s"bad maxDistance $maxDistance for $bits bits")
+    if (useCollapsedHamming(bits, maxDistance)) {
+      val sigs = hashes.select(col("id"), col("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val distinctSigs = sigs.select("sig").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val valuePairs = hammingValuePairs(distinctSigs, bits, maxDistance)
+      val comp = connectedComponents(valuePairs
+          .select(col("sig_a").as("id_a"), col("sig_b").as("id_b")))
+        .select(col("id").as("sig"), col("component"))
+      val labeled = sigs.join(broadcast(comp), Seq("sig"), "left")
+        .select(col("id"), coalesce(col("component"), col("sig")).as("__lbl"))
+      val survivors = labeled.groupBy(col("__lbl"))
+        .agg(min(col("id")).as("survivor"))
+      val dropped = labeled.join(broadcast(survivors), Seq("__lbl"))
+        .filter(col("id") =!= col("survivor"))
+        .select(col("survivor"), col("id").as("dropped_id"))
+      (dropped, Seq(sigs, distinctSigs))
+    } else {
+      val pairs = segmentedHammingJoin(hashes, bits, maxDistance)
+      val dropped = connectedComponents(
+          pairs.select(col("id_a"), col("id_b")))
+        .filter(col("id") =!= col("component"))
+        .select(col("component").as("survivor"), col("id").as("dropped_id"))
+      (dropped, Seq.empty)
+    }
   }
 
   /** Exact dedup: canonical representative (min id) per duplicate group.

@@ -362,4 +362,41 @@ class DedupSpec extends SparkSpec {
       collapse = Some(true)).select("id").collect().map(_.getLong(0)).sorted
     assert(surv07.toSeq == Seq(0L, 20L, 30L))
   }
+
+  test("simhashDedupIds: value-graph survivors row-identical to pairs→CC on both paths") {
+    // Same vertex-class coverage as the minhash label test: duplicated
+    // groups (same text → same fingerprint → distance-0 pairs), possible
+    // cross-sig edges between the today/tonight variants, and a singleton.
+    import spark.implicits._
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "the quick brown fox jumps over the lazy dog again and again tonight",
+      "completely different words in this one nothing shared at all here",
+      "a lone unique document that matches nothing else in the corpus")
+    val copies = Seq(3, 3, 3, 1)
+    val dupDocs = base.zip(copies).zipWithIndex.flatMap { case ((t, m), i) =>
+      (0 until m).map(c => (i * 10L + c, t))
+    }.toDF("id", "text")
+    def canon2(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    // ground truth: doc-level CC over the pair-audit API's output
+    def expected(bits: Int) = canon2(Dedup.connectedComponents(
+        Dedup.simhashNearDuplicates(dupDocs, "id", "text", bits, 3)
+          .select("id_a", "id_b"))
+      .filter(col("id") =!= col("component"))
+      .select(col("component"), col("id")))
+    // narrow path (16 ≤ 20 bits): CC over the distinct-VALUE graph
+    val narrow = canon2(Dedup.simhashDedupIds(dupDocs, "id", "text", 16, 3))
+    assert(narrow == expected(16))
+    // wide path (24 > 20 bits): doc-level segment join
+    assert(canon2(Dedup.simhashDedupIds(dupDocs, "id", "text", 24, 3)) ==
+      expected(24))
+    // identical texts share a fingerprint, so duplicated groups collapse
+    // even with no cross-sig edge; the singleton never appears
+    val droppedIds = narrow.map(_._2).toSet
+    assert(Set(1L, 2L, 11L, 12L, 21L, 22L).subsetOf(droppedIds))
+    assert(!narrow.exists(t => t._1 == 30L || t._2 == 30L))
+    // every survivor is its cluster's min: no survivor is also dropped
+    assert(narrow.map(_._1).toSet.intersect(droppedIds).isEmpty)
+  }
 }

@@ -314,6 +314,28 @@ class PlanSpec extends SparkSpec {
         s"got $broadcast:\n${plan.take(3000)}")
   }
 
+  test("simhashDedupIds narrow path: corpus never shuffle-joins — broadcasts + one min-agg only") {
+    // The survivor variant's scale contract: components and survivors are
+    // bounded by 2^bits VALUES (never corpus size), so they ride explicit
+    // broadcasts, and the only corpus-proportional Exchange left is the
+    // map-side-combined min-aggregate. No shuffle join of the corpus at all.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.ops.Dedup.simhashDedupIds(
+      docs, "doc_id", "text", bits = 16, maxDistance = 3))
+    assert("SortMergeJoin".r.findFirstIn(plan).isEmpty &&
+        "ShuffledHashJoin".r.findFirstIn(plan).isEmpty,
+      s"corpus must never shuffle-join on the narrow path:\n${plan.take(3000)}")
+    // 3 = the component left-join on the probe side, the same left-join
+    // inside the survivor min-agg's build branch (labeled is evaluated on
+    // both sides of the final join; the corpus leg reads the persisted
+    // sigs, so the recompute is map-side work, not a second scan), and
+    // the survivor join itself.
+    val broadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcast == 3,
+      s"expected component left-join (x2) + survivor join broadcast, " +
+        s"got $broadcast:\n${plan.take(3000)}")
+  }
+
   test("minhash verify joins stay pinned shuffle-hash (no shingle-set broadcast)") {
     // Same design rule, r12 vintage: the shingle-array sets side is
     // corpus-proportional and its size estimate runs low — left to the
