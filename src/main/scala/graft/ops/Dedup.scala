@@ -647,6 +647,14 @@ object Dedup {
     * ride ONE membership join, so m documents sharing a fingerprint
     * cluster cost O(m) rows end to end. Anti-joining the corpus against
     * `dropped_id` materializes the deduped corpus.
+    *
+    * CACHE LIFETIME: the narrow path persists the corpus-proportional
+    * fingerprint table, which this convenience wrapper cannot release.
+    * One-shot callers are fine — session end or
+    * `spark.catalog.clearCache()` reclaims it — but long-lived drivers
+    * should call [[simhashDedupIdsH]] and unpersist the returned handles
+    * once the result is materialized (the deterministic-release pattern
+    * every internal composite uses).
     */
   def simhashDedupIds(df: DataFrame, idCol: String, textCol: String,
                       bits: Int = 16, maxDistance: Int = 3): DataFrame =
