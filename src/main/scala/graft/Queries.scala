@@ -4139,6 +4139,50 @@ object Queries {
               |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Survivor-oriented image dedup (the 100 TB shape on the WIDE
+    // 64-bit-fingerprint dispatch path): one row per DROPPED image with
+    // its cluster survivor (min media_id over the transitive closure of
+    // the q_image_neardup pair relation). The oracle replays the pair
+    // relation and the recursive min-label closure — covering the
+    // doc-level segment-join branch of hammingDedupIds under the
+    // cross-engine hash, complementing q_simhash_dedup_ids' value-graph
+    // branch.
+    ("q_image_dedup_ids",
+      (s: SparkSession, d: String) => {
+        val docs = tbl(s, d, "documents")
+        val plain = Multimodal.demoBmpTable(
+          docs.filter(col("doc_id") < 50), "doc_id", cycle = 50)
+        val tweaked = Multimodal.demoBmpTable(
+          docs.filter(col("doc_id") >= 50 && col("doc_id") < 100), "doc_id",
+          cycle = 50, tweaked = true)
+        Multimodal.imageDedupIds(
+          Multimodal.imageDHash(plain.unionByName(tweaked)), maxDistance = 3)
+          .orderBy("survivor", "dropped_id")
+      },
+      Some(s"""WITH RECURSIVE d AS (SELECT doc_id, doc_id % 50 AS k,
+              |             CASE WHEN doc_id >= 50 THEN 1 ELSE 0 END AS t
+              |           FROM documents WHERE doc_id < 100),
+              |p AS (SELECT doc_id, k, t, 16 + k % 7 AS w, 16 + k % 5 AS h FROM d),
+              |hh AS (SELECT doc_id, ($dhashTweakTerms) AS dhash FROM p),
+              |segs AS (SELECT doc_id, dhash, s,
+              |           (dhash >> (48 - s * 16)) & 65535 AS segval
+              |         FROM hh, (VALUES (0), (1), (2), (3)) v(s)),
+              |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM segs a JOIN segs b
+              |           ON a.s = b.s AND a.segval = b.segval
+              |         WHERE a.doc_id < b.doc_id
+              |           AND bit_count(xor(a.dhash, b.dhash)) <= 3),
+              |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |reach(id, lbl) AS (
+              |  SELECT DISTINCT s, s FROM edges
+              |  UNION
+              |  SELECT e.d, r.lbl FROM reach r JOIN edges e
+              |    ON e.s = r.id WHERE r.lbl < e.d),
+              |comp AS (SELECT id, min(lbl) AS survivor FROM reach GROUP BY id)
+              |SELECT survivor, id AS dropped_id FROM comp
+              |WHERE id <> survivor ORDER BY survivor, dropped_id""".stripMargin)),
+
     // Grouped statistical mode: each user's most frequent event type,
     // deterministic smallest-value tie-break.
     ("q_mode",

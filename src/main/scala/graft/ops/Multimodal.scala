@@ -523,4 +523,18 @@ object Multimodal {
     Dedup.bandedHammingJoin(
       hashes.select(col("media_id").as("id"), col("dhash").as("sig")),
       bits = 64, maxDistance = maxDistance)
+
+  /** Survivor-oriented image dedup: one `(survivor, dropped_id)` row per
+    * NON-survivor member of each Hamming-≤`maxDistance` dHash cluster
+    * (transitive closure of the [[imageNearDuplicates]] pair relation,
+    * exact-hash pairs included), survivor = the cluster's min media_id —
+    * the same 100 TB dedup shape as `Dedup.simhashDedupIds`, on the
+    * wide-fingerprint dispatch path (64-bit hashes take the doc-level
+    * segment join; the value space dwarfs any corpus so value collapse
+    * buys nothing, and the CC label is the survivor directly).
+    */
+  def imageDedupIds(hashes: DataFrame, maxDistance: Int = 3): DataFrame =
+    Dedup.hammingDedupIdsH(
+      hashes.select(col("media_id").as("id"), col("dhash").as("sig")),
+      bits = 64, maxDistance = maxDistance)._1
 }
