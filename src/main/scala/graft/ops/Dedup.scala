@@ -1020,6 +1020,27 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Survivor-oriented MinHash dedup: one `(survivor, dropped_id)` row per
+    * NON-survivor member of each near-dup cluster — the same output shape
+    * as [[simhashDedupIds]] and `Similarity.embeddingDedupIds`, so all
+    * three near-dup families expose the linear 100 TB dedup surface.
+    * Labels come from [[minhashLabelsH]] (connected components over the
+    * distinct-content rep graph + one membership join — no within-group
+    * pair expansion), and the survivor is the component label itself
+    * (min id per cluster). Spec-pinned row-equal to dropping non-min ids
+    * over the transitive closure of the pair API's output.
+    */
+  def minhashDedupIds(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, numHashes: Int = 16, bands: Int = 4,
+                      shingleSize: Int = 5,
+                      collapse: Option[Boolean] = None): DataFrame = {
+    val (labels, caches) = minhashLabelsH(df, idCol, textCol,
+      threshold, numHashes, bands, shingleSize, collapse)
+    caches.foreach(_.unpersist(blocking = false))
+    labels.filter(col("id") =!= col("component"))
+      .select(col("component").as("survivor"), col("id").as("dropped_id"))
+  }
+
   /** Line-level boilerplate removal (the C4/RefinedWeb-family step): drop
     * every LINE that occurs in more than `maxDocs` distinct documents
     * (navigation chrome, cookie banners, boilerplate headers), then

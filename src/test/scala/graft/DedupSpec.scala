@@ -399,4 +399,34 @@ class DedupSpec extends SparkSpec {
     // every survivor is its cluster's min: no survivor is also dropped
     assert(narrow.map(_._1).toSet.intersect(droppedIds).isEmpty)
   }
+
+  test("minhashDedupIds matches CC-over-pairs on both gate paths; simhash H releases") {
+    import spark.implicits._
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "the quick brown fox jumps over the lazy dog again and again tonight",
+      "completely different words in this one nothing shared at all here",
+      "a lone unique document that matches nothing else in the corpus")
+    val dupDocs = base.zip(Seq(3, 3, 3, 1)).zipWithIndex.flatMap {
+      case ((t, m), i) => (0 until m).map(c => (i * 10L + c, t))
+    }.toDF("id", "text")
+    def canon2(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val expected = canon2(Dedup.connectedComponents(
+        Dedup.minhashNearDuplicates(dupDocs, "id", "text", 0.9,
+          collapse = Some(false)).select("id_a", "id_b"))
+      .filter(col("id") =!= col("component"))
+      .select(col("component"), col("id")))
+    assert(canon2(Dedup.minhashDedupIds(dupDocs, "id", "text", 0.9,
+      collapse = Some(true))) == expected)
+    assert(canon2(Dedup.minhashDedupIds(dupDocs, "id", "text", 0.9,
+      collapse = Some(false))) == expected)
+    // the H variant's handles release deterministically (house pattern)
+    val (out, caches) = Dedup.simhashDedupIdsH(dupDocs, "id", "text", 16, 3)
+    out.count()
+    assert(caches.nonEmpty)
+    caches.foreach(_.unpersist(blocking = true))
+    assert(caches.forall(_.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE))
+  }
 }
