@@ -505,5 +505,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hamming survivor core: value-graph survivors equal doc-level CC on random corpora") {
+    // The two constructions share no code beyond the mask table: the
+    // narrow path runs connected components over DISTINCT fingerprint
+    // VALUES and expands through a membership join; the reference expands
+    // value pairs to doc pairs first and runs CC doc-level. An 8-bit space
+    // forces heavy value collisions (duplicate groups, isolated sigs,
+    // multi-value clusters) on every sample.
+    val corpusGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 255L))
+    samples(corpusGen, 6).foreach { sigsList =>
+      val hashes = sigsList.zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }.toDF("id", "sig")
+      def canon2(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+      val (got, caches) = graft.ops.Dedup.hammingDedupIdsH(hashes, 8, 2)
+      val expected = canon2(graft.ops.Dedup.connectedComponents(
+          graft.ops.Dedup.bandedHammingJoin(hashes, 8, 2).select("id_a", "id_b"))
+        .filter(col("id") =!= col("component"))
+        .select(col("component"), col("id")))
+      assert(canon2(got) == expected, s"corpus $sigsList")
+      caches.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache() // bandedHammingJoin's internal persists
+    }
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
