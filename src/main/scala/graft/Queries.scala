@@ -4183,6 +4183,29 @@ object Queries {
               |SELECT survivor, id AS dropped_id FROM comp
               |WHERE id <> survivor ORDER BY survivor, dropped_id""".stripMargin)),
 
+    // REAL image resize, end-to-end under the cross-engine hash: decode
+    // (exact BMP parser) → nearest-neighbor integer resample to 8×8 →
+    // re-encode 24-bit BMP → re-decode to the luma grid. The oracle
+    // recomputes every resampled pixel from the fixture formula
+    // v(x,y) = (k·31 + x·7 + y·13) mod 256 at source coords
+    // (x·w div 8, y·h div 8) — gray fixtures make luma exact.
+    ("q_image_resize",
+      (s: SparkSession, d: String) => {
+        val media = Multimodal.demoBmpTable(
+          tbl(s, d, "documents").filter(col("doc_id") < 100), "doc_id",
+          cycle = 50)
+        Multimodal.imageGrayPixels(Multimodal.resizeImages(media, 8, 8))
+          .orderBy("media_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 50 AS k FROM documents
+             |           WHERE doc_id < 100),
+             |p AS (SELECT doc_id, k, 16 + k % 7 AS w, 16 + k % 5 AS h FROM d)
+             |SELECT doc_id AS media_id, 8::INT AS width, 8::INT AS height,
+             |  array_to_string(list_transform(range(0, 64), i ->
+             |    (k*31 + ((i % 8) * w // 8) * 7 + ((i // 8) * h // 8) * 13)
+             |      % 256), '|') AS pixels
+             |FROM p ORDER BY media_id""".stripMargin)),
+
     // Grouped statistical mode: each user's most frequent event type,
     // deterministic smallest-value tie-break.
     ("q_mode",

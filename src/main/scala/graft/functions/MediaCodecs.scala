@@ -505,6 +505,59 @@ object MediaCodecs {
     Some((width, h, gray))
   }
 
+  /** 24-bit BMP → top-down row-major packed `0xRRGGBB` pixels — the exact
+    * integer parser (oracle-replayable), with the same bottom-up/top-down
+    * row handling as [[decodeBmpGray]].
+    */
+  def decodeBmpRgb(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val (width, height, dataOff, stride) = bmpHeader(bytes).getOrElse(return None)
+    val h = math.abs(height)
+    val px = new Array[Int](width * h)
+    var dy = 0
+    while (dy < h) {
+      val iy = if (height > 0) h - 1 - dy else dy // disk row → image row
+      val row = dataOff + dy * stride
+      var x = 0
+      while (x < width) {
+        val bb = bytes(row + x * 3) & 0xff
+        val g = bytes(row + x * 3 + 1) & 0xff
+        val r = bytes(row + x * 3 + 2) & 0xff
+        px(iy * width + x) = (r << 16) | (g << 8) | bb
+        x += 1
+      }
+      dy += 1
+    }
+    Some((width, h, px))
+  }
+
+  /** Packed-`0xRRGGBB` pixels of ANY supported image payload: the exact
+    * BMP parser first, else the JDK ImageIO path — the color counterpart
+    * of [[decodeImageGray]] (resize and other pixel transforms must not
+    * collapse color to luma). Never throws.
+    */
+  def decodeImageRgb(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodeBmpRgb(bytes).orElse {
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0 ||
+            img.getWidth.toLong * img.getHeight > Int.MaxValue) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, px, y * w, w)
+            y += 1
+          }
+          var i = 0
+          while (i < px.length) { px(i) &= 0xffffff; i += 1 }
+          Some((w, h, px))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
   /** Grayscale pixels of ANY supported image payload: the exact integer
     * BMP parser first (oracle-replayable), else the JDK ImageIO path
     * (PNG/JPEG/GIF) with the same integer luma — so perceptual hashing

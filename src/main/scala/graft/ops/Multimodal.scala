@@ -428,15 +428,65 @@ object Multimodal {
     payload.substr(pos, len)
   }
 
-  /** "Resize" stub for images: truncate/pad payload to width*height bytes —
-    * placeholder with the right data movement (map-only, no shuffle).
+  /** REAL image resize: decode (exact 24-bit BMP parser first, else JDK
+    * ImageIO — full RGB, never a luma collapse) → nearest-neighbor integer
+    * resample (source pixel of output (x, y) is (x·w div outW, y·h div
+    * outH) — the same deterministic sampling rule [[dHash]]'s 9×8 grid
+    * uses, so on the BMP fixtures the WHOLE decode→resample→re-encode
+    * roundtrip replays in SQL from the pixel formula) → re-encode as
+    * 24-bit BMP. Map-only, no shuffle; non-decodable payloads are dropped
+    * (the [[imageDHash]] convention).
     */
-  def resizeStub(media: DataFrame, w: Int, h: Int): DataFrame =
-    media.withColumn("payload",
-      col("payload").substr(lit(1), lit(w * h)))
-      .withColumn("meta", struct(
-        col("meta.format").as("format"), lit(w).as("width"),
-        lit(h).as("height"), col("meta.n_frames").as("n_frames")))
+  def resizeImages(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0 && outW.toLong * outH <= Int.MaxValue / 4,
+      s"bad target dims ${outW}x$outH")
+    import graft.functions.MediaCodecs
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.BINARY)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        MediaCodecs.decodeImageRgb(bytes).map { case (w, h, px) =>
+          val out = new Array[(Byte, Byte, Byte)](outW * outH)
+          var i = 0
+          while (i < out.length) {
+            val p = px((i / outW * h / outH) * w + (i % outW * w / outW))
+            out(i) = (((p >> 16) & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+              (p & 0xff).toByte)
+            i += 1
+          }
+          (r.getLong(idIdx), MediaCodecs.encodeBmp(outW, outH, out))
+        }
+      }
+    }(enc).toDF("media_id", "payload")
+  }
+
+  /** (media_id, width, height, pixels) for every decodable image payload —
+    * the verification surface for decode/resize roundtrips: `pixels` is
+    * the '|'-joined integer-luma grid in row-major order (exact for gray
+    * fixtures, where luma(v,v,v) = v). Map-only.
+    */
+  def imageGrayPixels(media: DataFrame): DataFrame = {
+    import graft.functions.MediaCodecs
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.STRING)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        MediaCodecs.decodeImageGray(bytes).map { case (w, h, gray) =>
+          (r.getLong(idIdx), w, h, gray.mkString("|"))
+        }
+      }
+    }(enc).toDF("media_id", "width", "height", "pixels")
+  }
 
   // --------------------------------------------------- perceptual hashing
 

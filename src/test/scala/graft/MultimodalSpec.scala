@@ -30,13 +30,24 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(_.getSeq[Float](1).nonEmpty))
   }
 
-  test("resizeStub truncates the payload and rewrites meta dims") {
-    val out = Multimodal.resizeStub(media, 4, 3)
-    val r = out.select(col("meta.width"), col("meta.height"), length(col("payload")))
-      .orderBy(col("media_id")).collect()
-    assert(r.forall(_.getInt(0) == 4))
-    assert(r.forall(_.getInt(1) == 3))
-    assert(r.forall(_.getInt(2) <= 12))
+  test("resizeImages: nearest-neighbor resample matches the fixture pixel formula") {
+    val bmp = Multimodal.demoBmpTable(
+      Seq(0L, 7L, 23L).toDF("id"), "id", cycle = 50)
+    val out = Multimodal.imageGrayPixels(Multimodal.resizeImages(bmp, 8, 8))
+      .orderBy("media_id").collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r.getInt(1) == 8 && r.getInt(2) == 8))
+    out.foreach { r =>
+      val k = (r.getLong(0) % 50).toInt
+      val (w, h) = (16 + k % 7, 16 + k % 5)
+      val exp = (0 until 64).map { i =>
+        (k * 31 + (i % 8 * w / 8) * 7 + (i / 8 * h / 8) * 13) % 256
+      }.mkString("|")
+      assert(r.getString(3) == exp, s"media ${r.getLong(0)}")
+    }
+    // non-decodable payloads are dropped, not errored
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    assert(Multimodal.resizeImages(junk, 4, 4).count() == 0)
   }
 
   test("sampleFrames keeps every stride-th frame, renumbered densely") {
