@@ -4206,6 +4206,30 @@ object Queries {
              |      % 256), '|') AS pixels
              |FROM p ORDER BY media_id""".stripMargin)),
 
+    // REAL audio resample (8000 → 2000 Hz), end-to-end under the
+    // cross-engine hash: decode the 8-bit PCM WAV → nearest-neighbor
+    // resample (output j reads source j·8000 div 2000 = 4j; output length
+    // n div 4) → re-encode → re-decode to the sample list. WAV samples are
+    // the text's utf-8 bytes and the corpus is pure ASCII, so DuckDB's
+    // per-character ascii() replays every resampled byte.
+    ("q_audio_resample",
+      (s: SparkSession, d: String) => {
+        val media = Multimodal.demoWavTable(
+          tbl(s, d, "documents")
+            .filter(col("doc_id") < 100 && length(col("text")) > 0),
+          "doc_id", "text")
+        Multimodal.audioPcmSamples(Multimodal.resampleAudio(media, 2000))
+          .orderBy("media_id")
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id, list_transform(string_split(text, ''),
+             |    ch -> ascii(ch)) AS bs
+             |  FROM documents WHERE doc_id < 100 AND len(text) > 0)
+             |SELECT doc_id AS media_id, 2000::INT AS sample_rate,
+             |  coalesce(array_to_string(list_transform(
+             |    range(0, len(bs) // 4), j -> bs[j * 4 + 1]), '|'), '') AS samples
+             |FROM s ORDER BY media_id""".stripMargin)),
+
     // Grouped statistical mode: each user's most frequent event type,
     // deterministic smallest-value tie-break.
     ("q_mode",

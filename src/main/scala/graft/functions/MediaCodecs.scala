@@ -245,6 +245,14 @@ object MediaCodecs {
     buf.array()
   }
 
+  /** Decode a mono 8-bit unsigned PCM WAV (format 1) to its sample rate
+    * and raw sample bytes — the exact inverse of [[encodeWav]]. */
+  def decodeWavPcm8(bytes: Array[Byte]): Option[(Int, Array[Byte])] =
+    wavLayout(bytes).collect {
+      case WavLayout(1, 1, rate, 8, _, dOff, dLen) =>
+        (rate, java.util.Arrays.copyOfRange(bytes, dOff, dOff + dLen))
+    }
+
   /** Decode a μ-law (format 7) or mono IMA ADPCM (format 17) WAV to its
     * 16-bit samples + stats. ADPCM walks `blockAlign`-sized blocks: 4-byte
     * header (predictor sample, step index) then two samples per data byte,

@@ -464,6 +464,63 @@ object Multimodal {
     }(enc).toDF("media_id", "payload")
   }
 
+  /** REAL audio resample (sample-rate conversion) for mono 8-bit PCM WAVs:
+    * decode (RIFF parser, [[graft.functions.MediaCodecs.decodeWavPcm8]]) →
+    * nearest-neighbor resample (source index of output j is
+    * j·srcRate div dstRate, output length n·dstRate div srcRate — the
+    * [[resizeImages]] sampling rule in one dimension, so the whole
+    * decode→resample→re-encode roundtrip replays in SQL on the text-byte
+    * fixtures) → re-encode at `dstRate`. Map-only, no shuffle; non-PCM8
+    * payloads are dropped (the [[imageDHash]] convention).
+    */
+  def resampleAudio(media: DataFrame, dstRate: Int): DataFrame = {
+    require(dstRate > 0, s"bad target rate $dstRate")
+    import graft.functions.MediaCodecs
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.BINARY)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        MediaCodecs.decodeWavPcm8(bytes).map { case (srcRate, samples) =>
+          val outN = (samples.length.toLong * dstRate / srcRate).toInt
+          val out = new Array[Byte](outN)
+          var j = 0
+          while (j < outN) {
+            out(j) = samples((j.toLong * srcRate / dstRate).toInt)
+            j += 1
+          }
+          (r.getLong(idIdx), MediaCodecs.encodeWav(out, dstRate))
+        }
+      }
+    }(enc).toDF("media_id", "payload")
+  }
+
+  /** (media_id, sample_rate, samples) for every mono 8-bit PCM WAV payload
+    * — the audio verification surface mirroring [[imageGrayPixels]]:
+    * `samples` is the '|'-joined unsigned byte values in order. Map-only.
+    */
+  def audioPcmSamples(media: DataFrame): DataFrame = {
+    import graft.functions.MediaCodecs
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.STRING)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        MediaCodecs.decodeWavPcm8(bytes).map { case (rate, samples) =>
+          (r.getLong(idIdx), rate,
+            samples.iterator.map(b => (b & 0xff).toString).mkString("|"))
+        }
+      }
+    }(enc).toDF("media_id", "sample_rate", "samples")
+  }
+
   /** (media_id, width, height, pixels) for every decodable image payload —
     * the verification surface for decode/resize roundtrips: `pixels` is
     * the '|'-joined integer-luma grid in row-major order (exact for gray

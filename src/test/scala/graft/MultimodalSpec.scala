@@ -50,6 +50,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resizeImages(junk, 4, 4).count() == 0)
   }
 
+  test("resampleAudio: nearest-neighbor down- and up-sampling are sample-exact") {
+    val wav = Multimodal.demoWavTable(
+      Seq((1L, "abcdefghij")).toDF("id", "t"), "id", "t") // bytes 97..106 @ 8000 Hz
+    def dump(rate: Int): (Int, Seq[Int]) = {
+      val r = Multimodal.audioPcmSamples(
+        Multimodal.resampleAudio(wav, rate)).head()
+      (r.getInt(1), r.getString(2).split('|').map(_.toInt).toSeq)
+    }
+    // ÷2: output j reads source 2j
+    assert(dump(4000) == ((4000, Seq(97, 99, 101, 103, 105))))
+    // ×2: output j reads source j div 2
+    assert(dump(16000) == ((16000,
+      (97 to 106).flatMap(v => Seq(v, v)))))
+    // identity rate is a byte-exact roundtrip
+    assert(dump(8000) == ((8000, (97 to 106).toSeq)))
+    // non-PCM8 payloads are dropped, not errored
+    val junk = Seq((9L, Array[Byte](82, 73, 70, 70))).toDF("media_id", "payload")
+    assert(Multimodal.resampleAudio(junk, 4000).count() == 0)
+  }
+
   test("sampleFrames keeps every stride-th frame, renumbered densely") {
     val frames = Multimodal.sampleFrames(media, stride = 2)
       .filter(col("media_id") === 1).orderBy("frame_no").collect()
