@@ -654,7 +654,10 @@ object Dedup {
     * `spark.catalog.clearCache()` reclaims it — but long-lived drivers
     * should call [[simhashDedupIdsH]] and unpersist the returned handles
     * once the result is materialized (the deterministic-release pattern
-    * every internal composite uses).
+    * every internal composite uses). The wide path's segment table is
+    * persisted inside [[segmentedHammingJoin]] with no handle (the
+    * pre-existing [[bandedHammingJoin]] convention) — there only
+    * clearCache reclaims it.
     */
   def simhashDedupIds(df: DataFrame, idCol: String, textCol: String,
                       bits: Int = 16, maxDistance: Int = 3): DataFrame =

@@ -485,7 +485,13 @@ object Multimodal {
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
         MediaCodecs.decodeWavPcm8(bytes).map { case (srcRate, samples) =>
-          val outN = (samples.length.toLong * dstRate / srcRate).toInt
+          val outL = samples.length.toLong * dstRate / srcRate
+          // a caller error (absurd upsample factor), not bad data — fail
+          // the task loudly instead of silently truncating the output
+          require(outL <= Int.MaxValue - 8,
+            s"resample of ${samples.length} samples $srcRate->$dstRate Hz " +
+              s"would need $outL samples")
+          val outN = outL.toInt
           val out = new Array[Byte](outN)
           var j = 0
           while (j < outN) {
