@@ -69,7 +69,11 @@ object MediaCodecs {
     while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(off)
       val len = b.getInt(off + 4)
-      if (len < 0 || off + 8 + len > bytes.length) return None
+      // Long sum: a hostile chunk length near Int.MaxValue wraps
+      // `off + 8 + len` negative and would slip past the bounds check,
+      // then throw out of copyOfRange instead of decoding to None (the
+      // bmpHeader hostile-header class).
+      if (len < 0 || off.toLong + 8 + len > bytes.length) return None
       id match {
         case "fmt " if len >= 16 =>
           fmt = Some((b.getShort(off + 8).toInt, b.getShort(off + 10).toInt,

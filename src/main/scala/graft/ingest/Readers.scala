@@ -36,15 +36,28 @@ object Readers {
     * filename portion only, exactly our glob shape) without the probe.
     * Globs in non-final components (rare, not our fixtures') pass through
     * unchanged.
+    *
+    * The rewrite must not soften the failure mode: a bare glob that
+    * matches nothing makes `load` THROW ("Path does not exist"), while
+    * `pathGlobFilter` selecting zero files would silently yield an empty
+    * DataFrame — the silent-zero-rows failure class `AvroReader`'s
+    * contract calls out. A driver-side `globStatus` preflight (one cheap
+    * FS listing) restores the loud error.
     */
   private[graft] def binaryFiles(spark: SparkSession, path: String): DataFrame = {
     val slash = path.lastIndexOf('/')
     val (dir, name) =
       if (slash < 0) (".", path) else (path.substring(0, slash), path.substring(slash + 1))
     val globChars = Set('*', '?', '[', '{')
-    if (name.exists(globChars) && !dir.exists(globChars) && slash > 0)
+    if (name.exists(globChars) && !dir.exists(globChars) && slash > 0) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val matched = fs.globStatus(p)
+      if (matched == null || matched.isEmpty)
+        throw new IllegalArgumentException(
+          s"Path does not exist (glob matched no files): $path")
       spark.read.format("binaryFile").option("pathGlobFilter", name).load(dir)
-    else spark.read.format("binaryFile").load(path)
+    } else spark.read.format("binaryFile").load(path)
   }
 
   /** S1 — CSV with header + type inference (reference `app.py:178-179`). */

@@ -184,6 +184,16 @@ object Dedup {
         size() > 256
     })
 
+  /** Per-key in-flight probes: concurrent callers of the SAME plan share
+    * one probe job without serializing probes of UNRELATED corpora behind
+    * the memo map's single mutex (computeIfAbsent on the synchronized LRU
+    * would hold the map-global lock for the whole Spark job — head-of-line
+    * blocking for every other gated operator on a multi-tenant driver).
+    */
+  private val gateInFlight =
+    new java.util.concurrent.ConcurrentHashMap[(Int, BigInt),
+      java.util.concurrent.CompletableFuture[DupStats]]
+
   /** Probe/test hook: drop every memoized gate verdict (so a probe can
     * time the eager construction job instead of a memo hit). */
   private[graft] def gateCacheClear(): Unit = gateCache.clear()
@@ -220,27 +230,40 @@ object Dedup {
     val probed = df.select(key.as("__k"))
     val memoKey = (probed.queryExecution.analyzed.semanticHash(),
       probed.queryExecution.optimizedPlan.stats.sizeInBytes)
-    // computeIfAbsent (synchronized by the map wrapper): concurrent
-    // callers probing the same plan block on the one probe instead of each
-    // racing a redundant job — the probe runs under the memo lock, which
-    // is exactly the dedup we want (both outcomes are row-identical, so a
-    // waiting caller losing a few hundred ms beats a duplicate corpus scan).
-    gateCache.computeIfAbsent(memoKey, _ => {
+    val hit = gateCache.get(memoKey)
+    if (hit != null) return hit
+    // Per-KEY dedup with the probe OUTSIDE any map-wide lock (see
+    // [[gateInFlight]]): same-plan racers join the one job's future;
+    // different-plan probes run concurrently. Both gate outcomes are
+    // row-identical, so a waiter losing a few hundred ms still beats a
+    // duplicate corpus scan.
+    val fresh = new java.util.concurrent.CompletableFuture[DupStats]
+    val prior = gateInFlight.putIfAbsent(memoKey, fresh)
+    if (prior != null) return prior.join()
+    try {
       val inSample = pmod(xxhash64(col("__k")), lit(8L)) === 0L
       // ONE job, always: the full-population HLL rides the same aggregate
-      // as a fourth column (merge-only, hashes keys the sample column
-      // skipped — cheap) so the tiny-sample fallback never needs a second
-      // pass. Sampled estimate when the sample is stable, population HLL
-      // below 4096 sampled rows (< ~32k-row corpora).
+      // as a fourth column so the tiny-sample fallback never needs a
+      // second pass. Its cost is one extra hash per key inside a scan the
+      // sampling predicate already hashes every key for — marginal against
+      // the scan itself at any size, and strictly cheaper than the second
+      // full-input job it replaces wherever that fallback would fire.
+      // Sampled estimate when the sample is stable, population HLL below
+      // 4096 sampled rows (< ~32k-row corpora).
       val s = probed.agg(
         count(lit(1)).as("n"),
         count(when(inSample, lit(1))).as("ns"),
         approx_count_distinct(when(inSample, col("__k"))).as("ds"),
         approx_count_distinct(col("__k")).as("d")).head()
       val (n, ns, ds, d) = (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
-      DupStats(n,
+      val v = DupStats(n,
         if (ns >= 4096L) ds * 10L < ns * 9L else d * 10L < n * 9L)
-    })
+      gateCache.put(memoKey, v)
+      fresh.complete(v)
+      v
+    } catch {
+      case e: Throwable => fresh.completeExceptionally(e); throw e
+    } finally gateInFlight.remove(memoKey)
   }
 
   /** The per-document chain (no collapse) — optimal for all-distinct

@@ -428,6 +428,22 @@ object Multimodal {
     payload.substr(pos, len)
   }
 
+  /** Shared map-only scaffold for the per-payload media transforms: one
+    * output row per (media_id, payload) row whose decode-transform `f`
+    * accepts; rows `f` declines (undecodable / wrong codec) are dropped —
+    * the [[imageDHash]] convention. Keeps the five media functions one
+    * lambda each instead of five copies of the encoder/fieldIndex/
+    * mapPartitions boilerplate.
+    */
+  private def mapPayload[T](media: DataFrame)(f: (Long, Array[Byte]) => Option[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap(r => f(r.getLong(idIdx), r.getAs[Array[Byte]](payloadIdx)))
+    }
+  }
+
   /** REAL image resize: decode (exact 24-bit BMP parser first, else JDK
     * ImageIO — full RGB, never a luma collapse) → nearest-neighbor integer
     * resample (source pixel of output (x, y) is (x·w div outW, y·h div
@@ -441,27 +457,26 @@ object Multimodal {
     require(outW > 0 && outH > 0 && outW.toLong * outH <= Int.MaxValue / 4,
       s"bad target dims ${outW}x$outH")
     import graft.functions.MediaCodecs
-    val enc = org.apache.spark.sql.Encoders.tuple(
-      org.apache.spark.sql.Encoders.scalaLong,
-      org.apache.spark.sql.Encoders.BINARY)
-    val idIdx = media.schema.fieldIndex("media_id")
-    val payloadIdx = media.schema.fieldIndex("payload")
-    media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val bytes = r.getAs[Array[Byte]](payloadIdx)
-        MediaCodecs.decodeImageRgb(bytes).map { case (w, h, px) =>
-          val out = new Array[(Byte, Byte, Byte)](outW * outH)
-          var i = 0
-          while (i < out.length) {
-            val p = px((i / outW * h / outH) * w + (i % outW * w / outW))
-            out(i) = (((p >> 16) & 0xff).toByte, ((p >> 8) & 0xff).toByte,
-              (p & 0xff).toByte)
-            i += 1
-          }
-          (r.getLong(idIdx), MediaCodecs.encodeBmp(outW, outH, out))
+    mapPayload(media) { (id, bytes) =>
+      MediaCodecs.decodeImageRgb(bytes).map { case (w, h, px) =>
+        val out = new Array[(Byte, Byte, Byte)](outW * outH)
+        var i = 0
+        while (i < out.length) {
+          // Long intermediates: (x·w) and (y·h) overflow Int for large
+          // valid dims (w·h ≤ MaxInt does not bound x·w at big outW) —
+          // the resampleAudio overflow class. The final index is < w·h.
+          val sy = ((i / outW).toLong * h / outH).toInt
+          val sx = ((i % outW).toLong * w / outW).toInt
+          val p = px(sy * w + sx)
+          out(i) = (((p >> 16) & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+            (p & 0xff).toByte)
+          i += 1
         }
+        (id, MediaCodecs.encodeBmp(outW, outH, out))
       }
-    }(enc).toDF("media_id", "payload")
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.BINARY)).toDF("media_id", "payload")
   }
 
   /** REAL audio resample (sample-rate conversion) for mono 8-bit PCM WAVs:
@@ -476,32 +491,26 @@ object Multimodal {
   def resampleAudio(media: DataFrame, dstRate: Int): DataFrame = {
     require(dstRate > 0, s"bad target rate $dstRate")
     import graft.functions.MediaCodecs
-    val enc = org.apache.spark.sql.Encoders.tuple(
-      org.apache.spark.sql.Encoders.scalaLong,
-      org.apache.spark.sql.Encoders.BINARY)
-    val idIdx = media.schema.fieldIndex("media_id")
-    val payloadIdx = media.schema.fieldIndex("payload")
-    media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val bytes = r.getAs[Array[Byte]](payloadIdx)
-        MediaCodecs.decodeWavPcm8(bytes).map { case (srcRate, samples) =>
-          val outL = samples.length.toLong * dstRate / srcRate
-          // a caller error (absurd upsample factor), not bad data — fail
-          // the task loudly instead of silently truncating the output
-          require(outL <= Int.MaxValue - 8,
-            s"resample of ${samples.length} samples $srcRate->$dstRate Hz " +
-              s"would need $outL samples")
-          val outN = outL.toInt
-          val out = new Array[Byte](outN)
-          var j = 0
-          while (j < outN) {
-            out(j) = samples((j.toLong * srcRate / dstRate).toInt)
-            j += 1
-          }
-          (r.getLong(idIdx), MediaCodecs.encodeWav(out, dstRate))
+    mapPayload(media) { (id, bytes) =>
+      MediaCodecs.decodeWavPcm8(bytes).map { case (srcRate, samples) =>
+        val outL = samples.length.toLong * dstRate / srcRate
+        // a caller error (absurd upsample factor), not bad data — fail
+        // the task loudly instead of silently truncating the output
+        require(outL <= Int.MaxValue - 8,
+          s"resample of ${samples.length} samples $srcRate->$dstRate Hz " +
+            s"would need $outL samples")
+        val outN = outL.toInt
+        val out = new Array[Byte](outN)
+        var j = 0
+        while (j < outN) {
+          out(j) = samples((j.toLong * srcRate / dstRate).toInt)
+          j += 1
         }
+        (id, MediaCodecs.encodeWav(out, dstRate))
       }
-    }(enc).toDF("media_id", "payload")
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.BINARY)).toDF("media_id", "payload")
   }
 
   /** (media_id, sample_rate, samples) for every mono 8-bit PCM WAV payload
@@ -510,21 +519,15 @@ object Multimodal {
     */
   def audioPcmSamples(media: DataFrame): DataFrame = {
     import graft.functions.MediaCodecs
-    val enc = org.apache.spark.sql.Encoders.tuple(
+    mapPayload(media) { (id, bytes) =>
+      MediaCodecs.decodeWavPcm8(bytes).map { case (rate, samples) =>
+        (id, rate, samples.iterator.map(b => (b & 0xff).toString).mkString("|"))
+      }
+    }(org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.scalaLong,
       org.apache.spark.sql.Encoders.scalaInt,
-      org.apache.spark.sql.Encoders.STRING)
-    val idIdx = media.schema.fieldIndex("media_id")
-    val payloadIdx = media.schema.fieldIndex("payload")
-    media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val bytes = r.getAs[Array[Byte]](payloadIdx)
-        MediaCodecs.decodeWavPcm8(bytes).map { case (rate, samples) =>
-          (r.getLong(idIdx), rate,
-            samples.iterator.map(b => (b & 0xff).toString).mkString("|"))
-        }
-      }
-    }(enc).toDF("media_id", "sample_rate", "samples")
+      org.apache.spark.sql.Encoders.STRING))
+      .toDF("media_id", "sample_rate", "samples")
   }
 
   /** (media_id, width, height, pixels) for every decodable image payload —
@@ -534,21 +537,16 @@ object Multimodal {
     */
   def imageGrayPixels(media: DataFrame): DataFrame = {
     import graft.functions.MediaCodecs
-    val enc = org.apache.spark.sql.Encoders.tuple(
+    mapPayload(media) { (id, bytes) =>
+      MediaCodecs.decodeImageGray(bytes).map { case (w, h, gray) =>
+        (id, w, h, gray.mkString("|"))
+      }
+    }(org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.scalaLong,
       org.apache.spark.sql.Encoders.scalaInt,
       org.apache.spark.sql.Encoders.scalaInt,
-      org.apache.spark.sql.Encoders.STRING)
-    val idIdx = media.schema.fieldIndex("media_id")
-    val payloadIdx = media.schema.fieldIndex("payload")
-    media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val bytes = r.getAs[Array[Byte]](payloadIdx)
-        MediaCodecs.decodeImageGray(bytes).map { case (w, h, gray) =>
-          (r.getLong(idIdx), w, h, gray.mkString("|"))
-        }
-      }
-    }(enc).toDF("media_id", "width", "height", "pixels")
+      org.apache.spark.sql.Encoders.STRING))
+      .toDF("media_id", "width", "height", "pixels")
   }
 
   // --------------------------------------------------- perceptual hashing
@@ -585,18 +583,13 @@ object Multimodal {
     */
   def imageDHash(media: DataFrame): DataFrame = {
     import graft.functions.MediaCodecs
-    val enc = org.apache.spark.sql.Encoders.tuple(
-      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
-    val idIdx = media.schema.fieldIndex("media_id")
-    val payloadIdx = media.schema.fieldIndex("payload")
-    media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val bytes = r.getAs[Array[Byte]](payloadIdx)
-        MediaCodecs.decodeImageGray(bytes).map { case (w, h, gray) =>
-          (r.getLong(idIdx), dHash(w, h, gray))
-        }
+    mapPayload(media) { (id, bytes) =>
+      MediaCodecs.decodeImageGray(bytes).map { case (w, h, gray) =>
+        (id, dHash(w, h, gray))
       }
-    }(enc).toDF("media_id", "dhash")
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)).toDF("media_id", "dhash")
   }
 
   /** Demo IMAGE table: deterministic gray 24-bit BMPs whose pixel values,

@@ -623,6 +623,13 @@ object Similarity {
     * vectors share the bucket and every pairwise cosine, so the rep graph's
     * components expand exactly to the doc graph's, and min-rep = min-doc
     * id because each rep IS its group's min id.
+    *
+    * CACHE LIFETIME: persists the corpus-proportional membership table and
+    * the distinct-vector groups table, which this convenience wrapper
+    * cannot release — long-lived drivers should call
+    * [[embeddingDedupIdsH]] and unpersist the returned handles once the
+    * result is materialized (the same contract as
+    * [[embeddingNearDuplicates]] / `Dedup.simhashDedupIds`).
     */
   def embeddingDedupIds(corpus: DataFrame, threshold: Double,
                         numPlanes: Int, dim: Int): DataFrame =
@@ -642,9 +649,13 @@ object Similarity {
     // One representative (min id) per DISTINCT vector — the same group /
     // membership construction as [[embedPairsCollapsed]] (and the same
     // row-identity argument), plus the group size for the self-dup test.
+    // PERSISTED: three consumers read it (the rep self-join behind the
+    // eager CC, the membership join, the selfDup branch) — unpersisted,
+    // each re-runs the corpus-wide full-vector hash aggregate.
     val groups = c.groupBy(col("vec"))
       .agg(min(col("id")).as("rid"), min(col("bucket")).as("bucket"),
         min(col("nrm")).as("nrm"), count(lit(1)).as("gsz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val membership = c
       .join(groups.select(col("vec"), col("rid")).hint("shuffle_hash"), Seq("vec"))
       .select(col("rid"), col("id"))
@@ -682,7 +693,7 @@ object Similarity {
       .join(repLabel.hint("shuffle_hash"), Seq("rid"))
       .filter(col("id") =!= col("component"))
       .select(col("component").as("survivor"), col("id").as("dropped_id"))
-    (dropped, Seq(membership))
+    (dropped, Seq(membership, groups))
   }
 
   /** Cross-set embedding near-dup — semantic DECONTAMINATION: every corpus

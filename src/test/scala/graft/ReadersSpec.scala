@@ -687,4 +687,19 @@ class ReadersSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("a", "b"))
     assert(df.count() == 2)
   }
+
+  test("binaryFiles glob that matches nothing fails loudly, not as zero rows") {
+    // The pathGlobFilter rewrite (r16 bench-tail fix) must not soften the
+    // bare-glob failure mode: a non-matching glob used to THROW from load;
+    // the preflight keeps it throwing instead of yielding a silent empty
+    // DataFrame over a non-empty directory.
+    val dir = tmpDir("glob_")
+    write(dir, "page.html", "<html/>".getBytes(StandardCharsets.UTF_8))
+    val e = intercept[IllegalArgumentException] {
+      Readers.binaryFiles(spark, dir + "/*.htm")
+    }
+    assert(e.getMessage.contains("glob matched no files"))
+    // and a matching glob still reads
+    assert(Readers.binaryFiles(spark, dir + "/*.html").count() == 1)
+  }
 }
