@@ -126,4 +126,25 @@ class GateSpec extends SparkSpec {
     assert(st.rows == 4L && st.material,
       s"probe stats should see 4 rows, 50% duplicated: $st")
   }
+
+  test("concurrent same-plan probes share ONE job; results agree (per-key in-flight dedup)") {
+    docs.count() // warm lazy session state outside the counted window
+    // baseline: what ONE probe costs in jobs (AQE may submit >1 per query)
+    Dedup.gateCacheClear()
+    val solo = jobsDuring { Dedup.duplicationStats(docs, col("text")) }
+    Dedup.gateCacheClear()
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Dedup.DupStats]
+    val jobs = jobsDuring {
+      val threads = (1 to 4).map { _ =>
+        new Thread(() =>
+          results.add(Dedup.duplicationStats(docs, col("text"))))
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+    }
+    assert(jobs == solo,
+      s"4 racing probes of the same plan must share one probe's jobs ($solo), ran $jobs")
+    val rs = results.toArray(Array.empty[Dedup.DupStats])
+    assert(rs.length == 4 && rs.toSet.size == 1 && rs.head.rows == 4L,
+      s"all racers must see the one probe's stats: ${rs.toSeq}")
+  }
 }
