@@ -298,7 +298,7 @@ object Bench {
       case (k, med, sp) if isNoisy(med, sp) => "\"" + k + "\""
     }
     def line(fmt: Double => String, full: Boolean,
-             omitZeros: Boolean = false): String = {
+             omitZeros: Boolean = false, floorMs: Int = 150): String = {
       def key(k: String) = if (full) k else k.stripPrefix("q_")
       val rendered = okRows.map { case (k, v, _) => (key(k), fmt(v)) }
       val (zeros, kept) =
@@ -307,7 +307,7 @@ object Bench {
       val qs = kept.map { case (k, s) => "\"" + k + "\":" + s }
         .mkString("{", ",", "}")
       val omitted = if (zeros.nonEmpty)
-        s""","sub150ms_omitted":${zeros.length}""" else ""
+        s""","omit_floor_ms":$floorMs,"omitted":${zeros.length}""" else ""
       // failure + floor-suspect markers ride BOTH lines (compact: only when
       // non-empty, to protect the tail budget) — a consumer that ignores
       // the exit code must still be unable to read a broken or
@@ -350,23 +350,49 @@ object Bench {
       else s
     def compact(v: Double): String =
       strip(if (v >= 0.995) f"$v%.1f" else f"$v%.2f")
-    // belt-and-braces for future query additions, three tiers: (1) the
-    // compact line; if that outgrows the tail budget (driver keeps the
-    // LAST 2000 stdout chars; "[info] " prefix + sbt's success line eat
-    // ~80), (2) coarsen sub-second values to one decimal; if STILL over,
-    // (3) render sub-150ms entries as 0 and drop them from the map,
-    // reporting how many ("sub150ms_omitted"). Full precision is in
+    // belt-and-braces for future query additions, a LENGTH-CHECKED tier
+    // ladder: (1) the compact line; if that outgrows the tail budget
+    // (driver keeps the LAST 2000 stdout chars; "[info] " prefix + sbt's
+    // success line eat ~80), (2) coarsen sub-second values to one decimal;
+    // if STILL over, (3) drop entries below an omission floor, raising the
+    // floor (150→250→…→4950 ms) until the line fits, reporting the floor
+    // and count ("omit_floor_ms"/"omitted"); (4) a ~120-char total-only
+    // object that can never outgrow the tail. Full precision is in
     // graft_bench_full.json at every tier.
     def coarse(v: Double): String = strip(f"$v%.1f")
-    def floor150(v: Double): String = if (v < 0.15) "0" else coarse(v)
+    def floorAt(th: Double)(v: Double): String = if (v < th) "0" else coarse(v)
     val budget = 1910
     val t1 = line(compact, full = false)
     lazy val t2 = line(coarse, full = false)
-    lazy val t3 = line(floor150, full = false, omitZeros = true)
+    // Tier 3+ raises the omission floor until the line FITS — the r16
+    // lesson (BENCH_r16.json "parsed": null): the old fixed-150 ms tier 3
+    // was chosen unconditionally, and at 105 battery rows it was itself
+    // 2.03 KB, so the driver's 2 KB tail started mid-line and decapitated
+    // the JSON. Every tier is now length-checked; the total-only last
+    // resort is ~120 chars and can never outgrow the tail.
+    lazy val t3 = Seq(150, 250, 450, 950, 1950, 4950)
+      .view
+      .map(ms => line(floorAt(ms / 1000.0), full = false,
+        omitZeros = true, floorMs = ms))
+      .find(_.length <= budget)
+    lazy val totalOnly = {
+      val sf = java.nio.file.Paths.get(sfDir).getFileName.toString
+      val cf = (v: Double) => strip(f"$v%.2f")
+      val flagged =
+        (if (failed.nonEmpty)
+          failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+        else "") +
+        (if (floorSuspect.nonEmpty)
+          floorSuspect.mkString(""","floor_suspect":[""", ",", "]")
+        else "")
+      s"""{"metric":"total","value":${compact(total)},""" +
+        s""""canary":[${cf(canaryPre)},${cf(canaryPost)}],""" +
+        s""""queries":{},"omitted":${okRows.length}$flagged,"sf":"$sf"}"""
+    }
     val chosen =
       if (t1.length <= budget) t1
       else if (t2.length <= budget) t2
-      else t3
+      else t3.getOrElse(totalOnly)
     // The compact line ALSO lands at a fixed well-known path: three driver
     // rounds (BENCH_r11-13) recorded "parsed": null because the stdout copy
     // sat behind an sbt "[info] " prefix mid-tail. A file the driver (or a

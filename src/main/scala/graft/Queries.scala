@@ -55,6 +55,16 @@ object Queries {
     ev.withColumn("ts_us", tsUsCol(ev))
   }
 
+  /** Scale factor parsed from the fixture dir name (`sf0.1` → 0.1, `sf3` →
+    * 3.0); 0 for non-sf-named dirs, so scale-conditional fixture bounds
+    * (q_dedup_simhash) never fire on custom data.
+    */
+  private def sfOf(dir: String): Double = {
+    val n = Paths.get(dir).getFileName.toString
+    if (n.startsWith("sf")) scala.util.Try(n.drop(2).toDouble).getOrElse(0.0)
+    else 0.0
+  }
+
   // ---------------------------------------------------------------- fixtures
 
   /** Per-sf fixture scratch dir (rendered from testdata, deterministic). */
@@ -1824,11 +1834,23 @@ object Queries {
               |FROM comp GROUP BY component ORDER BY component""".stripMargin)),
 
     ("q_dedup_simhash",
-      (s: SparkSession, d: String) =>
-        Dedup.simhashNearDuplicates(tbl(s, d, "documents"), "doc_id", "text",
+      (s: SparkSession, d: String) => {
+        // The pair AUDIT's output is quadratic in duplicate-group size by
+        // contract; on the ×30 ScaleUp corpus it emits 3.0 B pairs and this
+        // one row was 28 % of the whole r16 sf3 battery — an output-size
+        // signal, not an engine signal. At sf ≥ 3 the FIXTURE bounds the
+        // input to the sf1 corpus prefix (the dedup_recall precedent; the
+        // API and the sf0.01 oracle stay unbounded), so sf3+ totals keep
+        // measuring the engine. Dedup consumers use q_simhash_dedup_ids,
+        // whose output is linear at any scale.
+        val docs0 = tbl(s, d, "documents")
+        val docs = if (sfOf(d) >= 3) docs0.filter(col("doc_id") < 50000L)
+          else docs0
+        Dedup.simhashNearDuplicates(docs, "doc_id", "text",
           bits = 16, maxDistance = 3)
           .select(col("id_a"), col("id_b"), col("distance").cast("int").as("distance"))
-          .orderBy("id_a", "id_b"),
+          .orderBy("id_a", "id_b")
+      },
       Some(s"""WITH sig AS (SELECT doc_id, ${dSimhash(16)} AS sg FROM documents)
               |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               | (SELECT count(*) FROM generate_series(1, 16) g(i)

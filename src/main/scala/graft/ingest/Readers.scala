@@ -42,7 +42,19 @@ object Readers {
     * `pathGlobFilter` selecting zero files would silently yield an empty
     * DataFrame — the silent-zero-rows failure class `AvroReader`'s
     * contract calls out. A driver-side `globStatus` preflight (one cheap
-    * FS listing) restores the loud error.
+    * FS listing) restores the loud error, counting only entries the file
+    * index will actually read: non-hidden (no `_`/`.` prefix — Spark's
+    * own exclusion rule) REGULAR files, so a glob matching only a
+    * sidecar dir or dotfile still fails loud instead of yielding a
+    * silent empty frame.
+    *
+    * The rewrite also must not WIDEN the match: `load(dir)` lists
+    * recursively (partition discovery), so with a subdirectory present
+    * `pathGlobFilter` would pick up nested files the bare glob (direct
+    * children only) never matched. Directories with visible subdirs
+    * therefore keep the bare-glob load — original semantics, at the cost
+    * of the benign `_spark_metadata` probe WARN the rewrite exists to
+    * avoid (our fixtures are flat; the WARN-free path covers them).
     */
   private[graft] def binaryFiles(spark: SparkSession, path: String): DataFrame = {
     val slash = path.lastIndexOf('/')
@@ -52,11 +64,20 @@ object Readers {
     if (name.exists(globChars) && !dir.exists(globChars) && slash > 0) {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val matched = fs.globStatus(p)
-      if (matched == null || matched.isEmpty)
+      def visible(st: org.apache.hadoop.fs.FileStatus): Boolean = {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+        .filter(st => st.isFile && visible(st))
+      if (matched.isEmpty)
         throw new IllegalArgumentException(
-          s"Path does not exist (glob matched no files): $path")
-      spark.read.format("binaryFile").option("pathGlobFilter", name).load(dir)
+          s"Path does not exist (glob matched no readable files): $path")
+      val flat = !fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .exists(st => st.isDirectory && visible(st))
+      if (flat)
+        spark.read.format("binaryFile").option("pathGlobFilter", name).load(dir)
+      else spark.read.format("binaryFile").load(path)
     } else spark.read.format("binaryFile").load(path)
   }
 

@@ -239,8 +239,23 @@ object Dedup {
     // duplicate corpus scan.
     val fresh = new java.util.concurrent.CompletableFuture[DupStats]
     val prior = gateInFlight.putIfAbsent(memoKey, fresh)
-    if (prior != null) return prior.join()
+    if (prior != null) {
+      // Re-throw the winner's ORIGINAL exception type, not the
+      // CompletionException join() wraps it in — callers match on Spark
+      // exception classes.
+      try return prior.join()
+      catch {
+        case e: java.util.concurrent.CompletionException
+            if e.getCause != null => throw e.getCause
+      }
+    }
     try {
+      // Won the in-flight slot — but a racer that read the memo before the
+      // previous winner's put and reached putIfAbsent only after its
+      // finally-remove would re-run the probe job; one memo re-check here
+      // closes that window.
+      val replay = gateCache.get(memoKey)
+      if (replay != null) { fresh.complete(replay); return replay }
       val inSample = pmod(xxhash64(col("__k")), lit(8L)) === 0L
       // ONE job, always: the full-population HLL rides the same aggregate
       // as a fourth column so the tiny-sample fallback never needs a
@@ -437,7 +452,8 @@ object Dedup {
     val keyed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
     if (collapse.getOrElse(duplicationMaterial(keyed, col("__text")))) {
       val r = minhashCollapsedRep(keyed, threshold, numHashes, bands, shingleSize)
-      val comp = connectedComponents(r.repVerified.select("id_a", "id_b"))
+      val comp = connectedComponents(r.repVerified.select("id_a", "id_b"),
+          toFixpoint = true)
         .withColumnRenamed("id", "__rid")
       // duplicated groups that cleared the same-text threshold but have no
       // cross-group edge are still clusters of their own (label = rep id)
@@ -453,7 +469,8 @@ object Dedup {
     } else {
       val (verified, caches) =
         minhashPerDoc(keyed, threshold, numHashes, bands, shingleSize)
-      (connectedComponents(verified.select("id_a", "id_b")), caches)
+      (connectedComponents(verified.select("id_a", "id_b"),
+        toFixpoint = true), caches)
     }
   }
 
@@ -506,18 +523,31 @@ object Dedup {
     * first-agreeing-segment ownership (a pair matching several segments is
     * emitted only at its first — a bit-op filter, not a distinct shuffle)
     * → exact Hamming verify. The segment table is persisted because it
-    * feeds both join sides; in a long-lived session pair this with
-    * `spark.catalog.clearCache()` between unrelated jobs (the bench does).
+    * feeds both join sides; long-lived sessions use [[bandedHammingJoinH]]
+    * and unpersist the returned handle once the pairs are materialized
+    * (one-shot callers can instead rely on session end or
+    * `spark.catalog.clearCache()`, as the bench does).
     */
   private[graft] def bandedHammingJoin(hashes: DataFrame, bits: Int,
-                                       maxDistance: Int): DataFrame = {
+                                       maxDistance: Int): DataFrame =
+    bandedHammingJoinH(hashes, bits, maxDistance)._1
+
+  /** [[bandedHammingJoin]] plus the persisted handles (the H(andle)
+    * convention): the segment table on the wide path, the (id, sig) and
+    * distinct-sig tables on the collapsed path — all corpus- or
+    * value-proportional. Unpersist them once the pair result is
+    * materialized; the no-handle wrapper leaves them to session end /
+    * `clearCache()`.
+    */
+  private[graft] def bandedHammingJoinH(hashes: DataFrame, bits: Int,
+                                        maxDistance: Int): (DataFrame, Seq[DataFrame]) = {
     require(bits >= 1 && bits <= 64, s"bad fingerprint width $bits")
     require(maxDistance >= 0 && maxDistance < bits,
       s"bad maxDistance $maxDistance for $bits bits")
     if (useCollapsedHamming(bits, maxDistance))
-      collapsedHammingJoin(hashes, bits, maxDistance)
+      collapsedHammingJoinH(hashes, bits, maxDistance)
     else
-      segmentedHammingJoin(hashes, bits, maxDistance)
+      segmentedHammingJoinH(hashes, bits, maxDistance)
   }
 
   /** Dispatch rule for [[bandedHammingJoin]]. Narrow fingerprints (≤ 2^20
@@ -541,7 +571,11 @@ object Dedup {
     * path; also reachable directly for A/B probes).
     */
   private[graft] def segmentedHammingJoin(hashes: DataFrame, bits: Int,
-                                          maxDistance: Int): DataFrame = {
+                                          maxDistance: Int): DataFrame =
+    segmentedHammingJoinH(hashes, bits, maxDistance)._1
+
+  private[graft] def segmentedHammingJoinH(hashes: DataFrame, bits: Int,
+                                           maxDistance: Int): (DataFrame, Seq[DataFrame]) = {
     val nSeg = maxDistance + 1
     val segLen = math.ceil(bits.toDouble / nSeg).toInt
     // Segment s of a fingerprint, as a small int (long bits from the top,
@@ -560,7 +594,7 @@ object Dedup {
       when(col("seg") > t, segOf(col("sig_a"), t) =!= segOf(col("sig_b"), t))
         .otherwise(lit(true))
     }.reduceOption(_ && _).getOrElse(lit(true))
-    segmented
+    val pairs = segmented
       .select(col("seg"), col("segval"), col("id").as("id_a"), col("sig").as("sig_a"))
       .join(segmented.select(col("seg"), col("segval"),
           col("id").as("id_b"), col("sig").as("sig_b"))
@@ -570,6 +604,7 @@ object Dedup {
       .withColumn("distance", hammingDistance(col("sig_a"), col("sig_b")))
       .filter(col("distance") <= maxDistance)
       .select("id_a", "id_b", "distance")
+    (pairs, Seq(segmented))
   }
 
   /** Narrow-fingerprint Hamming join via distinct-value collapse + XOR-mask
@@ -625,7 +660,11 @@ object Dedup {
   }
 
   private[graft] def collapsedHammingJoin(hashes: DataFrame, bits: Int,
-                                          maxDistance: Int): DataFrame = {
+                                          maxDistance: Int): DataFrame =
+    collapsedHammingJoinH(hashes, bits, maxDistance)._1
+
+  private[graft] def collapsedHammingJoinH(hashes: DataFrame, bits: Int,
+                                           maxDistance: Int): (DataFrame, Seq[DataFrame]) = {
     val sigs = hashes.select(col("id"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val distinctSigs = sigs.select("sig").distinct()
@@ -655,7 +694,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         lit(0).cast("int").as("distance"))
-    cross.union(same)
+    (cross.union(same), Seq(sigs, distinctSigs))
   }
 
   /** Survivor-oriented SimHash dedup: one row `(survivor, dropped_id)` per
@@ -671,16 +710,14 @@ object Dedup {
     * cluster cost O(m) rows end to end. Anti-joining the corpus against
     * `dropped_id` materializes the deduped corpus.
     *
-    * CACHE LIFETIME: the narrow path persists the corpus-proportional
-    * fingerprint table, which this convenience wrapper cannot release.
-    * One-shot callers are fine — session end or
-    * `spark.catalog.clearCache()` reclaims it — but long-lived drivers
+    * CACHE LIFETIME: both dispatch paths persist corpus-proportional
+    * intermediates (the fingerprint table on the narrow path, the segment
+    * table on the wide path) that this convenience wrapper cannot
+    * release. One-shot callers are fine — session end or
+    * `spark.catalog.clearCache()` reclaims them — but long-lived drivers
     * should call [[simhashDedupIdsH]] and unpersist the returned handles
     * once the result is materialized (the deterministic-release pattern
-    * every internal composite uses). The wide path's segment table is
-    * persisted inside [[segmentedHammingJoin]] with no handle (the
-    * pre-existing [[bandedHammingJoin]] convention) — there only
-    * clearCache reclaims it.
+    * every internal composite uses).
     */
   def simhashDedupIds(df: DataFrame, idCol: String, textCol: String,
                       bits: Int = 16, maxDistance: Int = 3): DataFrame =
@@ -738,7 +775,8 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val valuePairs = hammingValuePairs(distinctSigs, bits, maxDistance)
       val comp = connectedComponents(valuePairs
-          .select(col("sig_a").as("id_a"), col("sig_b").as("id_b")))
+          .select(col("sig_a").as("id_a"), col("sig_b").as("id_b")),
+          toFixpoint = true)
         .select(col("id").as("sig"), col("component"))
       val labeled = sigs.join(broadcast(comp), Seq("sig"), "left")
         .select(col("id"), coalesce(col("component"), col("sig")).as("__lbl"))
@@ -749,12 +787,18 @@ object Dedup {
         .select(col("survivor"), col("id").as("dropped_id"))
       (dropped, Seq(sigs, distinctSigs))
     } else {
-      val pairs = segmentedHammingJoin(hashes, bits, maxDistance)
+      val (pairs, caches) = segmentedHammingJoinH(hashes, bits, maxDistance)
       val dropped = connectedComponents(
-          pairs.select(col("id_a"), col("id_b")))
+          pairs.select(col("id_a"), col("id_b")), toFixpoint = true)
         .filter(col("id") =!= col("component"))
         .select(col("component").as("survivor"), col("id").as("dropped_id"))
-      (dropped, Seq.empty)
+      // The CC labels are checkpointed by the eager loop, so `dropped`
+      // reads executor blocks only and never re-touches the segment
+      // table — but Spark keeps the segment persist's blocks until an
+      // explicit unpersist. Hand the handle out (r16 What's-wrong #3) so
+      // long-lived callers release the corpus-proportional cache
+      // deterministically instead of via clearCache().
+      (dropped, caches)
     }
   }
 
@@ -826,7 +870,11 @@ object Dedup {
     * If the loop hits `maxIters` before the fixpoint (diameter > maxIters),
     * a WARNING is logged and the partially-propagated labels are returned —
     * downstream dedup would then under-merge, so the log line is the signal
-    * to raise `maxIters`.
+    * to raise `maxIters`. Callers that advertise EXACT transitive closure
+    * (the survivor dedup-id paths, [[minhashLabelsH]]) pass
+    * `toFixpoint = true` instead: the loop then runs until convergence
+    * (guaranteed finite — min propagation is monotone on a finite label
+    * set) and `maxIters` degrades to a soft logging threshold.
     *
     * @param pairs undirected edges as two id columns (`id_a`, `id_b`).
     * @param checkpointDir when set, label tables use RELIABLE `checkpoint`
@@ -871,7 +919,8 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
                           checkpointDir: Option[String] = None,
                           driverCutoff: Long = 2000000L,
-                          driverCutoffBytes: Long = 256L << 20): DataFrame = {
+                          driverCutoffBytes: Long = 256L << 20,
+                          toFixpoint: Boolean = false): DataFrame = {
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         val sc = pairs.sparkSession.sparkContext
@@ -965,7 +1014,14 @@ object Dedup {
     var iter = 0
     var converged = false
     val loopStart = System.nanoTime()
-    while (iter < maxIters && !converged) {
+    // min-label propagation is monotone on a finite label set, so the
+    // fixpoint ALWAYS exists and the toFixpoint loop always terminates
+    // (in ≤ diameter rounds); maxIters is then only a log threshold. The
+    // survivor dedup-id paths run with toFixpoint = true because they
+    // advertise exact transitive closure — a partially-propagated label
+    // table there silently yields under-merged clusters and wrong
+    // survivors (r16 advice).
+    while ((toFixpoint || iter < maxIters) && !converged) {
       val roundStart = System.nanoTime()
       // closed-neighborhood min: own label ∪ labels arriving over edges.
       // The own row carries its label twice — the `prev` copy survives the
@@ -987,6 +1043,10 @@ object Dedup {
       log.info(f"connectedComponents: round $iter took " +
         f"${(System.nanoTime() - roundStart) / 1e9}%.2fs" +
         (if (converged) " (fixpoint)" else ""))
+      if (toFixpoint && iter == maxIters && !converged)
+        log.warn(s"connectedComponents: past $maxIters rounds without a " +
+          "fixpoint (toFixpoint mode — continuing; diameter exceeds the " +
+          "soft threshold)")
     }
     // cost attribution for the sf1 heavy tail: rounds × per-round job
     // overhead vs data volume. Similarity graphs are clique-ish (diameter

@@ -682,7 +682,7 @@ object Similarity {
     // min-label components over the rep graph (EAGER, checkpointed); a
     // component's label = its min rid = the cluster's min doc id, because
     // every rep is its own group's min id — so the label IS the survivor.
-    val comp = Dedup.connectedComponents(repEdges)
+    val comp = Dedup.connectedComponents(repEdges, toFixpoint = true)
       .withColumnRenamed("id", "rid")
     // reps in clusters: graph components ∪ self-dup singleton groups (a
     // duplicated vector with no cross-group edge is still a cluster)

@@ -106,6 +106,29 @@ class GateSpec extends SparkSpec {
     assert(none.isEmpty)
   }
 
+  test("imageDedupIdsH threads the wide-path segment persist out for deterministic release") {
+    // 64-bit dHashes take the segmented (wide-fingerprint) branch — the
+    // segment table persisted inside segmentedHammingJoinH was the one
+    // H-convention gap left after r15 (r16 What's-wrong #3). The survivor
+    // frame reads only the eager CC loop's checkpointed labels, so the
+    // handle must be releasable IMMEDIATELY and the result must survive
+    // the release.
+    val hashes = Seq(
+      (1L, 0x0123456789abcdefL), (2L, 0x0123456789abcdeeL), // distance 1
+      (3L, 0x7777777777777777L), (4L, 0x7777777777777777L), // distance 0
+      (5L, 0x0000000000000000L)                             // isolated
+    ).toDF("media_id", "dhash")
+    val (out, caches) = graft.ops.Multimodal.imageDedupIdsH(hashes, maxDistance = 3)
+    assert(caches.nonEmpty, "wide path must hand back its persisted segment table")
+    assert(caches.forall(_.storageLevel == StorageLevel.MEMORY_AND_DISK))
+    caches.foreach(_.unpersist(blocking = true))
+    assert(caches.forall(_.storageLevel == StorageLevel.NONE),
+      "segment persist must be released by the returned handle, not a global clearCache")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 2L), (3L, 4L)),
+      s"survivor rows wrong after handle release: $got")
+  }
+
   test("embedding None-default gate folds bucket occupancy into the decision") {
     // 4 rows / 2^4 buckets = occupancy ≪ cutoff: even though the corpus is
     // 50 % verbatim-duplicated (the duplication term alone says collapse),

@@ -325,14 +325,17 @@ class PlanSpec extends SparkSpec {
     assert("SortMergeJoin".r.findFirstIn(plan).isEmpty &&
         "ShuffledHashJoin".r.findFirstIn(plan).isEmpty,
       s"corpus must never shuffle-join on the narrow path:\n${plan.take(3000)}")
-    // 3 = the component left-join on the probe side, the same left-join
-    // inside the survivor min-agg's build branch (labeled is evaluated on
-    // both sides of the final join; the corpus leg reads the persisted
-    // sigs, so the recompute is map-side work, not a second scan), and
-    // the survivor join itself.
+    // The invariant is "every join of the corpus is a broadcast of a
+    // value-bounded side": the component left-join (which Spark today
+    // evaluates on both sides of the final join — 2 instances) plus the
+    // survivor join. Assert the SHAPE (all joins broadcast, at least the
+    // two distinct logical joins present), not an exact operator count —
+    // a Spark/AQE upgrade that deduplicates the recomputed `labeled`
+    // subtree would change 3→2 with zero correctness impact (r16 advice).
     val broadcast = "BroadcastHashJoin".r.findAllIn(plan).length
-    assert(broadcast == 3,
-      s"expected component left-join (x2) + survivor join broadcast, " +
+    assert(broadcast >= 2 && broadcast <= 4,
+      s"expected the component left-join + survivor join as broadcasts " +
+        s"(2-4 instances depending on subtree dedup), " +
         s"got $broadcast:\n${plan.take(3000)}")
   }
 

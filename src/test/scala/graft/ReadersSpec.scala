@@ -698,8 +698,32 @@ class ReadersSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Readers.binaryFiles(spark, dir + "/*.htm")
     }
-    assert(e.getMessage.contains("glob matched no files"))
+    assert(e.getMessage.contains("glob matched no readable files"))
     // and a matching glob still reads
     assert(Readers.binaryFiles(spark, dir + "/*.html").count() == 1)
+  }
+
+  test("binaryFiles glob preflight counts only files Spark will read (r17 advice)") {
+    // A glob matching only hidden (_/.-prefixed) entries or a DIRECTORY
+    // passes globStatus but yields zero rows from the file index — the
+    // preflight must reject those too, not re-open the silent-empty hole
+    // it exists to close.
+    val dir = tmpDir("glob_hidden_")
+    write(dir, "_sidecar.html", "<html/>".getBytes(StandardCharsets.UTF_8))
+    val e = intercept[IllegalArgumentException] {
+      Readers.binaryFiles(spark, dir + "/*.html")
+    }
+    assert(e.getMessage.contains("glob matched no readable files"))
+    // A visible subdirectory flips the rewrite back to the bare-glob load
+    // (load(dir) would list RECURSIVELY and pick up nested files the bare
+    // glob never matched) — direct children still read, nested files that
+    // match the filename pattern must NOT leak in.
+    val dir2 = tmpDir("glob_nested_")
+    write(dir2, "top.html", "<html/>".getBytes(StandardCharsets.UTF_8))
+    val sub = new java.io.File(dir2, "sub")
+    assert(sub.mkdir())
+    write(sub.toString, "nested.html", "<html/>".getBytes(StandardCharsets.UTF_8))
+    assert(Readers.binaryFiles(spark, dir2 + "/*.html").count() == 1,
+      "bare-glob semantics: direct children only, even with a matching nested file")
   }
 }
