@@ -140,13 +140,28 @@ object Bench {
       }
       runs.sorted.apply(1) // median of 3
     }
+    // SUSTAINED-throughput canary (the r17 lesson): the r15→r17 dedup-family
+    // "drift" (+35 % on pure-CPU rows like dedup_recall) reproduced
+    // IDENTICALLY when the r15-boundary code was re-run on today's box —
+    // the host's sustained all-core throughput had degraded across rounds
+    // while the short canary read the SAME 0.47 s both times. A ~1.4 s
+    // all-core md5 kernel (60 M hashes) senses the turbo/bandwidth budget
+    // a 0.5 s micro-job never exercises; cross-ROUND comparisons should
+    // gate on this value the way cross-run ones gate on the short canary.
+    def canarySus(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(60000000L)
+        .selectExpr("sum(length(md5(cast(id as string))))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     // One untimed canary first: its groupBy/orderBy/limit shapes JIT-compile
     // on first use, so without this the PRE reading carries ~0.5-1.0s of
     // one-time compilation and always disagrees with POST by 2-4x on a
     // clean machine (r11 clean runs: [0.72, 0.31]; r12: [1.28, 0.34]) —
     // drowning the load signal the pre/post comparison exists to catch.
-    canary()
+    canary(); canarySus()
     val canaryPre = canary()
+    val canarySusPre = canarySus()
     // A query that THROWS must not be silently timed as near-zero: a
     // round-11 testdata format change broke 12 events queries and the
     // catch-all here recorded them as 0.05s "improvements" in two kept
@@ -287,6 +302,7 @@ object Bench {
         "\"" + name + "\""
     }
     val canaryPost = canary()
+    val canarySusPost = canarySus()
     // A query that FAILED must not ride the artifact as a near-zero "win"
     // (the r11 failure mode): failed rows are dropped from the queries map
     // and the total of BOTH artifacts; the failed list itself rides both
@@ -334,7 +350,10 @@ object Bench {
       // canary rides BOTH lines (cheap: ~22 chars): without it in stdout, a
       // contaminated run can't be recognized from the tail capture alone
       val cf = (v: Double) => strip(f"$v%.2f")
-      val can = s""""canary":[${cf(canaryPre)},${cf(canaryPost)}],"""
+      // "sus" is a SEPARATE key (not a third canary element): existing
+      // consumers regex-parse canary as exactly two floats
+      val can = s""""canary":[${cf(canaryPre)},${cf(canaryPost)}],""" +
+        s""""sus":[${cf(canarySusPre)},${cf(canarySusPost)}],"""
       s"""{"metric":"total","value":${fmt(total)},$head$can""" +
         s""""queries":$qs$extra$omitted,"sf":"$sf"}"""
     }
@@ -387,6 +406,7 @@ object Bench {
         else "")
       s"""{"metric":"total","value":${compact(total)},""" +
         s""""canary":[${cf(canaryPre)},${cf(canaryPost)}],""" +
+        s""""sus":[${cf(canarySusPre)},${cf(canarySusPost)}],""" +
         s""""queries":{},"omitted":${okRows.length}$flagged,"sf":"$sf"}"""
     }
     val chosen =

@@ -57,12 +57,16 @@ def load(path):
         if pairs and not d["tail"].lstrip().startswith("{"):
             pairs = pairs[1:]
         qs = dict(pairs)
-        for meta in ("value", "spread_max", "sub150ms_omitted", "n_runs"):
+        for meta in ("value", "spread_max", "sub150ms_omitted", "n_runs",
+                     "omit_floor_ms", "omitted"):
             qs.pop(meta, None)
         out = {"queries": qs}
         m = re.search(r'"canary":\[([0-9.]+),([0-9.]+)\]', d["tail"])
         if m:
             out["canary"] = [float(m.group(1)), float(m.group(2))]
+        m = re.search(r'"sus":\[([0-9.]+),([0-9.]+)\]', d["tail"])
+        if m:
+            out["sus"] = [float(m.group(1)), float(m.group(2))]
         return out
     return d
 
@@ -101,6 +105,24 @@ def main():
         print(f"canary (new only): {ncan}"
               + ("  !! pre/post disagree >1.5x — load changed mid-run"
                  if max(ncan) / max(min(ncan), 1e-9) > 1.5 else ""))
+
+    # Sustained-throughput canary (r17): the short canary senses scheduling
+    # contention but not multi-second all-core turbo/bandwidth budgets —
+    # the r15→r17 "drift" on pure-CPU rows reproduced identically on
+    # r15-boundary code while the short canary matched exactly. Cross-ROUND
+    # comparisons should gate on this before reading per-query deltas as
+    # regressions. (Old artifacts predating r17 carry no "sus".)
+    osus, nsus = old.get("sus"), new.get("sus")
+    if osus and nsus:
+        sratio = max(nsus) / max(min(osus), 1e-9)
+        print(f"sustained: old={osus} new={nsus} ratio={sratio:.2f}")
+        if sratio > 1.2:
+            contaminated = True
+            print("!! NEW run's sustained throughput is degraded vs OLD — "
+                  "host budget changed; per-query deltas are machine drift, "
+                  "not code")
+    elif nsus:
+        print(f"sustained (new only): {nsus}")
 
     shared = sorted(set(oq) & set(nq))
     added = sorted(set(nq) - set(oq))
