@@ -148,11 +148,18 @@ object Bench {
     // all-core md5 kernel (60 M hashes) senses the turbo/bandwidth budget
     // a 0.5 s micro-job never exercises; cross-ROUND comparisons should
     // gate on this value the way cross-run ones gate on the short canary.
+    // Median of 3 (like the short canary): a single reading in the
+    // battery-aged JVM can eat a multi-second full GC (first POST reading
+    // observed 3.5 s against a 1.3 s PRE in the same clean window) — the
+    // median reads host budget, not one collector pause.
     def canarySus(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(60000000L)
-        .selectExpr("sum(length(md5(cast(id as string))))").collect()
-      (System.nanoTime() - t0) / 1e9
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(60000000L)
+          .selectExpr("sum(length(md5(cast(id as string))))").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runs.sorted.apply(1)
     }
     // One untimed canary first: its groupBy/orderBy/limit shapes JIT-compile
     // on first use, so without this the PRE reading carries ~0.5-1.0s of

@@ -32,6 +32,21 @@ object Dedup {
         i => array_join(slice(toks, i, lit(k)), " ")))
   }
 
+  /** Exact Jaccard of two DISTINCT arrays without materializing the union:
+    * |A∪B| = |A|+|B|−|A∩B| (inclusion-exclusion, exact because both sides
+    * are `array_distinct`-ed), so one `array_intersect` pass replaces
+    * intersect + union — `array_union` was the single most expensive
+    * kernel in every verify join (it hash-builds AND materializes the
+    * merged array per pair, only to be size()-d and thrown away). The
+    * intersect appears twice textually; whole-stage codegen's
+    * subexpression elimination evaluates it once. Two empty sets stay
+    * 0/0 = NaN — the documented selfJ behavior.
+    */
+  private[graft] def jaccardDistinct(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
   /** MinHash signature as array<long> via the fused native kernel
     * [[graft.functions.MinHashSignature]] (`graft_minhash`): tokens →
     * k-shingle hashes → H permutation minima in one codegen'd loop per row —
@@ -309,9 +324,7 @@ object Dedup {
         .hint("shuffle_hash"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
         .hint("shuffle_hash"), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", jaccardDistinct(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), Nums.round6(col("jaccard")).as("jaccard"))
     (verified, Seq(banded, pairs))
@@ -371,9 +384,7 @@ object Dedup {
         .hint("shuffle_hash"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
         .hint("shuffle_hash"), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", jaccardDistinct(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), Nums.round6(col("jaccard")).as("jaccard"))
     // same-text jaccard via the SAME set expression as the verify join
@@ -1252,9 +1263,7 @@ object Dedup {
     val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", jaccardDistinct(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"))
   }
@@ -1294,7 +1303,6 @@ object Dedup {
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
         .hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
-        Nums.round6(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        Nums.round6(jaccardDistinct(col("sh_a"), col("sh_b"))).as("jaccard"))
   }
 }
