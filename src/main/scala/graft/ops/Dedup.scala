@@ -39,8 +39,16 @@ object Dedup {
     * kernel in every verify join (it hash-builds AND materializes the
     * merged array per pair, only to be size()-d and thrown away). The
     * intersect appears twice textually; whole-stage codegen's
-    * subexpression elimination evaluates it once. Two empty sets stay
-    * 0/0 = NaN — the documented selfJ behavior.
+    * subexpression elimination evaluates it once.
+    *
+    * The divisor is zero iff BOTH sides are empty — under ANSI mode
+    * (Spark 4's default, this engine's sessions) that corner THROWS
+    * `DIVIDE_BY_ZERO`, identically to the `size(array_union)` divisor it
+    * replaces. No call site can reach it: every caller feeds
+    * [[shingles]] output, which is never empty by construction (short
+    * texts clamp to one full-token shingle — the property suite pins
+    * both facts). Callers with arbitrary arrays must guarantee one
+    * non-empty side.
     */
   private[graft] def jaccardDistinct(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -387,9 +395,9 @@ object Dedup {
       .withColumn("jaccard", jaccardDistinct(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), Nums.round6(col("jaccard")).as("jaccard"))
-    // same-text jaccard via the SAME set expression as the verify join
-    // (n/n = 1.0, or 0/0 = NaN for empty-shingle texts, which passes the
-    // filter exactly as the per-doc pipeline did)
+    // same-text jaccard via the SAME set expression as the verify join.
+    // Always n/n = 1.0: shingle sets are never empty ([[shingles]] clamps
+    // short texts to one full-token shingle), so no ANSI 0/0 here.
     val selfJ = reps
       .withColumn("sh", array_distinct(shingles(col("__text"), shingleSize)))
       .withColumn("jaccard", size(col("sh")).cast("double") / size(col("sh")))

@@ -529,5 +529,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("jaccardDistinct equals the literal intersect/union form on random distinct sets") {
+    // Inclusion-exclusion (|A∪B| = |A|+|B|−|A∩B|) is exact only because
+    // both sides are array_distinct-ed; this pins the rewritten verify-join
+    // kernel to the textbook formula bit-for-bit on every reachable input
+    // (one side non-empty — the both-empty corner throws DIVIDE_BY_ZERO
+    // under ANSI in BOTH forms, and the companion test below shows no
+    // call site can produce it).
+    import org.apache.spark.sql.functions.{array_distinct, array_intersect, array_union, size}
+    val setGen = Gen.listOf(Gen.chooseNum(0, 12).map(_.toString))
+    val pairs = (samples(Gen.zip(setGen, setGen), 50) :+
+      ((List("1", "2"), List.empty[String])))
+      .filter { case (a, b) => a.nonEmpty || b.nonEmpty }
+    val df = pairs.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("i", "a", "b")
+      .select(col("i"), array_distinct(col("a")).as("a"),
+        array_distinct(col("b")).as("b"))
+    val out = df.select(
+      graft.ops.Dedup.jaccardDistinct(col("a"), col("b")).as("incl_excl"),
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b")))).as("literal")).collect()
+    out.foreach { r =>
+      val (g, e) = (r.getDouble(0), r.getDouble(1))
+      assert(g == e, s"incl-excl $g != literal $e")
+    }
+  }
+
+  test("shingles is never empty — the invariant that keeps ANSI 0/0 out of the verify joins") {
+    // Every jaccardDistinct divisor is |A|+|B|−|A∩B| ≥ 1 as long as one
+    // side is non-empty; shingles() guarantees it by clamping short texts
+    // (including "" and whitespace-only) to ONE full-token shingle.
+    import org.apache.spark.sql.functions.{array_distinct, lit, size}
+    val textGen = Gen.oneOf(
+      Gen.const(""), Gen.const("   "), Gen.const("one"),
+      Gen.listOf(Gen.oneOf("a", "bb", "ccc")).map(_.mkString(" ")),
+      Gen.listOfN(12, Gen.oneOf("w1", "w2", "w3")).map(_.mkString(" ")))
+    val texts = samples(textGen, 60)
+    val sizes = texts.toDF("t").select(
+      size(array_distinct(graft.ops.Dedup.shingles(col("t"), 5))).as("n"))
+      .collect().map(_.getInt(0))
+    sizes.zip(texts).foreach { case (n, t) =>
+      assert(n >= 1, s"empty shingle set for text '$t'")
+    }
+    // and the end-to-end corner: two empty-text docs in one LSH bucket
+    // must verify (jaccard 1.0), not throw
+    val docs = Seq((1L, ""), (2L, "")).toDF("id", "text")
+    val pairs = graft.ops.Dedup.minhashNearDuplicates(
+      docs, "id", "text", threshold = 0.9)
+    assert(pairs.count() == 1, "two empty docs must verify as duplicates")
+    spark.catalog.clearCache()
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
