@@ -79,12 +79,14 @@ class BenchSpec extends AnyFunSuite {
       === Right("BENCH_FLOORS.json"))
     assert(Bench.resolveFloorsPath(None, "/tmp/sf1")
       === Right("BENCH_FLOORS_SF1.json"))
+    assert(Bench.resolveFloorsPath(None, "/tmp/sf3")
+      === Right("BENCH_FLOORS_SF3.json"))
   }
 
   test("resolveFloorsPath: env override wins; unmapped scale is Left (warn)") {
     assert(Bench.resolveFloorsPath(Some("custom.json"), "/tmp/sf1")
       === Right("custom.json"))
-    assert(Bench.resolveFloorsPath(None, "/tmp/sf3") === Left("sf3"))
+    assert(Bench.resolveFloorsPath(None, "/tmp/sf10") === Left("sf10"))
   }
 
   test("keep gate refuses stale/unstamped floors (tools/test_keep_gate.py)") {
