@@ -69,12 +69,17 @@ object TextAnalysis {
       .withColumn("q_mean_token_len",
         when(size(toks) === 0, 0.0).otherwise(
           aggregate(toks, lit(0.0), (acc, x) => acc + length(x)) / size(toks)))
+      // regexp_count of the single-char class == length of the
+      // regexp_replace-to-empty complement (same engine, same class), but
+      // COUNTS matches instead of materializing a stripped copy of every
+      // document just to length() it — at sf10 the quality gate is the
+      // curate chain's top stage and these were its two biggest kernels.
       .withColumn("q_punct_ratio",
         when(nChars === 0, 0.0)
-          .otherwise(length(regexp_replace(t, "[^\\p{Punct}]", "")).cast("double") / nChars))
+          .otherwise(regexp_count(t, lit("[\\p{Punct}]")).cast("double") / nChars))
       .withColumn("q_digit_ratio",
         when(nChars === 0, 0.0)
-          .otherwise(length(regexp_replace(t, "[^0-9]", "")).cast("double") / nChars))
+          .otherwise(regexp_count(t, lit("[0-9]")).cast("double") / nChars))
       .withColumn("q_stopword_ratio", en)
       .withColumn("quality_score",
         Nums.round6(greatest(lit(0.0), least(lit(1.0),
