@@ -357,17 +357,31 @@ object Dedup {
   private[graft] def minhashCollapsedRep(keyed: DataFrame, threshold: Double,
                                          numHashes: Int, bands: Int,
                                          shingleSize: Int): CollapsedRep = {
-    // one row per DISTINCT text, rep = min id (hash-agg; map-side combine
-    // ships one row per distinct text per partition); gsz rides the same
-    // aggregate for the label path's self-dup gate
-    val reps = keyed.groupBy("__text")
-      .agg(min(col("id")).as("id"), count(lit(1)).as("gsz"))
+    // Content addressing: group and join on md5(text), never on the text
+    // itself. The original shape keyed BOTH the rep aggregate and the
+    // membership join by the full document text, so the membership join
+    // shuffled the whole corpus with multi-KB strings as the join key —
+    // at 100 TB that is a corpus-sized text shuffle for what is logically
+    // an (id → group) lookup. With a 128-bit content hash the membership
+    // join ships (32-char key, id) rows only; the sole text that still
+    // moves is ONE representative per distinct content inside the
+    // aggregate (first() after map-side partial agg — any member's text
+    // works because same-content texts are identical by definition).
+    // Exactness: md5 equality stands in for text equality; at 10^10 docs
+    // the 128-bit birthday bound is ~1e-19 (a 64-bit hash would NOT be
+    // safe at that scale, which is why this is md5 and not xxhash64).
+    // rep = min id per distinct content; gsz rides the same aggregate for
+    // the label path's self-dup gate.
+    val hashed = keyed.withColumn("__h", md5(col("__text")))
+    val reps = hashed.groupBy("__h")
+      .agg(min(col("id")).as("id"), count(lit(1)).as("gsz"),
+        first(col("__text")).as("__text"))
     // (rep id, member id) — membership feeds the same-text self-join and
     // both expansion joins; corpus-proportional, so pinned shuffle-hash
     // everywhere below
-    val membership = keyed
-      .join(reps.select(col("__text"), col("id").as("__rid"))
-        .hint("shuffle_hash"), "__text")
+    val membership = hashed.select(col("__h"), col("id"))
+      .join(reps.select(col("__h"), col("id").as("__rid"))
+        .hint("shuffle_hash"), "__h")
       .select(col("__rid"), col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (rawPairs, banded) =
