@@ -844,12 +844,23 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Exact dedup keeping the min-id row per key — deterministic, unlike
-    * dropDuplicates (which keeps an arbitrary row). Window + filter:
-    * one shuffle on the key, streaming rank within partitions.
+    * dropDuplicates (which keeps an arbitrary row).
+    *
+    * Shape: min-id aggregate + id-keyed semi-join, NOT a window. A window
+    * partitioned by the key ships every full row to its key's single
+    * reducer — with verbatim-duplicated content (the very thing this op
+    * exists for) that is the skew bomb: a viral document's million copies
+    * all land on one task. The aggregate map-side-combines those copies
+    * to one row per key per partition before any shuffle, and the
+    * semi-join moves full rows once on the unskewed unique id. Ids are
+    * unique, so "row whose id is its key's min" is exactly the window's
+    * rank-1 row.
     */
   def dedupKeepFirst(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val winners = df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(winners.hint("shuffle_hash"), Seq(idCol), "leftsemi")
   }
 
   @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -1207,9 +1218,19 @@ object Dedup {
         posexplode(split(col(textCol), "\n\\s*\n")).as(Seq("pidx", "para")))
       .withColumn("para", trim(col("para")))
       .filter(col("para") =!= "")
-    val first = row_number().over(
-      Window.partitionBy("para").orderBy(col("id"), col("pidx")))
-    paras.withColumn("rn", first).filter(col("rn") === 1)
+    // First occurrence per distinct paragraph via min(struct(id, pidx))
+    // (struct ordering is lexicographic by field — exactly the
+    // (id, pidx) order the contract specifies), then an UNSKEWED
+    // (id, pidx)-keyed semi-join marks the survivors. The former
+    // row_number window partitioned by the paragraph sent every copy of
+    // a boilerplate paragraph — cookie banners, license headers, the
+    // most-duplicated content in any crawl — to one reducer; the
+    // aggregate collapses those copies map-side before the shuffle, and
+    // the winner coordinates are unique so the semi-join key never skews.
+    val winners = paras.groupBy("para")
+      .agg(min(struct(col("id"), col("pidx"))).as("w"))
+      .select(col("w.id").as("id"), col("w.pidx").as("pidx"))
+    paras.join(winners.hint("shuffle_hash"), Seq("id", "pidx"), "leftsemi")
       .groupBy("id")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pidx"), col("para")))),
