@@ -1269,6 +1269,14 @@ object Dedup {
     * not the first-crawled one"). Same machinery: verified pairs → CC →
     * one window rank per cluster over cluster-sized groups → anti-join of
     * the corpus against the non-survivors.
+    *
+    * The cluster window is deliberately NOT the skew class the
+    * content-keyed dedup windows were (now agg+semi-join, see
+    * [[dedupKeepFirst]]): its input is (id, component, score) label-weight
+    * rows — tens of bytes — never document text, so even a million-member
+    * viral cluster lands ~24 MB on its reducer. An exact agg form would
+    * also have to reproduce the window's desc/NULLS LAST/NaN ordering for
+    * an ARBITRARY user-typed score column; the window states it directly.
     */
   def dropNearDuplicatesBy(df: DataFrame, idCol: String, textCol: String,
                            scoreCol: String, threshold: Double,
