@@ -87,8 +87,8 @@ object Bench {
 
   /** Floors-file resolution, extracted for BenchSpec. Order: explicit
     * `SPARK_GRAFT_FLOORS_FILE` wins; else the sf-dir basename maps to its
-    * checked-in per-sf floors file (sf0.1 → BENCH_FLOORS.json, sf1 →
-    * BENCH_FLOORS_SF1.json, sf3 → BENCH_FLOORS_SF3.json). Any other
+    * checked-in per-sf floors file (sf0.1 → BENCH_FLOORS.json; sf1/sf3/
+    * sf10 → BENCH_FLOORS_SF{1,3,10}.json). Any other
     * scale has no floors — `Left(sf)`
     * so the caller WARNS rather than silently disarming: the r12 ADVICE
     * hole was an sf1 battery with the env var forgotten running floor-less
@@ -101,6 +101,7 @@ object Bench {
       case "sf0.1" => Right("BENCH_FLOORS.json")
       case "sf1"   => Right("BENCH_FLOORS_SF1.json")
       case "sf3"   => Right("BENCH_FLOORS_SF3.json")
+      case "sf10"  => Right("BENCH_FLOORS_SF10.json")
       case other   => Left(other)
     })
   }

@@ -81,12 +81,14 @@ class BenchSpec extends AnyFunSuite {
       === Right("BENCH_FLOORS_SF1.json"))
     assert(Bench.resolveFloorsPath(None, "/tmp/sf3")
       === Right("BENCH_FLOORS_SF3.json"))
+    assert(Bench.resolveFloorsPath(None, "/tmp/sf10")
+      === Right("BENCH_FLOORS_SF10.json"))
   }
 
   test("resolveFloorsPath: env override wins; unmapped scale is Left (warn)") {
     assert(Bench.resolveFloorsPath(Some("custom.json"), "/tmp/sf1")
       === Right("custom.json"))
-    assert(Bench.resolveFloorsPath(None, "/tmp/sf10") === Left("sf10"))
+    assert(Bench.resolveFloorsPath(None, "/tmp/sf30") === Left("sf30"))
   }
 
   test("keep gate refuses stale/unstamped floors (tools/test_keep_gate.py)") {
