@@ -82,10 +82,19 @@ object Graph {
                   dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
-    val edged = e.join(deg, "src").localCheckpoint()
+    // Pre-partition the loop-invariant tables ON THEIR JOIN KEYS once:
+    // localCheckpoint preserves outputPartitioning, so every iteration's
+    // contribution join reads `edged` already hashpartitioned(src) and
+    // only exchanges the (small) ranks side, and the vertex left-join
+    // reads `verts` already hashpartitioned(id) against the contribution
+    // aggregate that comes out of its groupBy with the same partitioning.
+    // Without this the 10-iteration loop re-shuffled the full edge table
+    // — the largest table in the query — once per round.
+    val edged = e.join(deg, "src").repartition(col("src")).localCheckpoint()
     val verts = edged.select(col("src").as("id"))
       .union(edged.select(col("dst").as("id")))
       .distinct()
+      .repartition(col("id"))
       .localCheckpoint()
     val base = scale * (dampDen - dampNum) / dampDen // exact for sane params
     var ranks = verts.withColumn("rank", lit(scale))
