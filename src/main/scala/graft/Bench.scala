@@ -200,6 +200,10 @@ object Bench {
                 s"[bench] $name diagnostic re-run threw (ignored): ${e.getMessage}")
         }
         val t = (System.nanoTime() - t0) / 1e9
+        // Deferred temp-corpus deletion (q_ingest_pipeline_bulk & friends)
+        // runs HERE, outside the timed region — the result was fully
+        // consumed by the count() above.
+        Scratch.drain()
         // Operators that persist derived tables (LSH buckets, simhash
         // segments, in-flight batches) release them per-run; drop leftovers
         // so queries are timed independently.
@@ -407,13 +411,15 @@ object Bench {
     lazy val totalOnly = {
       val sf = java.nio.file.Paths.get(sfDir).getFileName.toString
       val cf = (v: Double) => strip(f"$v%.2f")
+      // COUNTS only — the old form embedded the unbounded failed /
+      // floor_suspect NAME lists, so a battery with many failures could
+      // push this "can never outgrow the tail" tier past the 1910-char
+      // budget and decapitate the JSON (the exact r16 failure mode the
+      // tier ladder exists to prevent). Names live in graft_bench_full.json.
       val flagged =
-        (if (failed.nonEmpty)
-          failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-        else "") +
+        (if (failed.nonEmpty) s""","failed_n":${failed.size}""" else "") +
         (if (floorSuspect.nonEmpty)
-          floorSuspect.mkString(""","floor_suspect":[""", ",", "]")
-        else "")
+          s""","floor_suspect_n":${floorSuspect.size}""" else "")
       s"""{"metric":"total","value":${compact(total)},""" +
         s""""canary":[${cf(canaryPre)},${cf(canaryPost)}],""" +
         s""""sus":[${cf(canarySusPre)},${cf(canarySusPost)}],""" +

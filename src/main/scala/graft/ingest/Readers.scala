@@ -69,15 +69,24 @@ object Readers {
         !n.startsWith("_") && !n.startsWith(".")
       }
       val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
-        .filter(st => st.isFile && visible(st))
+        .filter(visible)
       if (matched.isEmpty)
         throw new IllegalArgumentException(
           s"Path does not exist (glob matched no readable files): $path")
-      val flat = !fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-        .exists(st => st.isDirectory && visible(st))
-      if (flat)
-        spark.read.format("binaryFile").option("pathGlobFilter", name).load(dir)
-      else spark.read.format("binaryFile").load(path)
+      // A glob may legitimately match DIRECTORIES of files (e.g.
+      // /data/shard*/ — valid for a vanilla binaryFile load): only the
+      // all-files case can take the WARN-free pathGlobFilter route; any
+      // matched directory falls back to the bare-glob load, which Spark
+      // expands recursively.
+      if (matched.exists(_.isDirectory))
+        spark.read.format("binaryFile").load(path)
+      else {
+        val flat = !fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .exists(st => st.isDirectory && visible(st))
+        if (flat)
+          spark.read.format("binaryFile").option("pathGlobFilter", name).load(dir)
+        else spark.read.format("binaryFile").load(path)
+      }
     } else spark.read.format("binaryFile").load(path)
   }
 

@@ -357,22 +357,27 @@ object Dedup {
   private[graft] def minhashCollapsedRep(keyed: DataFrame, threshold: Double,
                                          numHashes: Int, bands: Int,
                                          shingleSize: Int): CollapsedRep = {
-    // Content addressing: group and join on md5(text), never on the text
-    // itself. The original shape keyed BOTH the rep aggregate and the
+    // Content addressing: group and join on a content hash, never on the
+    // text itself. The original shape keyed BOTH the rep aggregate and the
     // membership join by the full document text, so the membership join
     // shuffled the whole corpus with multi-KB strings as the join key —
     // at 100 TB that is a corpus-sized text shuffle for what is logically
-    // an (id → group) lookup. With a 128-bit content hash the membership
-    // join ships (32-char key, id) rows only; the sole text that still
-    // moves is ONE representative per distinct content inside the
-    // aggregate (first() after map-side partial agg — any member's text
-    // works because same-content texts are identical by definition).
-    // Exactness: md5 equality stands in for text equality; at 10^10 docs
-    // the 128-bit birthday bound is ~1e-19 (a 64-bit hash would NOT be
-    // safe at that scale, which is why this is md5 and not xxhash64).
+    // an (id → group) lookup. With a fixed-width content hash the
+    // membership join ships (64-char key, id) rows only; the sole text
+    // that still moves is ONE representative per distinct content inside
+    // the aggregate (first() after map-side partial agg — any member's
+    // text works because same-content texts are identical by definition).
+    // Exactness: hash equality stands in for text equality, so the hash
+    // must be collision-resistant against ADVERSARIAL input, not just
+    // random input — this corpus is untrusted web-crawl text, and md5
+    // chosen-prefix collisions are practical (two crafted documents would
+    // silently merge into one group and one would be dropped as a dup).
+    // SHA-256 has no known collision; its 256-bit random birthday bound
+    // at 10^10 docs is ~1e-58. (A 64-bit non-crypto hash fails even the
+    // random bound at that scale.)
     // rep = min id per distinct content; gsz rides the same aggregate for
     // the label path's self-dup gate.
-    val hashed = keyed.withColumn("__h", md5(col("__text")))
+    val hashed = keyed.withColumn("__h", sha2(col("__text"), 256))
     val reps = hashed.groupBy("__h")
       .agg(min(col("id")).as("id"), count(lit(1)).as("gsz"),
         first(col("__text")).as("__text"))
@@ -852,15 +857,31 @@ object Dedup {
     * exists for) that is the skew bomb: a viral document's million copies
     * all land on one task. The aggregate map-side-combines those copies
     * to one row per key per partition before any shuffle, and the
-    * semi-join moves full rows once on the unskewed unique id. Ids are
+    * semi-join moves full rows once on an unskewed composite key. Ids are
     * unique, so "row whose id is its key's min" is exactly the window's
     * rank-1 row.
+    *
+    * The semi-join matches on `keyCols :+ idCol`, not the id alone: with a
+    * duplicated id an id-only match would leak that id's rows across
+    * UNRELATED keys (every row sharing a winner's id survives, whatever
+    * its key). Including the key confines a stray duplicate id to its own
+    * group. The composite hash is still unskewed — a viral key's million
+    * copies carry a million distinct ids. Key equality is null-SAFE
+    * (`<=>`, still an equi-join to Spark's hash-join extraction) so a
+    * null key is an ordinary group, exactly as `groupBy` treats it.
+    * Remaining precondition: rows whose id is NULL never survive (`min`
+    * skips nulls and `===` never matches null), unlike the window shape
+    * which kept one row per key.
     */
   def dedupKeepFirst(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
     val winners = df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol))
-      .select(idCol)
-    df.join(winners.hint("shuffle_hash"), Seq(idCol), "leftsemi")
+    val l = df.alias("graft_dkf_l")
+    val w = winners.hint("shuffle_hash").alias("graft_dkf_w")
+    val cond = keyCols
+      .map(k => col(s"graft_dkf_l.$k") <=> col(s"graft_dkf_w.$k"))
+      .foldLeft(col(s"graft_dkf_l.$idCol") === col(s"graft_dkf_w.$idCol"))(_ && _)
+    l.join(w, cond, "leftsemi")
   }
 
   @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)

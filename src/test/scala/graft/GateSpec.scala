@@ -170,4 +170,35 @@ class GateSpec extends SparkSpec {
     assert(rs.length == 4 && rs.toSet.size == 1 && rs.head.rows == 4L,
       s"all racers must see the one probe's stats: ${rs.toSeq}")
   }
+
+  test("minhash survivor wrappers release every corpus-proportional persist internally") {
+    // The r17 audit item: minhashCollapsedRep persists banded buckets,
+    // candidate pairs, and the membership table — all corpus-proportional
+    // (text- or array-bearing). Every label-path public wrapper must
+    // unpersist them before returning; the ONLY storage allowed to
+    // outlive the call is the CC loop's final label checkpoint (narrow
+    // (id, component) rows — the returned frame's own data, released by
+    // the caller's lifecycle). `unpersistRDD` updates the persistentRdds
+    // map synchronously even with blocking = false, so the post-call
+    // snapshot is race-free.
+    val sc = spark.sparkContext
+    def leaked(before: Set[Int]): Seq[Int] =
+      sc.getPersistentRDDs.values.toSeq
+        .filter(r => !before.contains(r.id) && !r.isCheckpointed)
+        .map(_.id)
+    val wrappers: Seq[(String, Boolean => Unit)] = Seq(
+      ("minhashDedupIds", c =>
+        Dedup.minhashDedupIds(docs, "id", "text", 0.9, collapse = Some(c)).collect()),
+      ("minhashClusters", c =>
+        Dedup.minhashClusters(docs, "id", "text", 0.9, collapse = Some(c)).collect()),
+      ("dropNearDuplicates", c =>
+        Dedup.dropNearDuplicates(docs, "id", "text", 0.9, collapse = Some(c)).collect()))
+    for ((name, run) <- wrappers; c <- Seq(true, false)) {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      run(c)
+      val l = leaked(before)
+      assert(l.isEmpty,
+        s"$name(collapse=$c) left non-checkpoint persists behind: rdd ids $l")
+    }
+  }
 }
