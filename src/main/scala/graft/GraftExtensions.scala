@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArgmaxCosine, ArgminSqDist, BloomContains, DotProduct, LongDotProduct, LshBucket, MinHashSignature, NfcNormalize, PyJsonRender, QuantizeVector, SimHash}
+import graft.functions.{ArgmaxCosine, ArgminSqDist, BloomContains, DotProduct, LongDotProduct, LshBucket, MinHashSignature, NfcNormalize, PyJsonRender, QuantizeVector, SimHash, VecBytes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_doti"),
       new ExpressionInfo(classOf[LongDotProduct].getName, "graft_doti"),
       (children: Seq[Expression]) => LongDotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_vec_bytes"),
+      new ExpressionInfo(classOf[VecBytes].getName, "graft_vec_bytes"),
+      (children: Seq[Expression]) => VecBytes(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
@@ -603,4 +603,68 @@ case class ArgmaxCosine(children: Seq[Expression]) extends Expression {
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/** Shared kernel for [[VecBytes]] — interpreted eval and codegen call the
+  * same loop (the MinHashSignature pattern).
+  */
+object VecBytesImpl {
+  /** Canonical byte image of an array<double>, 9 bytes per element
+    * (null flag + IEEE-754 bits big-endian). Equality of images matches
+    * Spark's GROUP BY / join-key equality on the array: `-0.0` folds to
+    * `0.0` and every NaN to the canonical NaN, mirroring Catalyst's
+    * NormalizeFloatingNumbers; a null element is flagged, never conflated
+    * with NaN. Fixed 9-byte stride means arrays of different lengths can
+    * never produce the same image.
+    */
+  def bytes(arr: ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val out = new Array[Byte](9 * n)
+    var i = 0
+    while (i < n) {
+      val o = 9 * i
+      if (arr.isNullAt(i)) out(o) = 1
+      else {
+        val d = arr.getDouble(i)
+        // doubleToLongBits (not RawBits) canonicalizes NaN; == folds -0.0
+        val b = java.lang.Double.doubleToLongBits(if (d == 0.0d) 0.0d else d)
+        var j = 0
+        while (j < 8) { out(o + 1 + j) = (b >>> (56 - 8 * j)).toByte; j += 1 }
+      }
+      i += 1
+    }
+    out
+  }
+}
+
+/** `graft_vec_bytes(vec)` — canonical binary image of an array<double>,
+  * built for CONTENT-ADDRESSING embedding vectors: `sha2(graft_vec_bytes(v),
+  * 256)` is a fixed-width stand-in for vector equality, so corpus-sized
+  * membership joins can ship a 64-char key instead of a multi-KB vector
+  * (the text-dedup content-addressing argument, applied to embeddings).
+  * 8n+n bytes and one primitive loop per row — no JSON rendering, no
+  * per-element lambda dispatch, inside whole-stage codegen.
+  */
+case class VecBytes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_vec_bytes expects array<double>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def nullSafeEval(vec: Any): Any =
+    VecBytesImpl.bytes(vec.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = VecBytesImpl.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $impl.bytes($c);")
+  }
+
+  override def prettyName: String = "graft_vec_bytes"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -24,6 +24,14 @@ object Similarity {
   /** Codegen'd dot product (requires GraftExtensions on the session). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
+  /** Content-address key for a vector: sha2-256 of its canonical byte
+    * image (`graft_vec_bytes` — -0.0/NaN folded to match Catalyst's
+    * grouping equality). Collision-resistant stand-in for vector equality
+    * in corpus-sized group/join keys.
+    */
+  private[graft] def vecKey(v: Column): Column =
+    sha2(call_function("graft_vec_bytes", v), 256)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = {
@@ -569,11 +577,20 @@ object Similarity {
     */
   private[graft] def embedPairsCollapsed(c: DataFrame, threshold: Double)
       : (DataFrame, Seq[DataFrame]) = {
-    val groups = c.groupBy(col("vec"))
-      .agg(min(col("id")).as("rid"), min(col("bucket")).as("bucket"),
-        min(col("nrm")).as("nrm"))
-    val membership = c
-      .join(groups.select(col("vec"), col("rid")).hint("shuffle_hash"), Seq("vec"))
+    // Content addressing (the minhash-collapse argument, applied to
+    // vectors): group and membership-join on sha2 of the vector's
+    // canonical byte image, never on the multi-KB array itself — the
+    // membership join ships (64-char key, id) rows instead of shuffling
+    // the corpus keyed by full embeddings. graft_vec_bytes folds -0.0 and
+    // NaN exactly as Catalyst's NormalizeFloatingNumbers does, so the
+    // hash groups are the groupBy(vec) groups; one representative vector
+    // rides first() inside the map-side-combined aggregate.
+    val hashed = c.withColumn("__vh", vecKey(col("vec")))
+    val groups = hashed.groupBy(col("__vh"))
+      .agg(min(col("id")).as("rid"), first(col("vec")).as("vec"),
+        min(col("bucket")).as("bucket"), min(col("nrm")).as("nrm"))
+    val membership = hashed.select(col("__vh"), col("id"))
+      .join(groups.select(col("__vh"), col("rid")).hint("shuffle_hash"), Seq("__vh"))
       .select(col("rid"), col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ga = groups.select(col("bucket"), col("rid").as("rid_a"),
@@ -652,12 +669,16 @@ object Similarity {
     // PERSISTED: three consumers read it (the rep self-join behind the
     // eager CC, the membership join, the selfDup branch) — unpersisted,
     // each re-runs the corpus-wide full-vector hash aggregate.
-    val groups = c.groupBy(col("vec"))
-      .agg(min(col("id")).as("rid"), min(col("bucket")).as("bucket"),
+    // Content-addressed like [[embedPairsCollapsed]]: the membership join
+    // ships (64-char sha2 key, id), never the full vector as a join key.
+    val hashed = c.withColumn("__vh", vecKey(col("vec")))
+    val groups = hashed.groupBy(col("__vh"))
+      .agg(min(col("id")).as("rid"), first(col("vec")).as("vec"),
+        min(col("bucket")).as("bucket"),
         min(col("nrm")).as("nrm"), count(lit(1)).as("gsz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val membership = c
-      .join(groups.select(col("vec"), col("rid")).hint("shuffle_hash"), Seq("vec"))
+    val membership = hashed.select(col("__vh"), col("id"))
+      .join(groups.select(col("__vh"), col("rid")).hint("shuffle_hash"), Seq("__vh"))
       .select(col("rid"), col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ga = groups.select(col("bucket"), col("rid").as("rid_a"),
