@@ -1248,7 +1248,13 @@ object Dedup {
     // most-duplicated content in any crawl — to one reducer; the
     // aggregate collapses those copies map-side before the shuffle, and
     // the winner coordinates are unique so the semi-join key never skews.
-    val winners = paras.groupBy("para")
+    // CONTENT-ADDRESSED: the aggregate groups on sha2(para) — the
+    // paragraph text is never needed after the agg (only the winner
+    // coordinates are), so the post-combine shuffle ships (64-char key,
+    // 12-byte struct) rows instead of multi-hundred-byte paragraphs as
+    // grouping keys (the minhash-collapse argument; sha2-256 is the
+    // collision-resistant equality proxy safe on untrusted corpora).
+    val winners = paras.groupBy(sha2(col("para"), 256))
       .agg(min(struct(col("id"), col("pidx"))).as("w"))
       .select(col("w.id").as("id"), col("w.pidx").as("pidx"))
     paras.join(winners.hint("shuffle_hash"), Seq("id", "pidx"), "leftsemi")
