@@ -726,4 +726,22 @@ class ReadersSpec extends SparkSpec {
     assert(Readers.binaryFiles(spark, dir2 + "/*.html").count() == 1,
       "bare-glob semantics: direct children only, even with a matching nested file")
   }
+
+  test("binaryFiles glob matching DIRECTORIES of files reads them (r18 advice)") {
+    // /data/shard*/ is a valid vanilla binaryFile load target — the glob
+    // matches directories, Spark expands each one level. The r17 preflight
+    // filtered matches to regular files and threw before the fallback
+    // could take that route; a matched directory must instead fall back
+    // to the bare-glob load.
+    val dir = tmpDir("glob_dirs_")
+    val s1 = new java.io.File(dir, "shard1"); assert(s1.mkdir())
+    val s2 = new java.io.File(dir, "shard2"); assert(s2.mkdir())
+    write(s1.toString, "a.bin", Array[Byte](1, 2))
+    write(s2.toString, "b.bin", Array[Byte](3))
+    assert(Readers.binaryFiles(spark, dir + "/shard*").count() == 2,
+      "directory matches must route to load(path), not throw")
+    // mixed file+directory matches also take the bare-glob route
+    write(dir, "shard0.bin", Array[Byte](4))
+    assert(Readers.binaryFiles(spark, dir + "/shard*").count() == 3)
+  }
 }
