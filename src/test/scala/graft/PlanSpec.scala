@@ -169,6 +169,21 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 5, s"unexpected extra shuffles ($exchanges):\n$plan")
   }
 
+  test("dedupKeepFirst: null-safe composite keys still plan as a hash semi-join") {
+    // r18 hardened the semi-join to keyCols :+ id with null-SAFE key
+    // equality (<=>). EqualNullSafe must still extract as hash-join keys —
+    // if it ever degrades to a BroadcastNestedLoopJoin the corpus gets
+    // compared row-by-row against every winner. The paragraph-dedup skew
+    // argument also still holds: no window anywhere.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.ops.Dedup.dedupKeepFirst(docs, "doc_id", Seq("text")))
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftSemi"),
+      s"expected shuffle-hash LeftSemi:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"null-safe keys fell out of the equi-join path:\n$plan")
+    assert(!plan.contains("Window"), s"skew-prone key window crept back:\n$plan")
+  }
+
   test("robotsVerdict: rules broadcast; the URL side never broadcasts") {
     import spark.implicits._
     val robots = Seq(("example.com", "User-agent: *\nDisallow: /p")).toDF("host", "body")
