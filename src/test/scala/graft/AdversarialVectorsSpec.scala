@@ -72,4 +72,37 @@ class AdversarialVectorsSpec extends SparkSpec {
     assert(ids.exists(r => r.getLong(0) == 5L && r.getLong(1) == 7L))
     spark.catalog.clearCache()
   }
+
+  test("graft_vec_bytes: canonical image matches Catalyst grouping equality") {
+    // The content-address key must equate exactly what groupBy(vec)
+    // equates (NormalizeFloatingNumbers): -0.0 ≡ 0.0, every NaN bit
+    // pattern ≡ the canonical NaN — while a null ELEMENT stays distinct
+    // from NaN, a null VECTOR hashes to null, and different lengths never
+    // collide (fixed 9-byte stride).
+    val qNaN = java.lang.Double.longBitsToDouble(0x7ff8000000000001L) // non-canonical
+    val rows = Seq[(Long, Seq[java.lang.Double])](
+      (1L, Seq[java.lang.Double](0.0, 1.0)),
+      (2L, Seq[java.lang.Double](-0.0, 1.0)),          // ≡ 1 under grouping
+      (3L, Seq[java.lang.Double](Double.NaN, 2.0)),
+      (4L, Seq[java.lang.Double](qNaN, 2.0)),          // ≡ 3 under grouping
+      (5L, Seq[java.lang.Double](null, 2.0)),          // null elem ≠ NaN
+      (6L, Seq[java.lang.Double](0.0)),                // prefix of 1, shorter
+      (7L, null)                                       // null vector
+    ).toDF("id", "vec")
+      .withColumn("h", Similarity.vecKey(col("vec").cast("array<double>")))
+    val h = rows.select("id", "h").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h(1L) == h(2L), "-0.0 must fold to 0.0")
+    assert(h(3L) == h(4L), "all NaN bit patterns must fold to one")
+    assert(h(3L) != h(5L), "null element must not conflate with NaN")
+    assert(h(1L) != h(6L), "different lengths must never collide")
+    assert(h(7L) == null, "null vector hashes to null (never equi-matches)")
+    // and the distinct-hash count equals Spark's own distinct-vec count
+    val byHash = rows.filter(col("vec").isNotNull)
+      .select("h").distinct().count()
+    val byVec = rows.filter(col("vec").isNotNull)
+      .select(col("vec").cast("array<double>")).distinct().count()
+    assert(byHash == byVec,
+      s"hash grouping ($byHash) diverges from Catalyst grouping ($byVec)")
+  }
 }
