@@ -20,6 +20,52 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
+  /** Bucket-parallel INCLUSIVE running sum of `valCol` in (md5(id), id)
+    * order within `partCol` partitions — the scalable replacement for
+    * `sum().over(Window.partitionBy(part).orderBy(md5(id), id))`, whose
+    * single task per partition value is the one non-scalable shape a
+    * running budget/packing cut otherwise forces: a low-cardinality
+    * partition column (language!) funnels the whole corpus through a
+    * handful of sequential window tasks.
+    *
+    * Exactness: the bucket is the first two hex chars of md5(id) — a
+    * PREFIX of the ordering key — so the global (md5, id) order equals
+    * (bucket, md5, id) and a per-bucket window plus the cumulative sum of
+    * all EARLIER buckets reproduces the bare window's running sum row for
+    * row. The offsets table is `distinct parts × 256` rows (a 256-row
+    * window per part — trivially parallel) and joins back null-safely so
+    * a null partition value stays its own group, exactly as
+    * `Window.partitionBy` treats it. The big table's window partitions by
+    * (part, bucket): 256× the parallelism of the bare shape, and the
+    * sequential fraction per task is 1/256 of a partition instead of all
+    * of it.
+    *
+    * Returns `df` plus `outCol` (the inclusive running sum as long);
+    * internal columns are dropped.
+    */
+  private[graft] def bucketedRunningSum(df: DataFrame, partCol: String,
+                                        idCol: String, valCol: Column,
+                                        outCol: String): DataFrame = {
+    val keyed = df
+      .withColumn("__g_md5", md5(col(idCol).cast("string")))
+      .withColumn("__g_bkt", substring(col("__g_md5"), 1, 2))
+      .withColumn("__g_val", valCol.cast("long"))
+    val wB = Window.partitionBy(col(partCol)).orderBy(col("__g_bkt"))
+    val offsets = keyed.groupBy(col(partCol), col("__g_bkt"))
+      .agg(sum(col("__g_val")).as("__g_bsum"))
+      .withColumn("__g_off",
+        coalesce(sum(col("__g_bsum")).over(wB) - col("__g_bsum"), lit(0L)))
+      .select(col(partCol).as("__g_part"), col("__g_bkt").as("__g_bkt_r"),
+        col("__g_off"))
+    val wIn = Window.partitionBy(col(partCol), col("__g_bkt"))
+      .orderBy(col("__g_md5"), col(idCol))
+    keyed
+      .join(broadcast(offsets),
+        col(partCol) <=> col("__g_part") && col("__g_bkt") === col("__g_bkt_r"))
+      .withColumn(outCol, sum(col("__g_val")).over(wIn) + col("__g_off"))
+      .drop("__g_md5", "__g_bkt", "__g_val", "__g_part", "__g_bkt_r", "__g_off")
+  }
+
   /** The curated document set: rows of `df` that (1) score at least
     * `minQuality`, (2) survive near-dup clustering as their cluster's
     * canonical (min-id) member, and (3) fit the per-`langCol` running token
@@ -48,10 +94,12 @@ object Curate {
     val deduped = Dedup.dropNearDuplicates(gated, idCol, textCol, dupThreshold)
       .localCheckpoint()
     gated.unpersist(blocking = false)
-    val w = Window.partitionBy(col(langCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    deduped
-      .withColumn("__cum", sum(col("q_n_tokens").cast("long")).over(w))
+    // Bucket-parallel running budget (see [[bucketedRunningSum]]): the bare
+    // per-language window is one sequential task per language — the
+    // bucketed shape keeps the same (md5(id), id) order at 256× the
+    // parallelism, so the cut scales with executors, not languages.
+    bucketedRunningSum(deduped, langCol, idCol,
+        col("q_n_tokens").cast("long"), "__cum")
       .filter(col("__cum") <= tokenBudget)
       .drop("__cum")
   }
@@ -100,11 +148,15 @@ object Curate {
 
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     partitionCol: String, seqLen: Long): DataFrame = {
-    val w = Window.partitionBy(col(partitionCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
     val nt = TextAnalysis.tokenCount(col(textCol)).cast("long")
-    df.select(col(partitionCol), col(idCol), nt.as("nt"))
-      .withColumn("__start", sum(col("nt")).over(w) - col("nt")) // exclusive cumsum
+    // Bucket-parallel cumsum (see [[bucketedRunningSum]]): every row needs
+    // its running total here, so the bare per-stratum window's sequential
+    // task would carry the whole stratum — the bucketed shape cuts that
+    // to 1/256 per task with identical totals.
+    bucketedRunningSum(
+        df.select(col(partitionCol), col(idCol), nt.as("nt")),
+        partitionCol, idCol, col("nt"), "__cum")
+      .withColumn("__start", col("__cum") - col("nt")) // exclusive cumsum
       .withColumn("seq_no", floor(col("__start") / lit(seqLen)).cast("long"))
       .groupBy(col(partitionCol).as("stratum"), col("seq_no"))
       .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),

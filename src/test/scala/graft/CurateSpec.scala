@@ -92,4 +92,29 @@ class CurateSpec extends SparkSpec {
     val trainIds = out.filter(_._2 == "train").map(_._1).toSet
     assert(trainIds.subsetOf(bigger))
   }
+
+  test("bucketedRunningSum equals the bare per-partition window, null part included") {
+    // The r18 scalable reshape (256 md5-prefix buckets + offsets) must be
+    // row-identical to sum().over(partitionBy(part).orderBy(md5(id), id)),
+    // including for rows whose partition value is NULL (the offsets join
+    // is null-safe, mirroring Window.partitionBy's null-as-a-group).
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rows = (1L to 500L).map(i =>
+      (i, if (i % 7 == 0) null else s"lang${i % 3}", (i % 13) + 1)) ++
+      Seq((501L, "lang0", 5L), (502L, null, 3L)) // null-part tail
+    val df = spark.createDataFrame(rows).toDF("id", "lang", "nt")
+    val bare = df.withColumn("c",
+      sum(col("nt")).over(Window.partitionBy(col("lang"))
+        .orderBy(md5(col("id").cast("string")), col("id"))))
+      .select("id", "c").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucketed = graft.ops.Curate
+      .bucketedRunningSum(df, "lang", "id", col("nt"), "c")
+      .select("id", "c").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bucketed.size == bare.size, s"${bucketed.size} vs ${bare.size} rows")
+    val diverged = bare.collect { case (id, c) if bucketed(id) != c =>
+      (id, c, bucketed(id))
+    }
+    assert(diverged.isEmpty, s"running sums diverge: ${diverged.take(5)}")
+  }
 }
