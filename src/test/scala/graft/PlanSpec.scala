@@ -184,6 +184,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"skew-prone key window crept back:\n$plan")
   }
 
+  test("packSequences: cumsum window partitions by (stratum, bucket), offsets broadcast") {
+    // The r18 bucketed running sum must keep its two scale properties:
+    // the big-table window key includes the md5-prefix bucket (256× the
+    // bare per-stratum parallelism) and the tiny offsets table reaches the
+    // corpus via a broadcast join, never a corpus shuffle.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.ops.Curate.packSequences(
+      docs, "doc_id", "text", "lang", seqLen = 512L))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offsets must broadcast to the corpus side:\n$plan")
+    // the window's required distribution shows up as a hashpartitioning
+    // exchange on BOTH the partition column and the bucket
+    assert("hashpartitioning\\(lang[#0-9]*, __g_bkt".r.findFirstIn(plan).isDefined,
+      s"window must partition by (stratum, bucket):\n$plan")
+  }
+
   test("robotsVerdict: rules broadcast; the URL side never broadcasts") {
     import spark.implicits._
     val robots = Seq(("example.com", "User-agent: *\nDisallow: /p")).toDF("host", "body")
