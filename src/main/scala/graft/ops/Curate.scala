@@ -40,6 +40,13 @@ object Curate {
     * sequential fraction per task is 1/256 of a partition instead of all
     * of it.
     *
+    * Null `valCol` semantics match the bare window exactly: a null value
+    * contributes nothing, and the running sum is null only while ZERO
+    * non-null values precede the row in partition order — so the offsets
+    * table carries both a null-proof bucket sum (coalesced to 0) and the
+    * bucket's non-null count, and the final sum is nulled when the
+    * cumulative non-null count is still zero.
+    *
     * Returns `df` plus `outCol` (the inclusive running sum as long);
     * internal columns are dropped.
     */
@@ -52,18 +59,23 @@ object Curate {
       .withColumn("__g_val", valCol.cast("long"))
     val wB = Window.partitionBy(col(partCol)).orderBy(col("__g_bkt"))
     val offsets = keyed.groupBy(col(partCol), col("__g_bkt"))
-      .agg(sum(col("__g_val")).as("__g_bsum"))
-      .withColumn("__g_off",
-        coalesce(sum(col("__g_bsum")).over(wB) - col("__g_bsum"), lit(0L)))
+      .agg(coalesce(sum(col("__g_val")), lit(0L)).as("__g_bsum"),
+        count(col("__g_val")).as("__g_bnn"))
+      .withColumn("__g_off", sum(col("__g_bsum")).over(wB) - col("__g_bsum"))
+      .withColumn("__g_nnb", sum(col("__g_bnn")).over(wB) - col("__g_bnn"))
       .select(col(partCol).as("__g_part"), col("__g_bkt").as("__g_bkt_r"),
-        col("__g_off"))
+        col("__g_off"), col("__g_nnb"))
     val wIn = Window.partitionBy(col(partCol), col("__g_bkt"))
       .orderBy(col("__g_md5"), col(idCol))
     keyed
       .join(broadcast(offsets),
         col(partCol) <=> col("__g_part") && col("__g_bkt") === col("__g_bkt_r"))
-      .withColumn(outCol, sum(col("__g_val")).over(wIn) + col("__g_off"))
-      .drop("__g_md5", "__g_bkt", "__g_val", "__g_part", "__g_bkt_r", "__g_off")
+      .withColumn("__g_nn", count(col("__g_val")).over(wIn))
+      .withColumn(outCol,
+        when(col("__g_nnb") + col("__g_nn") > 0,
+          coalesce(sum(col("__g_val")).over(wIn), lit(0L)) + col("__g_off")))
+      .drop("__g_md5", "__g_bkt", "__g_val", "__g_part", "__g_bkt_r",
+        "__g_off", "__g_nnb", "__g_nn")
   }
 
   /** The curated document set: rows of `df` that (1) score at least

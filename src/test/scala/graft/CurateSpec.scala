@@ -100,17 +100,26 @@ class CurateSpec extends SparkSpec {
     // is null-safe, mirroring Window.partitionBy's null-as-a-group).
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val rows = (1L to 500L).map(i =>
-      (i, if (i % 7 == 0) null else s"lang${i % 3}", (i % 13) + 1)) ++
-      Seq((501L, "lang0", 5L), (502L, null, 3L)) // null-part tail
+    // null LANG rows (partition-null path) and null NT rows (the bare
+    // window's null-until-first-non-null running-sum semantics) both in
+    val rows: Seq[(Long, String, java.lang.Long)] = (1L to 500L).map(i =>
+      (i, if (i % 7 == 0) null else s"lang${i % 3}",
+        if (i % 11 == 0) null
+        else java.lang.Long.valueOf((i % 13) + 1))).toSeq ++
+      Seq((501L, "lang0", java.lang.Long.valueOf(5L)),
+        (502L, null.asInstanceOf[String], java.lang.Long.valueOf(3L)),
+        (503L, "onlynulls", null.asInstanceOf[java.lang.Long]),
+        (504L, "onlynulls", null.asInstanceOf[java.lang.Long]))
     val df = spark.createDataFrame(rows).toDF("id", "lang", "nt")
-    val bare = df.withColumn("c",
+    def cums(out: org.apache.spark.sql.DataFrame): Map[Long, Any] =
+      out.select("id", "c").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+        .toMap
+    val bare = cums(df.withColumn("c",
       sum(col("nt")).over(Window.partitionBy(col("lang"))
-        .orderBy(md5(col("id").cast("string")), col("id"))))
-      .select("id", "c").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val bucketed = graft.ops.Curate
-      .bucketedRunningSum(df, "lang", "id", col("nt"), "c")
-      .select("id", "c").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .orderBy(md5(col("id").cast("string")), col("id")))))
+    val bucketed = cums(graft.ops.Curate
+      .bucketedRunningSum(df, "lang", "id", col("nt"), "c"))
     assert(bucketed.size == bare.size, s"${bucketed.size} vs ${bare.size} rows")
     val diverged = bare.collect { case (id, c) if bucketed(id) != c =>
       (id, c, bucketed(id))
