@@ -736,7 +736,13 @@ object Similarity {
         col("vec").cast("array<double>").as(s"vec_$side"))
         .withColumn("bucket", lshBucket(col(s"vec_$side"), numPlanes, dim))
         .withColumn(s"nrm_$side", norm(col(s"vec_$side")))
-    prep(corpus, "a").join(prep(evalSet, "b"), "bucket")
+    // The eval side is PINNED broadcast (benchmarks are thousands of rows,
+    // never corpus-sized) — the bucket key has only 2^numPlanes distinct
+    // values, so an estimate-driven fall to a shuffled join would funnel
+    // the whole corpus through ≤2^numPlanes reducers. Broadcast keeps the
+    // sweep map-side regardless of what the planner estimates (the same
+    // explicit-pin rule as the n-gram decontamination path).
+    prep(corpus, "a").join(broadcast(prep(evalSet, "b")), "bucket")
       .select(col("id_a"), col("id_b"),
         cosineFromNorms(dot(col("vec_a"), col("vec_b")),
           col("nrm_a"), col("nrm_b")).as("sim"))
