@@ -2775,6 +2775,43 @@ object Queries {
               |FROM c GROUP BY stratum, seq_no
               |ORDER BY stratum, seq_no""".stripMargin)),
 
+    // Null-branch hash check for the bucketed running sum (r18 verdict
+    // #4): a documents-derived fixture with (a) NULL partition values
+    // (doc_id % 7 — Window.partitionBy's null-as-a-group), (b) NULL ids
+    // (doc_id % 13 — the null md5/null bucket path, RANGE-frame peers),
+    // (c) scattered NULL values (doc_id % 5) and (d) one partition
+    // ('de') whose values are ALL null — so the all-null-bucket offset
+    // coalesce and the null-until-first-non-null count gate (5a00b2c)
+    // run under the cross-engine hash, not just CurateSpec. The oracle
+    // is the BARE window the bucketed shape claims row-identity with.
+    ("q_budget_cumsum_nulls",
+      (s: SparkSession, d: String) => {
+        val t = tbl(s, d, "documents").select(
+          col("doc_id").as("rid"),
+          when(col("doc_id") % 13 === 0, lit(null).cast("long"))
+            .otherwise(col("doc_id")).as("idc"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("lang")).as("part"),
+          when(col("lang") === "de" || col("doc_id") % 5 === 0,
+            lit(null).cast("long"))
+            .otherwise(col("n_chars")).as("v"))
+        Curate.bucketedRunningSum(t, "part", "idc", col("v"), "cum")
+          .select(col("rid"), col("part"), col("cum"))
+          .orderBy("rid")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id AS rid,
+             |    CASE WHEN doc_id % 13 = 0 THEN NULL ELSE doc_id END AS idc,
+             |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS part,
+             |    CASE WHEN lang = 'de' OR doc_id % 5 = 0 THEN NULL
+             |      ELSE n_chars END AS v
+             |  FROM documents)
+             |SELECT rid, part,
+             |  (sum(v) OVER (PARTITION BY part
+             |    ORDER BY md5(idc::VARCHAR) NULLS FIRST,
+             |             idc NULLS FIRST))::BIGINT AS cum
+             |FROM t ORDER BY rid""".stripMargin)),
+
     // Deterministic weighted mixture sampling: keep a row iff the fraction
     // encoded by md5(id)'s first 7 hex digits is below its source's weight
     // — reproducible, map-only, nested across weight sweeps.

@@ -72,12 +72,13 @@ object Readers {
         .filter(visible)
       if (matched.isEmpty)
         throw new IllegalArgumentException(
-          s"Path does not exist (glob matched no readable files): $path")
+          s"Path does not exist (glob matched no visible files or directories): $path")
       // A glob may legitimately match DIRECTORIES of files (e.g.
       // /data/shard*/ — valid for a vanilla binaryFile load): only the
       // all-files case can take the WARN-free pathGlobFilter route; any
-      // matched directory falls back to the bare-glob load, which Spark
-      // expands recursively.
+      // matched directory falls back to the bare-glob load, where the
+      // binaryFile source lists each matched directory's DIRECT children
+      // (one level — nested subdirectories need their own glob segment).
       if (matched.exists(_.isDirectory))
         spark.read.format("binaryFile").load(path)
       else {

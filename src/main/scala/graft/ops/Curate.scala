@@ -32,13 +32,26 @@ object Curate {
     * PREFIX of the ordering key — so the global (md5, id) order equals
     * (bucket, md5, id) and a per-bucket window plus the cumulative sum of
     * all EARLIER buckets reproduces the bare window's running sum row for
-    * row. The offsets table is `distinct parts × 256` rows (a 256-row
-    * window per part — trivially parallel) and joins back null-safely so
-    * a null partition value stays its own group, exactly as
-    * `Window.partitionBy` treats it. The big table's window partitions by
-    * (part, bucket): 256× the parallelism of the bare shape, and the
-    * sequential fraction per task is 1/256 of a partition instead of all
-    * of it.
+    * row. The offsets table is `distinct parts × ≤257` rows (a ≤257-row
+    * window per part — trivially parallel) and joins back null-safely on
+    * BOTH keys, so a null partition value stays its own group (exactly as
+    * `Window.partitionBy` treats it) and a null id — whose md5 and hence
+    * bucket are null — stays its own FIRST bucket rather than dropping out
+    * of the inner join (null sorts first under both Spark's ascending
+    * order and the bare window's (md5, id) order, so the null bucket is
+    * the earliest bucket and the prefix argument still holds; tied null
+    * ids are RANGE-frame peers in both shapes). The big table's window
+    * partitions by (part, bucket): 256× the parallelism of the bare shape,
+    * and the sequential fraction per task is 1/256 of a partition instead
+    * of all of it.
+    *
+    * PRECONDITION (scale): `partCol` must be LOW-cardinality (languages,
+    * shard strata — the shapes this helper exists for). The offsets table
+    * is broadcast unconditionally because it is `distinct parts × ≤257`
+    * tiny rows; a high-cardinality partition column (per-domain, per-user)
+    * would both blow that broadcast AND not need this helper — the bare
+    * window already parallelizes across many partition values. Callers
+    * with high-cardinality strata should use the bare window instead.
     *
     * Null `valCol` semantics match the bare window exactly: a null value
     * contributes nothing, and the running sum is null only while ZERO
@@ -69,7 +82,7 @@ object Curate {
       .orderBy(col("__g_md5"), col(idCol))
     keyed
       .join(broadcast(offsets),
-        col(partCol) <=> col("__g_part") && col("__g_bkt") === col("__g_bkt_r"))
+        col(partCol) <=> col("__g_part") && col("__g_bkt") <=> col("__g_bkt_r"))
       .withColumn("__g_nn", count(col("__g_val")).over(wIn))
       .withColumn(outCol,
         when(col("__g_nnb") + col("__g_nn") > 0,
@@ -84,6 +97,9 @@ object Curate {
     * budget in md5(id) order (cumulative count INCLUDING the candidate must
     * stay ≤ `tokenBudget`). Adds `q_n_tokens`/`quality_score` (and the
     * other q_* features) to the surviving rows.
+    *
+    * `langCol` must be low-cardinality (it is a language) — see the
+    * broadcast-offsets precondition on [[bucketedRunningSum]].
     */
   def curateCorpus(df: DataFrame, idCol: String, textCol: String,
                    langCol: String, minQuality: Double,
@@ -134,6 +150,10 @@ object Curate {
     * stratum key bounds window parallelism exactly like `sampleStratified`;
     * at 100 TB the stratum is (language × shard), never a global window.
     * All arithmetic is exact integers — the DuckDB oracle replays it.
+    *
+    * `partitionCol` must be low-cardinality (language, language × shard) —
+    * see the broadcast-offsets precondition on [[bucketedRunningSum]]; a
+    * per-domain stratum belongs in the bare window shape instead.
     */
   /** Deterministic train/val/test corpus split: the id's md5-fraction is
     * compared against cumulative thresholds, so every row gets exactly ONE

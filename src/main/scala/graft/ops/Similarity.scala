@@ -726,23 +726,47 @@ object Similarity {
     * per-corpus-row aggregate keeps the best-matching eval id
     * (deterministic tie-break: higher sim, then lower eval id).
     *
+    * The eval side is broadcast — benchmarks are thousands of rows, and
+    * the bucket key has only 2^numPlanes distinct values, so an
+    * estimate-driven fall to a shuffled join would funnel the whole
+    * corpus through ≤2^numPlanes reducers (the same explicit-pin rule as
+    * the n-gram decontamination path) — but the pin is SIZE-GATED (r18
+    * verdict #3): a counted eval side whose estimated prepped bytes
+    * (rows × (8·dim + 64)) exceed `evalBroadcastMaxBytes` takes a salted
+    * shuffle-hash join instead — eval rows replicated ×16 salts, corpus
+    * rows salted by id — so a caller passing a corpus-sized "eval" set
+    * degrades to a 16·2^numPlanes-way parallel shuffle rather than
+    * hitting Spark's broadcast hard limits with an executor OOM. (AQE may
+    * still convert the salted join to broadcast at runtime — that flip is
+    * safe because AQE sees the TRUE materialized size, not an estimate.)
+    *
     * @return (id, eval_id, sim) — one row per CONTAMINATED corpus vector.
     */
   def crossNearDuplicates(corpus: DataFrame, evalSet: DataFrame,
-                          threshold: Double, numPlanes: Int,
-                          dim: Int): DataFrame = {
+                          threshold: Double, numPlanes: Int, dim: Int,
+                          evalBroadcastMaxBytes: Long = 1L << 30): DataFrame = {
     def prep(df: DataFrame, side: String) =
       df.select(col("id").as(s"id_$side"),
         col("vec").cast("array<double>").as(s"vec_$side"))
         .withColumn("bucket", lshBucket(col(s"vec_$side"), numPlanes, dim))
         .withColumn(s"nrm_$side", norm(col(s"vec_$side")))
-    // The eval side is PINNED broadcast (benchmarks are thousands of rows,
-    // never corpus-sized) — the bucket key has only 2^numPlanes distinct
-    // values, so an estimate-driven fall to a shuffled join would funnel
-    // the whole corpus through ≤2^numPlanes reducers. Broadcast keeps the
-    // sweep map-side regardless of what the planner estimates (the same
-    // explicit-pin rule as the n-gram decontamination path).
-    prep(corpus, "a").join(broadcast(prep(evalSet, "b")), "bucket")
+    // One cheap count gates the pin: the eval source is typically a
+    // pruned parquet scan, and the count is what makes the broadcast
+    // decision a measurement instead of a Catalyst estimate (the
+    // broadcast-flip class this engine pins against).
+    val evalRows = evalSet.count()
+    val joined =
+      if (evalRows * (8L * dim + 64L) <= evalBroadcastMaxBytes)
+        prep(corpus, "a").join(broadcast(prep(evalSet, "b")), "bucket")
+      else {
+        val salts = 16
+        val a = prep(corpus, "a").withColumn("__salt",
+          pmod(xxhash64(col("id_a")), lit(salts)).cast("int"))
+        val b = prep(evalSet, "b").withColumn("__salt",
+          explode(sequence(lit(0), lit(salts - 1))))
+        a.join(b.hint("shuffle_hash"), Seq("bucket", "__salt")).drop("__salt")
+      }
+    joined
       .select(col("id_a"), col("id_b"),
         cosineFromNorms(dot(col("vec_a"), col("vec_b")),
           col("nrm_a"), col("nrm_b")).as("sim"))

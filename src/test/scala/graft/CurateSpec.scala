@@ -126,4 +126,36 @@ class CurateSpec extends SparkSpec {
     }
     assert(diverged.isEmpty, s"running sums diverge: ${diverged.take(5)}")
   }
+
+  test("bucketedRunningSum keeps null-id rows (null bucket joins null-safely)") {
+    // A null id hashes to a null md5 and hence a null bucket; the offsets
+    // join must match it null-safely or the row silently DROPS (the r18
+    // advice finding — the bare window it replaces keeps such rows, they
+    // sort first and tie as RANGE-frame peers). rid is the row key; idc is
+    // the nullable ordering id the helper hashes.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rows: Seq[(Long, java.lang.Long, String, java.lang.Long)] =
+      (1L to 300L).map(i =>
+        (i, if (i % 13 == 0) null else java.lang.Long.valueOf(i),
+          if (i % 7 == 0) null else s"lang${i % 3}",
+          if (i % 11 == 0) null
+          else java.lang.Long.valueOf((i % 5) + 1))).toSeq
+    val df = spark.createDataFrame(rows).toDF("rid", "idc", "lang", "nt")
+    def cums(out: org.apache.spark.sql.DataFrame): Map[Long, Any] =
+      out.select("rid", "c").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+        .toMap
+    val bare = cums(df.withColumn("c",
+      sum(col("nt")).over(Window.partitionBy(col("lang"))
+        .orderBy(md5(col("idc").cast("string")), col("idc")))))
+    val bucketed = cums(graft.ops.Curate
+      .bucketedRunningSum(df, "lang", "idc", col("nt"), "c"))
+    assert(bucketed.size == bare.size,
+      s"row loss: ${bucketed.size} vs ${bare.size} rows")
+    val diverged = bare.collect { case (id, c) if bucketed(id) != c =>
+      (id, c, bucketed(id))
+    }
+    assert(diverged.isEmpty, s"running sums diverge: ${diverged.take(5)}")
+  }
 }

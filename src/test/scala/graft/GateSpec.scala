@@ -201,4 +201,34 @@ class GateSpec extends SparkSpec {
         s"$name(collapse=$c) left non-checkpoint persists behind: rdd ids $l")
     }
   }
+
+  test("crossNearDuplicates size-gates the eval broadcast; oversize eval takes the salted shuffle path row-identically") {
+    // r18 verdict #3: the semantic-decontamination eval-side broadcast pin
+    // must be a measurement-gated decision, not unconditional — a
+    // corpus-sized "eval" set has to degrade to a salted shuffle-hash
+    // join instead of hitting Spark's broadcast hard limits. Pre-AQE
+    // sparkPlan shows which pin the gate chose; both paths must agree
+    // row for row.
+    val corpus = (30L to 80L)
+      .map(i => (i, Seq((i % 7).toDouble, (i % 5).toDouble, 1.0)))
+      .toDF("id", "vec")
+    val evalSet = Seq((1L, Seq(2.0, 3.0, 1.0)), (2L, Seq(0.0, 1.0, 0.2)))
+      .toDF("id", "vec")
+    val broad = Similarity.crossNearDuplicates(corpus, evalSet, 0.8, 2, 3)
+    val salted = Similarity.crossNearDuplicates(corpus, evalSet, 0.8, 2, 3,
+      evalBroadcastMaxBytes = 1L)
+    assert(broad.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      "under-bound eval set must keep the broadcast pin")
+    val sp = salted.queryExecution.sparkPlan.toString
+    assert(sp.contains("ShuffledHashJoin"),
+      s"over-bound eval set must take the salted shuffle-hash join:\n$sp")
+    assert(!sp.contains("BroadcastHashJoin"),
+      s"over-bound eval set must not plan a broadcast join:\n$sp")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val b = canon(broad)
+    assert(b.nonEmpty, "fixture must produce contaminated rows")
+    assert(canon(salted) == b, "salted path diverges from broadcast path")
+  }
 }

@@ -698,7 +698,7 @@ class ReadersSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Readers.binaryFiles(spark, dir + "/*.htm")
     }
-    assert(e.getMessage.contains("glob matched no readable files"))
+    assert(e.getMessage.contains("glob matched no visible files or directories"))
     // and a matching glob still reads
     assert(Readers.binaryFiles(spark, dir + "/*.html").count() == 1)
   }
@@ -713,7 +713,7 @@ class ReadersSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Readers.binaryFiles(spark, dir + "/*.html")
     }
-    assert(e.getMessage.contains("glob matched no readable files"))
+    assert(e.getMessage.contains("glob matched no visible files or directories"))
     // A visible subdirectory flips the rewrite back to the bare-glob load
     // (load(dir) would list RECURSIVELY and pick up nested files the bare
     // glob never matched) — direct children still read, nested files that
