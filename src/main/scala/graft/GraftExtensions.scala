@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArgmaxCosine, ArgminSqDist, BloomContains, DotProduct, LongDotProduct, LshBucket, MinHashSignature, NfcNormalize, PyJsonRender, QuantizeVector, SimHash, VecBytes}
+import graft.functions.{ArgmaxCosine, ArgminSqDist, BloomContains, DotProduct, LongDotProduct, LshBucket, MinHashSignature, NfcNormalize, PyJsonRender, QuantizeVector, SimHash, TextStats, VecBytes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_vec_bytes"),
       new ExpressionInfo(classOf[VecBytes].getName, "graft_vec_bytes"),
       (children: Seq[Expression]) => VecBytes(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, "graft_text_stats"),
+      (children: Seq[Expression]) => TextStats(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),

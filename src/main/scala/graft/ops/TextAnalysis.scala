@@ -58,35 +58,45 @@ object TextAnalysis {
   /** Quality features + a composite score in [0,1] — the usual cheap
     * pre-filter signals: document length, mean token length, punctuation
     * density, digit density, stopword density.
+    *
+    * All six integer counts come from ONE fused native scan
+    * (`graft_text_stats` — [[graft.functions.TextStats]], exactness
+    * contract in its scaladoc; requires GraftExtensions on the session)
+    * instead of the four independent split/aggregate/regexp_count/filter
+    * kernels this method shipped through r18: the quality gate is the
+    * curate chain's map-only floor at ×1000 scale, and the counts are the
+    * whole per-row cost. The ratio arithmetic below is IDENTICAL IEEE ops
+    * to the unfused expressions (integer-valued double sums, same
+    * cast-then-divide), so every oracle hash is unchanged; the codegen'd
+    * struct is computed once per row (whole-stage subexpression
+    * elimination folds the six field reads onto one call).
     */
   def withQualityFeatures(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val toks = tokens(t)
-    val nChars = length(t).cast("double")
-    val en = stopwordRatio(t, stopwords("en"))
+    val ts = call_function("graft_text_stats", col(textCol))
+    val nTok = col("__qts.n_tokens")
+    val nChars = col("__qts.n_chars").cast("double")
     df
-      .withColumn("q_n_tokens", size(toks))
+      .withColumn("__qts", ts)
+      .withColumn("q_n_tokens", nTok)
       .withColumn("q_mean_token_len",
-        when(size(toks) === 0, 0.0).otherwise(
-          aggregate(toks, lit(0.0), (acc, x) => acc + length(x)) / size(toks)))
-      // regexp_count of the single-char class == length of the
-      // regexp_replace-to-empty complement (same engine, same class), but
-      // COUNTS matches instead of materializing a stripped copy of every
-      // document just to length() it — at sf10 the quality gate is the
-      // curate chain's top stage and these were its two biggest kernels.
+        when(nTok === 0, 0.0).otherwise(
+          col("__qts.sum_tok_len").cast("double") / nTok))
       .withColumn("q_punct_ratio",
         when(nChars === 0, 0.0)
-          .otherwise(regexp_count(t, lit("[\\p{Punct}]")).cast("double") / nChars))
+          .otherwise(col("__qts.n_punct").cast("double") / nChars))
       .withColumn("q_digit_ratio",
         when(nChars === 0, 0.0)
-          .otherwise(regexp_count(t, lit("[0-9]")).cast("double") / nChars))
-      .withColumn("q_stopword_ratio", en)
+          .otherwise(col("__qts.n_digit").cast("double") / nChars))
+      .withColumn("q_stopword_ratio",
+        when(nTok === 0, 0.0)
+          .otherwise(col("__qts.n_stop").cast("double") / nTok))
       .withColumn("quality_score",
         Nums.round6(greatest(lit(0.0), least(lit(1.0),
           lit(0.30) * least(col("q_n_tokens").cast("double") / 64.0, lit(1.0))
             + lit(0.25) * least(col("q_mean_token_len") / 6.0, lit(1.0))
             + lit(0.25) * (lit(1.0) - least(col("q_punct_ratio") * 4.0, lit(1.0)))
             + lit(0.20) * least(col("q_stopword_ratio") * 3.0, lit(1.0))))))
+      .drop("__qts")
   }
 
   /** Corpus term frequencies: explode + hash aggregate (map-side combine

@@ -261,4 +261,59 @@ class TextAnalysisSpec extends SparkSpec {
     // md5 is uniform: no shard should be pathologically over/under-loaded
     assert(counts.values.forall(c => c > 20 && c < 130), s"skewed: $counts")
   }
+
+  test("fused graft_text_stats is bit-identical to the unfused r18 quality expressions") {
+    // The r19 fused kernel (one scan) vs the exact expression forms it
+    // replaced: split(trim(lower))/aggregate/regexp_count/filter. Pinned
+    // on the adversarial edges of Pattern.split(-1) semantics — empty
+    // string → one empty token, leading/trailing \t (trim strips only
+    // 0x20), multi-byte lowercase expansion (İ → i + U+0307), CJK (no
+    // separators), emoji (4-byte sequences), mixed-case stopwords.
+    val fixtures = Seq(
+      "",
+      " ",
+      "\t",
+      "\tfoo\tbar\t",
+      "   spaced   out   ",
+      "the quick brown fox, it is THAT good: 100% of 2024!",
+      "The THE tHe a A of OF to in is it that for and",
+      "İstanbul DİYARBAKIR Straße ĄĘŁÓ",
+      "日本語のテキスト、句読点。test 123",
+      "a😀b c😀😀d  vertical\ftab\rcr\nnl",
+      "¡¿Ñoño?! «quoted» — em-dash … ellipsis",
+      "x" * 5000 + " " + "y" * 3
+    )
+    val df = fixtures.toDF("t")
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.select("t", "q_n_tokens", "q_mean_token_len", "q_punct_ratio",
+        "q_digit_ratio", "q_stopword_ratio", "quality_score")
+        .collect().map(r => (r.getString(0).take(20), r.getInt(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).sortBy(_._1).toSeq
+    val fused = canon(TextAnalysis.withQualityFeatures(df, "t"))
+    // the unfused construction, verbatim from the r18 implementation
+    val t = col("t")
+    val toks = split(trim(lower(t)), "\\s+")
+    val nChars = length(t).cast("double")
+    val unfused = canon(df
+      .withColumn("q_n_tokens", size(toks))
+      .withColumn("q_mean_token_len",
+        when(size(toks) === 0, 0.0).otherwise(
+          aggregate(toks, lit(0.0), (acc, x) => acc + length(x)) / size(toks)))
+      .withColumn("q_punct_ratio",
+        when(nChars === 0, 0.0)
+          .otherwise(regexp_count(t, lit("[\\p{Punct}]")).cast("double") / nChars))
+      .withColumn("q_digit_ratio",
+        when(nChars === 0, 0.0)
+          .otherwise(regexp_count(t, lit("[0-9]")).cast("double") / nChars))
+      .withColumn("q_stopword_ratio",
+        TextAnalysis.stopwordRatio(t, TextAnalysis.stopwords("en")))
+      .withColumn("quality_score",
+        graft.ops.Nums.round6(greatest(lit(0.0), least(lit(1.0),
+          lit(0.30) * least(col("q_n_tokens").cast("double") / 64.0, lit(1.0))
+            + lit(0.25) * least(col("q_mean_token_len") / 6.0, lit(1.0))
+            + lit(0.25) * (lit(1.0) - least(col("q_punct_ratio") * 4.0, lit(1.0)))
+            + lit(0.20) * least(col("q_stopword_ratio") * 3.0, lit(1.0)))))))
+    assert(fused == unfused, s"fused/unfused diverge:\n$fused\nvs\n$unfused")
+  }
 }
