@@ -164,14 +164,54 @@ object Bench {
       }
       runs.sorted.apply(1)
     }
+    // SUSTAINED-WRITE canary (the r19 lesson): four same-code sf10
+    // batteries in one session read 246→309 s while BOTH CPU canaries
+    // stayed flat — the host's sustained write throughput was decaying,
+    // and it inflated exactly the write/shuffle-heavy rows
+    // (ingest_pipeline_bulk 35.9→52.0, join_salted 7.7→21.3) that a CPU
+    // kernel can never sense. This kernel writes ~770 MB of
+    // incompressible parquet (sha2-512 hex defeats snappy, so the bytes
+    // actually hit the disk) across all cores — the mix is ~2:1
+    // write:CPU, enough that a 2× write-throughput sag moves the reading
+    // far outside the 1.5× gate. The delete runs OUTSIDE the timing
+    // (the Scratch lesson: cleanup is harness hygiene, not host signal).
+    def canaryWr(): Double = {
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wrc_")
+      val runs = (1 to 3).map { i =>
+        val dst = tmp.resolve(i.toString)
+        val t0 = System.nanoTime()
+        spark.range(6000000L)
+          .selectExpr("id", "sha2(cast(id as string), 512) as pad")
+          .write.mode("overwrite").parquet(dst.toString)
+        // force() INSIDE the timing: without it a 0.8 GB burst lands in
+        // the page cache of a 128 GiB box and the kernel reads memory
+        // bandwidth, not the device (first calibration read 0.7 s — all
+        // cache; the sag this canary exists to catch lives in writeback).
+        val walk = java.nio.file.Files.walk(dst)
+        try walk.iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).foreach { p =>
+            val ch = java.nio.channels.FileChannel.open(
+              p, java.nio.file.StandardOpenOption.WRITE)
+            try ch.force(true) finally ch.close()
+          }
+        finally walk.close()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Scratch.defer(dst.toString); Scratch.drain()
+        dt
+      }
+      Scratch.defer(tmp.toString); Scratch.drain()
+      runs.sorted.apply(1)
+    }
     // One untimed canary first: its groupBy/orderBy/limit shapes JIT-compile
     // on first use, so without this the PRE reading carries ~0.5-1.0s of
     // one-time compilation and always disagrees with POST by 2-4x on a
     // clean machine (r11 clean runs: [0.72, 0.31]; r12: [1.28, 0.34]) —
     // drowning the load signal the pre/post comparison exists to catch.
-    canary(); canarySus()
+    canary(); canarySus(); canaryWr()
     val canaryPre = canary()
     val canarySusPre = canarySus()
+    val canaryWrPre = canaryWr()
     // A query that THROWS must not be silently timed as near-zero: a
     // round-11 testdata format change broke 12 events queries and the
     // catch-all here recorded them as 0.05s "improvements" in two kept
@@ -317,6 +357,7 @@ object Bench {
     }
     val canaryPost = canary()
     val canarySusPost = canarySus()
+    val canaryWrPost = canaryWr()
     // A query that FAILED must not ride the artifact as a near-zero "win"
     // (the r11 failure mode): failed rows are dropped from the queries map
     // and the total of BOTH artifacts; the failed list itself rides both
@@ -364,10 +405,11 @@ object Bench {
       // canary rides BOTH lines (cheap: ~22 chars): without it in stdout, a
       // contaminated run can't be recognized from the tail capture alone
       val cf = (v: Double) => strip(f"$v%.2f")
-      // "sus" is a SEPARATE key (not a third canary element): existing
-      // consumers regex-parse canary as exactly two floats
+      // "sus"/"susw" are SEPARATE keys (not extra canary elements):
+      // existing consumers regex-parse canary as exactly two floats
       val can = s""""canary":[${cf(canaryPre)},${cf(canaryPost)}],""" +
-        s""""sus":[${cf(canarySusPre)},${cf(canarySusPost)}],"""
+        s""""sus":[${cf(canarySusPre)},${cf(canarySusPost)}],""" +
+        s""""susw":[${cf(canaryWrPre)},${cf(canaryWrPost)}],"""
       s"""{"metric":"total","value":${fmt(total)},$head$can""" +
         s""""queries":$qs$extra$omitted,"sf":"$sf"}"""
     }
@@ -423,6 +465,7 @@ object Bench {
       s"""{"metric":"total","value":${compact(total)},""" +
         s""""canary":[${cf(canaryPre)},${cf(canaryPost)}],""" +
         s""""sus":[${cf(canarySusPre)},${cf(canarySusPost)}],""" +
+        s""""susw":[${cf(canaryWrPre)},${cf(canaryWrPost)}],""" +
         s""""queries":{},"omitted":${okRows.length}$flagged,"sf":"$sf"}"""
     }
     val chosen =

@@ -26,6 +26,34 @@ object SusCanaryProbe {
     }
     kernel() // untimed JIT warm
     (1 to 3).foreach(i => println(f"[suscanary] rows=$rows run $i: ${kernel()}%.2f s"))
+    // Standalone reading of Bench's sustained-WRITE canary kernel (r19):
+    // ~770 MB of incompressible parquet per run — the host signal the CPU
+    // kernels can't sense (four same-code sf10 batteries drifted 246→309 s
+    // with flat CPU canaries while this workload class sagged ~2x).
+    def wrKernel(i: Int): Double = {
+      import scala.jdk.CollectionConverters._
+      val dst = java.nio.file.Files.createTempDirectory("graft_wrc_")
+        .resolve(i.toString)
+      val t0 = System.nanoTime()
+      spark.range(6000000L)
+        .selectExpr("id", "sha2(cast(id as string), 512) as pad")
+        .write.mode("overwrite").parquet(dst.toString)
+      // force() inside the timing — see Bench.canaryWr: without it the
+      // burst lands in the page cache and reads memory, not the device.
+      val walk = java.nio.file.Files.walk(dst)
+      try walk.iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).foreach { p =>
+          val ch = java.nio.channels.FileChannel.open(
+            p, java.nio.file.StandardOpenOption.WRITE)
+          try ch.force(true) finally ch.close()
+        }
+      finally walk.close()
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.Scratch.defer(dst.toString); graft.Scratch.drain()
+      dt
+    }
+    wrKernel(0) // untimed warm
+    (1 to 3).foreach(i => println(f"[suscanary] write run $i: ${wrKernel(i)}%.2f s"))
     spark.stop()
   }
 }

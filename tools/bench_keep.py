@@ -10,7 +10,9 @@ spreads (r11 kept q_join_semi at 4.6 s vs a 0.49 s fresh-JVM floor).
 
 Checks, in order:
   1. canary pre/post must agree within 1.5x (else the whole RUN is
-     contaminated — exit 2, don't keep);
+     contaminated — exit 2, don't keep); the sustained-write canary
+     ("susw", r19+) gates identically — a decaying-disk window inflates
+     write/shuffle rows while every CPU canary stays flat;
   2. `failed` must be empty (exit 3);
   2b. the floors file's `_fingerprint` stamp must match the battery's
      sf dir content (stamped by tools/bench_floors.py --sf-dir); a
@@ -75,6 +77,15 @@ def main():
     if can and max(can) / max(min(can), 1e-9) > 1.5:
         print(f"REJECT: canary pre/post disagree >1.5x: {can} — "
               "machine load changed mid-run; re-run the battery")
+        return 2
+    # The sustained-write canary gates the same way (r19: a decaying-disk
+    # window inflated write/shuffle rows 1.6x while BOTH CPU canaries
+    # stayed flat and the run passed this gate). Absent in pre-r19
+    # artifacts — skipped for those.
+    susw = art.get("susw", [])
+    if susw and max(susw) / max(min(susw), 1e-9) > 1.5:
+        print(f"REJECT: write canary pre/post disagree >1.5x: {susw} — "
+              "disk throughput changed mid-run; re-run the battery")
         return 2
     if art.get("failed"):
         print(f"REJECT: failed queries present: {art['failed']}")

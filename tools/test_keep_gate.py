@@ -28,7 +28,8 @@ from bench_diff import fingerprint  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_gate(tmp, floors, sf_dir, expect_exit, label, expect_cleared):
+def run_gate(tmp, floors, sf_dir, expect_exit, label, expect_cleared,
+             art_extra=None):
     full = os.path.join(tmp, f"full_{label}.json")
     kept = os.path.join(tmp, f"kept_{label}.json")
     floors_path = os.path.join(tmp, f"floors_{label}.json")
@@ -38,6 +39,7 @@ def run_gate(tmp, floors, sf_dir, expect_exit, label, expect_cleared):
     art = {"metric": "total", "value": 2.0, "canary": [0.4, 0.42],
            "queries": {"q_join_semi": 2.0}, "failed": [],
            "floor_suspect": ["q_join_semi"], "sf": sf_dir}
+    art.update(art_extra or {})
     with open(full, "w") as f:
         json.dump(art, f)
     probe = os.path.join(tmp, "probe.sh")
@@ -50,9 +52,13 @@ def run_gate(tmp, floors, sf_dir, expect_exit, label, expect_cleared):
         [sys.executable, os.path.join(REPO, "tools", "bench_keep.py"),
          full, kept, f"--sf-dir={sf_dir}"],
         capture_output=True, text=True, env=env, cwd=REPO)
-    out = json.load(open(kept))
-    cleared = out["floor_suspect"] == []
-    ok = r.returncode == expect_exit and cleared == expect_cleared
+    if expect_exit == 2:  # whole-run rejection: no kept file is written
+        ok = r.returncode == 2 and not os.path.exists(kept)
+        cleared = None
+    else:
+        out = json.load(open(kept))
+        cleared = out["floor_suspect"] == []
+        ok = r.returncode == expect_exit and cleared == expect_cleared
     status = "PASS" if ok else "FAIL"
     print(f"{status} {label}: exit={r.returncode} (want {expect_exit}) "
           f"cleared={cleared} (want {expect_cleared})")
@@ -79,6 +85,16 @@ def main():
         # 3. matching stamp: probe (0.41s < 3x floor) clears the suspect
         ok &= run_gate(tmp, dict(base, _fingerprint={
             "dir": sf, "md5": good}), sf, 0, "matching_cleared", True)
+        # 4. write canary pre/post >1.5x rejects the run even when every
+        #    other gate (incl. the CPU canary) is green — the r19
+        #    decaying-disk window
+        ok &= run_gate(tmp, dict(base, _fingerprint={
+            "dir": sf, "md5": good}), sf, 2, "susw_rejected", None,
+            art_extra={"susw": [2.4, 1.2]})
+        # 5. pre-r19 artifact without a susw key is NOT rejected for it
+        ok &= run_gate(tmp, dict(base, _fingerprint={
+            "dir": sf, "md5": good}), sf, 0, "no_susw_ok", True,
+            art_extra={"sus": [1.3, 1.35]})
     print("keep-gate self-test:", "ALL PASS" if ok else "FAILURES")
     return 0 if ok else 1
 
