@@ -177,7 +177,7 @@ object Bench {
     // (the Scratch lesson: cleanup is harness hygiene, not host signal).
     def canaryWr(): Double = {
       import scala.jdk.CollectionConverters._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_wrc_")
+      val tmp = Scratch.writeScratchDir("graft_wrc_")
       val runs = (1 to 3).map { i =>
         val dst = tmp.resolve(i.toString)
         val t0 = System.nanoTime()

@@ -20,6 +20,30 @@ object Scratch {
   private val pending = new java.util.concurrent.ConcurrentLinkedQueue[String]
   @volatile private var hooked = false
 
+  /** Fresh scratch dir for WRITE-throughput-sensitive work (the write
+    * canary). Honors `SPARK_GRAFT_SCRATCH` (else java.io.tmpdir) and warns
+    * when the target filesystem is tmpfs: there `FileChannel.force(true)`
+    * syncs to RAM, so a write canary silently measures memory bandwidth and
+    * never senses disk sag — its calibration (~1.7-1.9 s clean at 32 cpus)
+    * holds only for disk-backed scratch. The warning makes that visible on
+    * hosts where /tmp is tmpfs instead of letting the gate read garbage.
+    */
+  def writeScratchDir(prefix: String): Path = {
+    val root = sys.env.get("SPARK_GRAFT_SCRATCH").map(Paths.get(_))
+    root.foreach(Files.createDirectories(_))
+    val dir = root match {
+      case Some(r) => Files.createTempDirectory(r, prefix)
+      case None    => Files.createTempDirectory(prefix)
+    }
+    val fsType = scala.util.Try(Files.getFileStore(dir).`type`()).getOrElse("?")
+    if (fsType == "tmpfs" || fsType == "ramfs")
+      System.err.println(s"[scratch] WARNING: write scratch $dir is on " +
+        s"$fsType — force(true) syncs to RAM, write-canary readings measure " +
+        "memory bandwidth, not disk; set SPARK_GRAFT_SCRATCH to a " +
+        "disk-backed path")
+    dir
+  }
+
   /** Register a scratch dir for deletion at the next [[drain]]. */
   def defer(dir: String): Unit = {
     pending.add(dir)

@@ -740,11 +740,33 @@ object Similarity {
     * still convert the salted join to broadcast at runtime — that flip is
     * safe because AQE sees the TRUE materialized size, not an estimate.)
     *
+    * CACHE LIFETIME: the prepped eval projection is persisted so the
+    * gate's count and the join share ONE eval-source scan (r19 verdict
+    * #4) — this convenience wrapper cannot release it (it hands back only
+    * the result frame). One-shot callers are fine — session end or
+    * `spark.catalog.clearCache()` reclaims the (eval-sized, i.e. small by
+    * this operator's contract) block — but long-lived drivers should call
+    * [[crossNearDuplicatesH]] and unpersist the returned handle once the
+    * result is materialized, the same deterministic-release pattern as
+    * [[embeddingNearDuplicatesH]].
+    *
     * @return (id, eval_id, sim) — one row per CONTAMINATED corpus vector.
     */
   def crossNearDuplicates(corpus: DataFrame, evalSet: DataFrame,
                           threshold: Double, numPlanes: Int, dim: Int,
-                          evalBroadcastMaxBytes: Long = 1L << 30): DataFrame = {
+                          evalBroadcastMaxBytes: Long = 1L << 30): DataFrame =
+    crossNearDuplicatesH(corpus, evalSet, threshold, numPlanes, dim,
+      evalBroadcastMaxBytes)._1
+
+  /** [[crossNearDuplicates]] plus its persisted intermediate (the prepped
+    * eval projection, shared by the gate count and the join — one source
+    * scan instead of two): `unpersist()` the returned handle once the
+    * result is materialized.
+    */
+  def crossNearDuplicatesH(corpus: DataFrame, evalSet: DataFrame,
+                           threshold: Double, numPlanes: Int, dim: Int,
+                           evalBroadcastMaxBytes: Long = 1L << 30)
+      : (DataFrame, Seq[DataFrame]) = {
     def prep(df: DataFrame, side: String) =
       df.select(col("id").as(s"id_$side"),
         col("vec").cast("array<double>").as(s"vec_$side"))
@@ -753,20 +775,25 @@ object Similarity {
     // One cheap count gates the pin: the eval source is typically a
     // pruned parquet scan, and the count is what makes the broadcast
     // decision a measurement instead of a Catalyst estimate (the
-    // broadcast-flip class this engine pins against).
-    val evalRows = evalSet.count()
+    // broadcast-flip class this engine pins against). The count runs over
+    // the PERSISTED prepped projection, so the source is scanned once and
+    // the join below reads the cached blocks (r19 verdict #4: the gate
+    // must not buy its measurement with a second eval-source scan).
+    val evalPrepped = prep(evalSet, "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalRows = evalPrepped.count()
     val joined =
       if (evalRows * (8L * dim + 64L) <= evalBroadcastMaxBytes)
-        prep(corpus, "a").join(broadcast(prep(evalSet, "b")), "bucket")
+        prep(corpus, "a").join(broadcast(evalPrepped), "bucket")
       else {
         val salts = 16
         val a = prep(corpus, "a").withColumn("__salt",
           pmod(xxhash64(col("id_a")), lit(salts)).cast("int"))
-        val b = prep(evalSet, "b").withColumn("__salt",
+        val b = evalPrepped.withColumn("__salt",
           explode(sequence(lit(0), lit(salts - 1))))
         a.join(b.hint("shuffle_hash"), Seq("bucket", "__salt")).drop("__salt")
       }
-    joined
+    val result = joined
       .select(col("id_a"), col("id_b"),
         cosineFromNorms(dot(col("vec_a"), col("vec_b")),
           col("nrm_a"), col("nrm_b")).as("sim"))
@@ -776,6 +803,7 @@ object Similarity {
       .agg(max(struct(col("sim"), (-col("id_b")).as("neg"))).as("best"))
       .select(col("id"), (-col("best.neg")).cast("long").as("eval_id"),
         round(col("best.sim"), 6).as("sim"))
+    (result, Seq(evalPrepped))
   }
 
   /** Exact (brute-force) near-duplicate pairs — the oracle-checkable variant;

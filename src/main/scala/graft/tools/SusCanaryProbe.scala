@@ -30,10 +30,14 @@ object SusCanaryProbe {
     // ~770 MB of incompressible parquet per run — the host signal the CPU
     // kernels can't sense (four same-code sf10 batteries drifted 246→309 s
     // with flat CPU canaries while this workload class sagged ~2x).
+    // ONE parent for all runs, deferred once after the loop — a per-call
+    // createTempDirectory deferred only via its child leaked one empty
+    // graft_wrc_* parent per invocation (r20 ADVICE). Scratch.writeScratchDir
+    // honors SPARK_GRAFT_SCRATCH and warns on tmpfs, same as Bench.canaryWr.
+    val wrParent = graft.Scratch.writeScratchDir("graft_wrc_")
     def wrKernel(i: Int): Double = {
       import scala.jdk.CollectionConverters._
-      val dst = java.nio.file.Files.createTempDirectory("graft_wrc_")
-        .resolve(i.toString)
+      val dst = wrParent.resolve(i.toString)
       val t0 = System.nanoTime()
       spark.range(6000000L)
         .selectExpr("id", "sha2(cast(id as string), 512) as pad")
@@ -54,6 +58,7 @@ object SusCanaryProbe {
     }
     wrKernel(0) // untimed warm
     (1 to 3).foreach(i => println(f"[suscanary] write run $i: ${wrKernel(i)}%.2f s"))
+    graft.Scratch.defer(wrParent.toString); graft.Scratch.drain()
     spark.stop()
   }
 }

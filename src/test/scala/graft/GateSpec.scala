@@ -217,13 +217,21 @@ class GateSpec extends SparkSpec {
     val broad = Similarity.crossNearDuplicates(corpus, evalSet, 0.8, 2, 3)
     val salted = Similarity.crossNearDuplicates(corpus, evalSet, 0.8, 2, 3,
       evalBroadcastMaxBytes = 1L)
-    assert(broad.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+    val bp = broad.queryExecution.sparkPlan.toString
+    assert(bp.contains("BroadcastHashJoin"),
       "under-bound eval set must keep the broadcast pin")
     val sp = salted.queryExecution.sparkPlan.toString
     assert(sp.contains("ShuffledHashJoin"),
       s"over-bound eval set must take the salted shuffle-hash join:\n$sp")
     assert(!sp.contains("BroadcastHashJoin"),
       s"over-bound eval set must not plan a broadcast join:\n$sp")
+    // r19 verdict #4: the gate's count and the join share ONE eval-source
+    // scan — the join's eval side must read the persisted prepped
+    // projection (InMemoryTableScan), not re-scan the source, on BOTH paths.
+    assert(bp.contains("InMemoryTableScan"),
+      s"broadcast path must read the persisted eval projection:\n$bp")
+    assert(sp.contains("InMemoryTableScan"),
+      s"salted path must read the persisted eval projection:\n$sp")
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .sortBy(t => (t._1, t._2)).toSeq

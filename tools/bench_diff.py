@@ -67,6 +67,9 @@ def load(path):
         m = re.search(r'"sus":\[([0-9.]+),([0-9.]+)\]', d["tail"])
         if m:
             out["sus"] = [float(m.group(1)), float(m.group(2))]
+        m = re.search(r'"susw":\[([0-9.]+),([0-9.]+)\]', d["tail"])
+        if m:
+            out["susw"] = [float(m.group(1)), float(m.group(2))]
         return out
     return d
 
@@ -123,6 +126,24 @@ def main():
                   "not code")
     elif nsus:
         print(f"sustained (new only): {nsus}")
+
+    # Sustained-WRITE canary (r19): write throughput on this host oscillates
+    # across hours independently of every CPU signal (kept susw ranged
+    # 1.67-2.84 s in one session while both CPU canaries stayed flat) and
+    # inflates exactly the write/shuffle-heavy rows (ingest_pipeline_bulk,
+    # join_salted, pagerank). Gate cross-round write-row deltas on it like
+    # cross-round CPU deltas gate on "sus". Threshold 1.5 — wider than sus's
+    # 1.2 because clean-window susw readings themselves spread ~1.4x.
+    oww, nww = old.get("susw"), new.get("susw")
+    if oww and nww:
+        wratio = max(nww) / max(min(oww), 1e-9)
+        print(f"sustained-write: old={oww} new={nww} ratio={wratio:.2f}")
+        if wratio > 1.5:
+            contaminated = True
+            print("!! NEW run's sustained WRITE throughput is degraded vs "
+                  "OLD — write/shuffle-row deltas are disk weather, not code")
+    elif nww:
+        print(f"sustained-write (new only): {nww}")
 
     shared = sorted(set(oq) & set(nq))
     added = sorted(set(nq) - set(oq))

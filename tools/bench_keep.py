@@ -82,9 +82,15 @@ def main():
     # window inflated write/shuffle rows 1.6x while BOTH CPU canaries
     # stayed flat and the run passed this gate). Absent in pre-r19
     # artifacts — skipped for those.
+    # Write variance is inherently higher than CPU variance: clean-window
+    # kept artifacts already read susw pre/post ratios up to ~1.4x (e.g.
+    # [1.83, 2.53]), so inheriting the CPU canary's 1.5x left <10% margin
+    # before false rejects. 1.8x keeps headroom over the clean band while
+    # still catching the r19 contamination class (observed degraded-window
+    # ratios were ~2x+ on the write rows themselves).
     susw = art.get("susw", [])
-    if susw and max(susw) / max(min(susw), 1e-9) > 1.5:
-        print(f"REJECT: write canary pre/post disagree >1.5x: {susw} — "
+    if susw and max(susw) / max(min(susw), 1e-9) > 1.8:
+        print(f"REJECT: write canary pre/post disagree >1.8x: {susw} — "
               "disk throughput changed mid-run; re-run the battery")
         return 2
     if art.get("failed"):

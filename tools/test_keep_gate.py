@@ -85,12 +85,18 @@ def main():
         # 3. matching stamp: probe (0.41s < 3x floor) clears the suspect
         ok &= run_gate(tmp, dict(base, _fingerprint={
             "dir": sf, "md5": good}), sf, 0, "matching_cleared", True)
-        # 4. write canary pre/post >1.5x rejects the run even when every
+        # 4. write canary pre/post >1.8x rejects the run even when every
         #    other gate (incl. the CPU canary) is green — the r19
         #    decaying-disk window
         ok &= run_gate(tmp, dict(base, _fingerprint={
             "dir": sf, "md5": good}), sf, 2, "susw_rejected", None,
             art_extra={"susw": [2.4, 1.2]})
+        # 4b. susw in the 1.5-1.8x band is KEPT: clean-window write readings
+        #     spread up to ~1.4x, so the susw threshold is calibrated wider
+        #     than the CPU canary's 1.5x (r20 ADVICE)
+        ok &= run_gate(tmp, dict(base, _fingerprint={
+            "dir": sf, "md5": good}), sf, 0, "susw_band_kept", True,
+            art_extra={"susw": [2.0, 1.2]})
         # 5. pre-r19 artifact without a susw key is NOT rejected for it
         ok &= run_gate(tmp, dict(base, _fingerprint={
             "dir": sf, "md5": good}), sf, 0, "no_susw_ok", True,
