@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArgmaxCosine, ArgminSqDist, BloomContains, DotProduct, LongDotProduct, LshBucket, MinHashSignature, NfcNormalize, PyJsonRender, QuantizeVector, SimHash, TextStats, VecBytes}
+import graft.functions.{ArgmaxCosine, ArgminSqDist, BloomContains, DotProduct, JsonFieldTypes, LongDotProduct, LshBucket, MinHashSignature, NfcNormalize, PyJsonRender, QuantizeVector, ShingleHashes, ShingleInterSize, SimHash, TextStats, VecBytes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -89,5 +89,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_pyjson"),
       new ExpressionInfo(classOf[PyJsonRender].getName, "graft_pyjson"),
       (children: Seq[Expression]) => PyJsonRender(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_json_types"),
+      new ExpressionInfo(classOf[JsonFieldTypes].getName, "graft_json_types"),
+      (children: Seq[Expression]) => JsonFieldTypes(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_shingle_hashes: k must be an integer literal, got $other")
+        }
+        ShingleHashes(children.head, k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_inter_size"),
+      new ExpressionInfo(classOf[ShingleInterSize].getName, "graft_inter_size"),
+      (children: Seq[Expression]) => ShingleInterSize(children.head, children(1))))
   }
 }

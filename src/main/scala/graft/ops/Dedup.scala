@@ -55,6 +55,28 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** Sorted DISTINCT 64-bit shingle-hash set — the verify-join proxy for
+    * `array_distinct(shingles(text, k))` (r21; exactness argument in
+    * [[graft.functions.ShingleHashImpl]]'s scaladoc): intersection/union
+    * counts — all Jaccard reads — are identical to the string sets', while
+    * the exchange ships 8-byte longs instead of ~40-byte shingle strings
+    * and no shingle string is ever materialized. Requires
+    * [[graft.GraftExtensions]] on the session.
+    */
+  private[graft] def shingleHashSet(text: Column, k: Int): Column =
+    call_function("graft_shingle_hashes", tokens(text), lit(k))
+
+  /** Exact Jaccard over two [[shingleHashSet]] arrays: |A∩B| by sorted
+    * merge (`graft_inter_size` — zero per-pair allocation, primitive
+    * comparisons), |A∪B| by inclusion-exclusion as in [[jaccardDistinct]].
+    * Divisor-zero corner matches [[jaccardDistinct]]: unreachable from
+    * shingle sets (never empty by construction).
+    */
+  private[graft] def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = call_function("graft_inter_size", a, b).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
   /** MinHash signature as array<long> via the fused native kernel
     * [[graft.functions.MinHashSignature]] (`graft_minhash`): tokens →
     * k-shingle hashes → H permutation minima in one codegen'd loop per row —
@@ -318,21 +340,21 @@ object Dedup {
     val candIds = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val sets = keyed
       .join(candIds, Seq("id"), "leftsemi") // filter BEFORE shingling
-      .select(col("id"),
-        array_distinct(shingles(col("__text"), shingleSize)).as("sh"))
-    // The sets side carries the shingle ARRAYS — Catalyst's size estimate
-    // for array columns runs low, so left to itself the planner sometimes
-    // broadcasts a hundreds-of-MB HashedRelation of shingle sets (measured
-    // at sf1: the broadcast plan runs ~2x slower than the shuffled one,
-    // and the flip-flop made the row bimodal across clean runs). Pin the
-    // two verify joins to shuffle-hash: both sides are corpus-proportional,
-    // so the shuffled join is also the only plan that survives 100 TB.
+      .select(col("id"), shingleHashSet(col("__text"), shingleSize).as("sh"))
+    // The sets side carries the shingle-hash ARRAYS — Catalyst's size
+    // estimate for array columns runs low, so left to itself the planner
+    // sometimes broadcasts a corpus-proportional HashedRelation of shingle
+    // sets (measured at sf1 on the pre-r21 string arrays: the broadcast
+    // plan ran ~2x slower than the shuffled one, and the flip-flop made
+    // the row bimodal across clean runs). Pin the two verify joins to
+    // shuffle-hash: both sides are corpus-proportional, so the shuffled
+    // join is also the only plan that survives 100 TB.
     val verified = pairs
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
         .hint("shuffle_hash"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
         .hint("shuffle_hash"), "id_b")
-      .withColumn("jaccard", jaccardDistinct(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), Nums.round6(col("jaccard")).as("jaccard"))
     (verified, Seq(banded, pairs))
@@ -397,29 +419,32 @@ object Dedup {
     val candIds = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val sets = reps
       .join(candIds, Seq("id"), "leftsemi") // filter BEFORE shingling
-      .select(col("id"),
-        array_distinct(shingles(col("__text"), shingleSize)).as("sh"))
-    // The sets side carries the shingle ARRAYS — Catalyst's size estimate
-    // for array columns runs low, so left to itself the planner sometimes
-    // broadcasts a hundreds-of-MB HashedRelation of shingle sets (measured
-    // at sf1: the broadcast plan runs ~2x slower than the shuffled one,
-    // and the flip-flop made the row bimodal across clean runs). Pin the
-    // two verify joins to shuffle-hash: both sides are corpus-proportional,
-    // so the shuffled join is also the only plan that survives 100 TB.
+      .select(col("id"), shingleHashSet(col("__text"), shingleSize).as("sh"))
+    // The sets side carries the shingle-hash ARRAYS — Catalyst's size
+    // estimate for array columns runs low, so left to itself the planner
+    // sometimes broadcasts a corpus-proportional HashedRelation of shingle
+    // sets (measured at sf1 on the pre-r21 string arrays: the broadcast
+    // plan ran ~2x slower than the shuffled one, and the flip-flop made
+    // the row bimodal across clean runs). Pin the two verify joins to
+    // shuffle-hash: both sides are corpus-proportional, so the shuffled
+    // join is also the only plan that survives 100 TB.
     val repVerified = pairs
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
         .hint("shuffle_hash"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
         .hint("shuffle_hash"), "id_b")
-      .withColumn("jaccard", jaccardDistinct(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), Nums.round6(col("jaccard")).as("jaccard"))
-    // same-text jaccard via the SAME set expression as the verify join.
-    // Always n/n = 1.0: shingle sets are never empty ([[shingles]] clamps
-    // short texts to one full-token shingle), so no ANSI 0/0 here.
+    // Same-text jaccard: identical sets, so n/n = 1.0 ALWAYS — shingle
+    // sets are never empty ([[shingles]] clamps short texts to one
+    // full-token shingle; property-suite-pinned), so the old
+    // size(sh)/size(sh) form was the constant 1.0 computed the expensive
+    // way: it shingled EVERY rep text just to divide a size by itself
+    // (r21 — dead work removed; the filter keeps the threshold semantics
+    // for a hypothetical threshold > 1.0 caller).
     val selfJ = reps
-      .withColumn("sh", array_distinct(shingles(col("__text"), shingleSize)))
-      .withColumn("jaccard", size(col("sh")).cast("double") / size(col("sh")))
+      .withColumn("jaccard", lit(1.0))
       .filter(col("jaccard") >= threshold)
       .select(col("id").as("__rid"), col("gsz"),
         Nums.round6(col("jaccard")).as("jaccard"))
@@ -1279,12 +1304,18 @@ object Dedup {
     */
   def contaminatedIds(train: DataFrame, eval_ : DataFrame, idCol: String,
                       textCol: String, n: Int = 5): DataFrame = {
+    // Hashed shingles (r21, see [[shingleHashSet]]): the join key becomes
+    // an 8-byte long instead of a ~n·7-char string — the corpus-side
+    // explode, the broadcast hash relation, and every probe shrink ~5x,
+    // and no shingle string is ever materialized. Per-id counts of shared
+    // DISTINCT shingles are identical (both sides were distinct before and
+    // still are — the hash set preserves set cardinalities).
     val evalSh = broadcast(eval_
-      .select(explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+      .select(explode(shingleHashSet(col(textCol), n)).as("sh"))
       .distinct())
     train
       .select(col(idCol).as("id"),
-        explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+        explode(shingleHashSet(col(textCol), n)).as("sh"))
       .join(evalSh, "sh")
       .groupBy("id")
       .agg(count(lit(1)).as("n_shared"))
@@ -1334,14 +1365,19 @@ object Dedup {
     * corpus path. */
   def bruteForceJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                              threshold: Double, shingleSize: Int = 5): DataFrame = {
+    // Hashed shingle sets (r21, see [[shingleHashSet]]): the O(n²) verify
+    // is this operator's entire cost, and per pair the sorted-merge
+    // `graft_inter_size` replaces a per-pair hash-set build over ~40-byte
+    // shingle strings with a linear scan of primitive longs; the broadcast
+    // side shrinks by the same ~5x.
     val sets = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+      shingleHashSet(col(textCol), shingleSize).as("sh"))
     val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
       .repartition(col("id_a"))
     val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccardDistinct(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"))
   }
@@ -1371,7 +1407,9 @@ object Dedup {
 
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    pairs: DataFrame, n: Int = 3): DataFrame = {
-    val sets = df.select(col(idCol).as("id"), array_distinct(shingles(col(textCol), n)).as("sh"))
+    // hashed shingle sets (r21, see [[shingleHashSet]]) — same counts,
+    // 8-byte elements across the exchange, sorted-merge per pair
+    val sets = df.select(col(idCol).as("id"), shingleHashSet(col(textCol), n).as("sh"))
     // sets carries shingle ARRAYS — the size-underestimate shape that made
     // the minhash verify joins flip to a broadcast of a corpus-proportional
     // HashedRelation (see minhashNearDuplicatesH); pinned for the same reason
@@ -1381,6 +1419,6 @@ object Dedup {
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
         .hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
-        Nums.round6(jaccardDistinct(col("sh_a"), col("sh_b"))).as("jaccard"))
+        Nums.round6(jaccardSorted(col("sh_a"), col("sh_b"))).as("jaccard"))
   }
 }

@@ -99,17 +99,31 @@ object Graph {
     val base = scale * (dampDen - dampNum) / dampDen // exact for sane params
     var ranks = verts.withColumn("rank", lit(scale))
     var prev: Option[DataFrame] = None
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = edged.join(ranks, edged("src") === ranks("id"))
         .select(edged("dst").as("id"),
           expr(s"CAST((rank * $dampNum) DIV (${dampDen} * od) AS BIGINT)").as("c"))
         .groupBy("id").agg(sum("c").as("c"))
       val next = verts.join(contribs, Seq("id"), "left")
         .select(col("id"), (lit(base) + coalesce(col("c"), lit(0L))).as("rank"))
-        .localCheckpoint()
-      prev.foreach(Dedup.unpersistCheckpointed)
-      prev = Some(next)
-      ranks = next
+      // Checkpoint every SECOND iteration plus the last (r21; was every
+      // iteration): the per-iteration eager localCheckpoint made this the
+      // battery's most write-sensitive row — each round paid one
+      // materialization job and one MEMORY_AND_DISK block write of the
+      // full rank table. Letting one lazy round ride into the next keeps
+      // the plan constant-bounded (≤ 2 rounds of join+agg — lineage still
+      // never grows with `iters`) while halving the checkpoint jobs and
+      // block writes. The LAST round always checkpoints so the returned
+      // frame reads its own blocks and the edge/vertex checkpoints below
+      // can be released before the caller consumes the result.
+      if (i % 2 == 0 || i == iters) {
+        val ck = next.localCheckpoint()
+        // safe only AFTER ck materialized — the lazy round in between
+        // still read prev's blocks during the checkpoint job
+        prev.foreach(Dedup.unpersistCheckpointed)
+        prev = Some(ck)
+        ranks = ck
+      } else ranks = next
     }
     Dedup.unpersistCheckpointed(edged)
     // after ≥1 round the returned table is its own checkpoint; the vertex

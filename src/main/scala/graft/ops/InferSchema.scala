@@ -36,38 +36,21 @@ object InferSchema {
       .select(explode(json_object_keys(col(jsonCol))).as("field"))
       .groupBy("field").agg(count(lit(1)).as("n_present"))
 
-  /** Typed variant for structured mode: per record, field -> JSON type name.
-    * Jackson (already on Spark's classpath) parses each record once; the UDF
-    * output explodes into (field, type) rows feeding the same presence
-    * aggregation. Only the non-parity structured mode pays the UDF cost.
+  /** Typed variant for structured mode: per record, field -> JSON type
+    * name, via the native `graft_json_types` kernel
+    * ([[graft.functions.JsonFieldTypes]] — requires
+    * [[graft.GraftExtensions]] on the session). Same shared-Jackson parse
+    * as the Scala UDF it replaces (r21), but as a native expression there
+    * is no ScalaUDF wrapper per row and no Catalyst↔Scala converter on the
+    * (Map) output — the typed-inference scan stays inside whole-stage
+    * codegen with one static call per record. Semantics are the UDF's,
+    * row for row: malformed / non-object / null-parse records yield an
+    * empty array (no rows after the explode), a NULL input column
+    * null-propagates (the explode drops it identically), and duplicate
+    * keys collapse inside Jackson's readTree either way.
     */
-  // one mapper per JVM (ObjectMapper is thread-safe for reads and expensive
-  // to construct — building it per record dominated the typed-inference scan)
-  @transient private lazy val sharedMapper =
-    new com.fasterxml.jackson.databind.ObjectMapper()
-
-  private val fieldJsonTypes = udf { (json: String) =>
-    if (json == null) Map.empty[String, String]
-    else {
-      import scala.jdk.CollectionConverters._
-      try {
-        val node = sharedMapper.readTree(json)
-        if (node == null || !node.isObject) Map.empty[String, String]
-        else node.fields().asScala.map { e =>
-          val v = e.getValue
-          val t =
-            if (v.isNull) "null"
-            else if (v.isIntegralNumber) "integer"
-            else if (v.isNumber) "number"
-            else if (v.isBoolean) "boolean"
-            else if (v.isObject) "object"
-            else if (v.isArray) "array"
-            else "string"
-          e.getKey -> t
-        }.toMap
-      } catch { case _: Exception => Map.empty[String, String] }
-    }
-  }
+  private def fieldJsonTypes(c: Column): Column =
+    call_function("graft_json_types", c)
 
   /** Full inference: one distributed aggregation, then a tiny driver-side
     * collect of (field, presence, type-votes).
@@ -90,7 +73,8 @@ object InferSchema {
           .withColumn("types", array(lit("string")))
       } else {
         observed
-          .select(explode(fieldJsonTypes(col(jsonCol))).as(Seq("field", "t")))
+          .select(explode(fieldJsonTypes(col(jsonCol))).as("kv"))
+          .select(col("kv.field").as("field"), col("kv.t").as("t"))
           .groupBy("field")
           .agg(count(lit(1)).as("n_present"), collect_set(col("t")).as("types"))
       }

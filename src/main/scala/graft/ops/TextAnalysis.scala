@@ -602,8 +602,12 @@ object TextAnalysis {
     */
   def noveltyScore(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3): DataFrame = {
+    // Hashed shingles (r21, see [[Dedup.shingleHashSet]]): the shuffle key
+    // of both the min-agg and the join back becomes an 8-byte long instead
+    // of a ~k·7-char string; per-id novel/total counts are identical (the
+    // hash set preserves per-doc set cardinalities and cross-doc equality).
     val sh = df.select(col(idCol).as("id"),
-      explode(array_distinct(Dedup.shingles(col(textCol), k))).as("sh"))
+      explode(Dedup.shingleHashSet(col(textCol), k)).as("sh"))
     val firsts = sh.groupBy("sh").agg(min(col("id")).as("first_id"))
     sh.join(firsts, "sh")
       .groupBy("id")

@@ -49,4 +49,23 @@ class InferSchemaSpec extends SparkSpec {
     val df = Seq.empty[String].toDF("data")
     assert(InferSchema.infer(df, "data").isEmpty)
   }
+
+  test("typed mode via the native kernel keeps the Scala UDF's edge semantics") {
+    // r21: the typed path moved from a ScalaUDF to the native
+    // graft_json_types kernel — pin the UDF's documented corner behavior:
+    // malformed / non-object records contribute no fields (but still count
+    // toward the `required` denominator), a NULL record null-propagates,
+    // explicit null types drop out, bool/array/object map by name.
+    val df = Seq(
+      """{"b": true, "arr": [1], "obj": {"x": 1}, "n": null}""",
+      """not json at all""",
+      """[1, 2, 3]""",
+      null.asInstanceOf[String],
+      """{"b": false, "arr": [], "obj": {}, "n": 7}""").toDF("data")
+    val s = InferSchema.infer(df, "data", parityStringify = false).get
+    assert(s.properties == Map(
+      "b" -> "boolean", "arr" -> "array", "obj" -> "object", "n" -> "integer"))
+    // 5 records total, fields present in only 2 → nothing is required
+    assert(s.required.isEmpty)
+  }
 }

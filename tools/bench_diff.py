@@ -132,16 +132,34 @@ def main():
     # 1.67-2.84 s in one session while both CPU canaries stayed flat) and
     # inflates exactly the write/shuffle-heavy rows (ingest_pipeline_bulk,
     # join_salted, pagerank). Gate cross-round write-row deltas on it like
-    # cross-round CPU deltas gate on "sus". Threshold 1.5 — wider than sus's
-    # 1.2 because clean-window susw readings themselves spread ~1.4x.
+    # cross-round CPU deltas gate on "sus".
+    #
+    # Comparison is min(new)/min(old) at the keep gate's calibrated 1.8x
+    # (r20 ADVICE): the old max(new)/min(old) form at 1.5 compared the
+    # WORST new reading against the BEST old one, so two individually
+    # keep-gated clean-window artifacts (each pre/post within 1.8x) could
+    # already trip it — e.g. kept [1.83,2.53] vs [2.02,2.78] gives
+    # 2.78/1.83 = 1.52 — mislabeling every write-row delta between two
+    # clean runs as weather (which can mask a real regression). min/min
+    # compares like with like (each run's best window), and a pair of
+    # kept artifacts cannot trip it unless the HOST budget itself moved
+    # >1.8x between rounds — exactly the signal this gate exists for.
+    # The gate is two-sided (r20 ADVICE, low): a degraded OLD window vs a
+    # clean NEW one shows phantom write-row "improvements" that are just
+    # as much weather as the degraded-new case — flag both directions.
     oww, nww = old.get("susw"), new.get("susw")
     if oww and nww:
-        wratio = max(nww) / max(min(oww), 1e-9)
+        wratio = min(nww) / max(min(oww), 1e-9)
         print(f"sustained-write: old={oww} new={nww} ratio={wratio:.2f}")
-        if wratio > 1.5:
+        if wratio > 1.8:
             contaminated = True
             print("!! NEW run's sustained WRITE throughput is degraded vs "
                   "OLD — write/shuffle-row deltas are disk weather, not code")
+        elif wratio < 1 / 1.8:
+            contaminated = True
+            print("!! OLD run's sustained WRITE throughput was degraded vs "
+                  "NEW — write/shuffle-row 'improvements' are disk weather, "
+                  "not code")
     elif nww:
         print(f"sustained-write (new only): {nww}")
 
