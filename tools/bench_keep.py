@@ -98,13 +98,22 @@ def main():
         return 3
 
     suspects = art.get("floor_suspect", [])
-    # Same resolution order as Bench: SPARK_GRAFT_FLOORS_FILE overrides the
-    # default path. Fail CLOSED: if there are suspects but the floors can't
-    # be read, a successful probe must not clear them (floors={} would make
+    # Same resolution order as Bench (Bench.resolveFloorsPath): an explicit
+    # SPARK_GRAFT_FLOORS_FILE wins; else the sf-dir BASENAME maps to its
+    # checked-in per-sf floors file. The old default was BENCH_FLOORS.json
+    # unconditionally, so an sf1/sf3 keep without the env var probed its
+    # suspects against the sf0.1 floors and then refused them as stale
+    # (r21 — the gate failed closed, but for the wrong reason). Fail
+    # CLOSED either way: if there are suspects but the floors can't be
+    # read, a successful probe must not clear them (floors={} would make
     # the >3x-floor re-check vacuously pass and launder exactly the
     # contamination this gate exists to block).
-    floors_path = __import__("os").environ.get("SPARK_GRAFT_FLOORS_FILE",
-                                               "BENCH_FLOORS.json")
+    per_sf = {"sf0.1": "BENCH_FLOORS.json", "sf1": "BENCH_FLOORS_SF1.json",
+              "sf3": "BENCH_FLOORS_SF3.json", "sf10": "BENCH_FLOORS_SF10.json"}
+    import os
+    floors_path = os.environ.get(
+        "SPARK_GRAFT_FLOORS_FILE",
+        per_sf.get(os.path.basename(sf_dir.rstrip("/")), "BENCH_FLOORS.json"))
     try:
         floors = json.load(open(floors_path))
     except (OSError, ValueError) as e:
